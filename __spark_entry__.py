@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup pipeline (Stage A sha256 →
+Stage B MinHash/SimHash LSH → Stage C winnowing containment → Stage D
+connected components) over a corpus derived from the sf0.001
+``documents`` table and returns the cluster assignment DataFrame.
+
+``queries()`` / ``oracle_sql()`` expose one entry per implemented
+operator from SURVEY.md §2 with matching DuckDB oracles — see
+autovalidate_backend_api_spark/entrypoints.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".md")).alias("path"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    ckpt_dir = os.path.join(tempfile.gettempdir(), "av_spark_entry_ckpt")
+    result = run_pipeline(spark, corpus, ckpt_dir, run_id="entry_sf0001")
+    return result.clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from autovalidate_backend_api_spark import entrypoints
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entrypoints.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted ⇒ rows-only)."""
+    from autovalidate_backend_api_spark import entrypoints
+
+    return entrypoints.oracle_sql()

@@ -1,0 +1,26 @@
+"""autovalidate_backend_api_spark — a PySpark-native near-duplicate
+detection + clustering engine.
+
+Re-expresses the string-similarity cascade of the reference service
+(Shawnchee/AutoValidate-Backend-API: exact typo lookup → RapidFuzz fuzzy
+filter → semantic fallback, see /root/reference/app/api/core/search.py)
+as batch dedup stages over a corpus table
+``(repo, path, commit, lang, content)``:
+
+- Stage A: exact duplicates via ``sha2(content, 256)``
+  (the reference's Redis exact-lookup, db_lookup.py:24-50)
+- Stage B: MinHash (token shingles) + SimHash (char 4-grams) LSH
+  candidate generation + Jaccard/Hamming verification
+  (the reference's RapidFuzz dual-scorer pass, search.py:110-137)
+- Stage C: winnowing-fingerprint substring/containment pass
+  (the reference's semantic fallback, search.py:139-176)
+- Stage D: iterative connected components → cluster assignment
+  (the reference's typo → canonical correction map, db_lookup.py:52-83)
+
+All heavy computation is DataFrame-native or vectorized pandas/Arrow
+UDFs; no per-row Python in any hot path.
+"""
+
+from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+
+__all__ = ["PipelineConfig", "PINNED"]

@@ -1,0 +1,60 @@
+"""Pinned pipeline configuration (SURVEY.md §7).
+
+The "reference shingle/signature config": chosen once, frozen, mirrored in
+tests. Threshold values trace back to the reference service:
+
+- verify threshold 0.75  ≙ fuzzy_threshold default 75
+  (/root/reference/app/api/services/models.py:13, used at
+  /root/reference/app/api/core/search.py:125)
+- dual similarity spaces (token-level MinHash + char-level SimHash)
+  ≙ the scorer-selection rule ``token_sort_ratio if ' ' in q or
+  len(q) > 10 else fuzz.ratio`` (/root/reference/app/api/core/search.py:110)
+- LSH over-generation below the verify threshold ≙ the candidate
+  over-fetch ``limit=top_k*2`` then post-filter pattern
+  (/root/reference/app/api/core/search.py:117,125)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import hashlib
+import json
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- shingling -------------------------------------------------------
+    token_shingle_k: int = 3          # k tokens per MinHash shingle
+    char_gram_k: int = 4              # chars per SimHash gram
+    # --- MinHash / LSH ---------------------------------------------------
+    num_perm: int = 128               # MinHash permutations
+    lsh_bands: int = 32               # bands
+    lsh_rows: int = 4                 # rows per band (bands*rows == num_perm)
+    minhash_seed: int = 42
+    char_minhash_seed: int = 1337     # char-gram MinHash family (dual scorer)
+    # S-curve threshold (1/bands)^(1/rows) ≈ 0.66 < 0.75 verify threshold
+    # ⇒ recall-safe over-generation (reference over-fetch pattern).
+    # --- verification ----------------------------------------------------
+    jaccard_threshold: float = 0.75   # token-space verify (ref threshold 75)
+    hamming_max: int = 12             # char-space verify (≤12/64 bits)
+    # --- Stage C (containment / substring) -------------------------------
+    winnow_gram_k: int = 16           # chars per winnowing gram (min overlap)
+    winnow_window: int = 8            # winnowing window (guarantee ≥ w+k-1)
+    # --- skew / scale knobs ----------------------------------------------
+    max_band_bucket: int = 200        # drop LSH buckets larger than this
+    max_fingerprint_bucket: int = 200  # same for winnowing buckets
+    shuffle_partitions: int = 32
+    salt_buckets: int = 8             # salt factor for hot band-hash keys
+    cc_max_iterations: int = 25       # connected-components bound
+
+    def config_hash(self) -> str:
+        """Stable hash of the config — keys checkpoint compatibility."""
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+PINNED = PipelineConfig()
+
+# Corpus table shape mandated by BASELINE.json input_hint.
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")

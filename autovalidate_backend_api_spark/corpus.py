@@ -1,0 +1,467 @@
+"""Deterministic synthetic source-code corpus with injected dup classes.
+
+Generates the input table mandated by BASELINE.json ``input_hint``
+(``repo, path, commit, lang, content``) plus golden ``expected_pairs`` /
+``expected_clusters`` tables (FIXTURES.md §§1-3). The dup-variant classes
+mirror the reference's curated typo classes
+(/root/reference/evals/fuzzy_threshold_evals.ipynb cell 0) and its OCR
+confusion table (/root/reference/app/api/ocr/main.py:362-369).
+
+Determinism: every row's content is a pure function of
+``(seed, base_id, slot)`` via ``numpy.random.default_rng`` — so the
+generator runs distributed (``spark.range`` → ``mapInPandas``) with zero
+coordination, at any scale, producing identical bytes.
+
+Skew by construction: ``org0/repo0`` holds ~20% of files and ~30% of
+files share an identical license header block (hot shingles) — this is
+the band-hash skew the pipeline must survive (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from autovalidate_backend_api_spark.config import PINNED, PipelineConfig
+from autovalidate_backend_api_spark.functions import hashing as H
+from autovalidate_backend_api_spark.functions.normalize import normalize_text_py
+
+SEED = 42
+SLOTS_PER_BASE = 4  # slot 0 = base file, slots 1..3 = optional variants
+
+DUP_CLASSES = (
+    "exact",        # Stage A (sha256) — per-row invariant
+    "char_swap",    # Stage B char-space   (bezxa→Bezza analog)
+    "ocr_confuse",  # Stage B char-space   (vi0s→Vios analog)
+    "token_reorder",  # Stage B token-space (merc benz analog)
+    "ws_concat",    # Stage B after normalizer (mercedesbenz analog)
+    "containment",  # Stage C substring    (hondacity→City analog)
+    "near_threshold",  # exercises the 0.75 verify boundary
+)
+
+LANGS = ("py", "js", "java", "go", "md")
+_EXT = {"py": "py", "js": "js", "java": "java", "go": "go", "md": "md"}
+
+LICENSE_HEADER = (
+    "license copyright 2024 the example authors all rights reserved "
+    "redistribution and use in source and binary forms with or without "
+    "modification are permitted provided that the following conditions are met "
+    "this software is provided by the copyright holders and contributors as is"
+)
+
+_KEYWORDS = (
+    "def class return import for while if else try except with yield lambda "
+    "func var let const struct interface package public static void int "
+    "string bool float map list set dict range print assert raise break"
+).split()
+
+def _make_identifiers(n: int, seed: int = 7) -> list[str]:
+    """Character-diverse identifiers (random letter strings). Real code
+    identifiers differ in their character content; prefixed names like
+    ``ident_123`` would share most char grams and flatten SimHash."""
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(4, 11))
+        out.append("".join(letters[rng.integers(0, 26, size=ln)]))
+    return out
+
+
+_VOCAB = _KEYWORDS + _make_identifiers(460) + [
+    "0x1f", "100", "255", "init", "update", "delete", "handle", "parse"
+]
+_VOCAB_ARR = np.array(_VOCAB)
+
+_OCR_MAP = str.maketrans(
+    {"0": "O", "1": "I", "5": "S", "8": "B", "4": "A", "o": "0", "i": "1", "s": "5", "b": "8", "a": "4"}
+)
+_LETTERS = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+
+def _rng(*parts: int) -> np.random.Generator:
+    mixed = hashlib.blake2b(
+        b":".join(str(p).encode() for p in parts), digest_size=8
+    ).digest()
+    return np.random.default_rng(int.from_bytes(mixed, "little"))
+
+
+def _base_meta(base_id: int, seed: int) -> tuple[str, str, int, int]:
+    """(repo, lang, n_lines, has_header) for a base file."""
+    rng = _rng(seed, base_id, 0xBEEF)
+    # skew: ~20% of files in the mega repo org0/repo0
+    if rng.random() < 0.20:
+        repo = "org0/repo0"
+    else:
+        repo = f"org{int(rng.integers(0, 7))}/repo{int(rng.integers(0, 53))}"
+    lang = LANGS[int(rng.integers(0, len(LANGS)))]
+    n_lines = int(rng.integers(40, 120))
+    has_header = bool(rng.random() < 0.30)
+    return repo, lang, n_lines, has_header
+
+
+def _sub_vocab(rng: np.random.Generator) -> np.ndarray:
+    """Per-file identifier vocabulary (real repos differ in identifier
+    distributions — this is what makes SimHash discriminative between
+    unrelated files while staying stable under small edits)."""
+    return rng.choice(_VOCAB_ARR, size=60, replace=False)
+
+
+def gen_base_content(base_id: int, seed: int = SEED) -> tuple[str, str, str]:
+    """(repo, lang, content) of base file ``base_id`` — pure function."""
+    repo, lang, n_lines, has_header = _base_meta(base_id, seed)
+    rng = _rng(seed, base_id, 0xC0DE)
+    vocab = _sub_vocab(rng)
+    lines = []
+    if has_header:
+        lines.append(LICENSE_HEADER)
+    for _ in range(n_lines):
+        n_tok = int(rng.integers(3, 9))
+        toks = vocab[rng.integers(0, len(vocab), size=n_tok)]
+        lines.append(" ".join(toks))
+    return repo, lang, "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# perturbation classes
+# ---------------------------------------------------------------------------
+
+def _char_swap(content: str, rng: np.random.Generator) -> str:
+    chars = list(content)
+    n_tokens = content.count(" ") + content.count("\n") + 1
+    n_edits = max(1, (n_tokens // 50) * 2)  # 1-2 chars per ~50 tokens
+    alpha_pos = [i for i, c in enumerate(chars) if c.isalpha()]
+    if not alpha_pos:
+        return content
+    for pos in rng.choice(len(alpha_pos), size=min(n_edits, len(alpha_pos)), replace=False):
+        i = alpha_pos[int(pos)]
+        if rng.random() < 0.5 and i + 1 < len(chars) and chars[i + 1].isalpha():
+            chars[i], chars[i + 1] = chars[i + 1], chars[i]
+        else:
+            chars[i] = str(_LETTERS[int(rng.integers(0, 26))])
+    return "".join(chars)
+
+
+def _ocr_confuse(content: str, rng: np.random.Generator) -> str:
+    toks = content.split(" ")
+    n = max(1, len(toks) // 12)  # ~8% of tokens OCR-mangled
+    idx = rng.choice(len(toks), size=min(n, len(toks)), replace=False)
+    for i in idx:
+        toks[int(i)] = toks[int(i)].translate(_OCR_MAP)
+    return " ".join(toks)
+
+
+def _token_reorder(content: str, rng: np.random.Generator) -> str:
+    """Permute 4-line chunks (function/block reordering analog). Only
+    chunk boundaries break token shingles, so token-space similarity
+    stays high — the MinHash (token_sort_ratio analog) detection path."""
+    lines = content.split("\n")
+    chunks = [lines[i : i + 4] for i in range(0, len(lines), 4)]
+    perm = rng.permutation(len(chunks))
+    out = []
+    for i in perm:
+        out.extend(chunks[int(i)])
+    return "\n".join(out)
+
+
+def _ws_concat(content: str, rng: np.random.Generator) -> str:
+    toks = content.replace("\n", " \n ").split(" ")
+    out = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t not in ("", "\n")
+            and i + 1 < len(toks)
+            and toks[i + 1] not in ("", "\n")
+            and rng.random() < 0.03
+        ):
+            out.append(t + toks[i + 1])  # join adjacent tokens
+            i += 2
+        else:
+            out.append(t)
+            i += 1
+    return " ".join(out).replace(" \n ", "\n")
+
+
+def _containment(content: str, rng: np.random.Generator, base_id: int, seed: int) -> str:
+    pre_lines = int(rng.integers(20, 60))
+    post_lines = int(rng.integers(20, 60))
+    wrap_rng = _rng(seed, base_id, 0xFACE)
+    mk = lambda n: "\n".join(
+        " ".join(_VOCAB_ARR[wrap_rng.integers(0, len(_VOCAB_ARR), size=int(wrap_rng.integers(3, 9)))])
+        for _ in range(n)
+    )
+    return mk(pre_lines) + "\n" + content + "\n" + mk(post_lines)
+
+
+def _near_threshold(content: str, rng: np.random.Generator, cfg: PipelineConfig) -> str:
+    """Tune token replacement so token-shingle Jaccard lands in [0.70, 0.80]."""
+    toks = content.split(" ")
+    base_sh = H.token_shingle_hashes(
+        normalize_text_py(content).split(" "), cfg.token_shingle_k
+    )
+    for frac in (0.03, 0.04, 0.05, 0.06, 0.08, 0.10, 0.02, 0.12):
+        trial = list(toks)
+        n = max(1, int(len(toks) * frac))
+        sub_rng = _rng(int(rng.integers(0, 2**31)), n)
+        idx = sub_rng.choice(len(trial), size=min(n, len(trial)), replace=False)
+        for i in idx:
+            trial[int(i)] = str(_VOCAB_ARR[int(sub_rng.integers(0, len(_VOCAB_ARR)))])
+        cand = " ".join(trial)
+        j = H.jaccard(
+            base_sh.tolist(),
+            H.token_shingle_hashes(
+                normalize_text_py(cand).split(" "), cfg.token_shingle_k
+            ).tolist(),
+        )
+        if 0.70 <= j <= 0.80:
+            return cand
+    return cand  # last trial; must_match is computed, not assumed
+
+
+def make_variant(
+    content: str,
+    dup_class: str,
+    base_id: int,
+    slot: int,
+    seed: int = SEED,
+    cfg: PipelineConfig = PINNED,
+) -> str:
+    rng = _rng(seed, base_id, slot, 0xD1CE)
+    if dup_class == "exact":
+        return content
+    if dup_class == "char_swap":
+        return _char_swap(content, rng)
+    if dup_class == "ocr_confuse":
+        return _ocr_confuse(content, rng)
+    if dup_class == "token_reorder":
+        return _token_reorder(content, rng)
+    if dup_class == "ws_concat":
+        return _ws_concat(content, rng)
+    if dup_class == "containment":
+        return _containment(content, rng, base_id, seed)
+    if dup_class == "near_threshold":
+        return _near_threshold(content, rng, cfg)
+    raise ValueError(dup_class)
+
+
+# ---------------------------------------------------------------------------
+# row layout: row_id = base_id * SLOTS_PER_BASE + slot
+# ---------------------------------------------------------------------------
+
+def _variant_class_for_slot(base_id: int, slot: int, seed: int) -> str | None:
+    """Which dup class (if any) occupies (base_id, slot); None = no row.
+
+    ~55% of bases get ≥1 variant; 'negative' bases (~10%) emit an
+    independent file sharing only the license header in slot 1.
+    """
+    rng = _rng(seed, base_id, 0xABCD)
+    kind = rng.random()
+    if kind < 0.10:  # negative base
+        return "negative" if slot == 1 else None
+    n_variants = int(rng.integers(0, 4))  # 0..3 variants
+    if slot > n_variants:
+        return None
+    classes = rng.choice(len(DUP_CLASSES), size=3, replace=True)
+    return DUP_CLASSES[int(classes[slot - 1])]
+
+
+def _negative_content(base_id: int, seed: int) -> str:
+    rng = _rng(seed, base_id, 0x0FF)
+    vocab = _sub_vocab(rng)
+    n_lines = int(rng.integers(40, 120))
+    lines = [LICENSE_HEADER]  # shared header = hot-shingle precision trap
+    for _ in range(n_lines):
+        n_tok = int(rng.integers(3, 9))
+        lines.append(" ".join(vocab[rng.integers(0, len(vocab), size=n_tok)]))
+    return "\n".join(lines)
+
+
+def gen_row(base_id: int, slot: int, seed: int = SEED) -> dict | None:
+    """Materialize one corpus row, or None if the slot is empty."""
+    repo, lang, content = gen_base_content(base_id, seed)
+    if slot == 0:
+        dup_class = "base"
+    else:
+        dup_class = _variant_class_for_slot(base_id, slot, seed)
+        if dup_class is None:
+            return None
+        if dup_class == "negative":
+            content = _negative_content(base_id, seed)
+            rng = _rng(seed, base_id, 0x0FF1)
+            repo = f"org{int(rng.integers(0, 7))}/repo{int(rng.integers(0, 53))}"
+        else:
+            content = make_variant(content, dup_class, base_id, slot, seed)
+            if slot >= 2:  # variants may live in other repos
+                rng = _rng(seed, base_id, slot, 0x0E0)
+                if rng.random() < 0.5:
+                    repo = f"org{int(rng.integers(0, 7))}/repo{int(rng.integers(0, 53))}"
+    path = f"src/mod{base_id % 17}/file_{base_id}_{slot}.{_EXT[lang]}"
+    commit = hashlib.sha256(f"{repo}:{path}:{base_id}:{slot}".encode()).hexdigest()[:12]
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "base_id": base_id,
+        "slot": slot,
+        "dup_class": dup_class,
+    }
+
+
+def corpus_pandas(n_base: int, seed: int = SEED, with_meta: bool = False) -> pd.DataFrame:
+    rows = []
+    for b in range(n_base):
+        for s in range(SLOTS_PER_BASE):
+            r = gen_row(b, s, seed)
+            if r is not None:
+                rows.append(r)
+    pdf = pd.DataFrame(rows)
+    if not with_meta:
+        pdf = pdf[["repo", "path", "commit", "lang", "content"]]
+    return pdf
+
+
+def corpus_spark(spark, n_base: int, seed: int = SEED, with_meta: bool = False,
+                 num_partitions: int | None = None):
+    """Distributed generator: spark.range over row_ids → mapInPandas."""
+    meta_cols = ", base_id long, slot int, dup_class string" if with_meta else ""
+    schema = (
+        "repo string, path string, commit string, lang string, content string"
+        + meta_cols
+    )
+    total = n_base * SLOTS_PER_BASE
+    rng_df = spark.range(0, total, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    keep = (
+        ["repo", "path", "commit", "lang", "content"]
+        + (["base_id", "slot", "dup_class"] if with_meta else [])
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                r = gen_row(int(rid) // SLOTS_PER_BASE, int(rid) % SLOTS_PER_BASE, seed)
+                if r is not None:
+                    rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows)[keep]
+
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# golden expectations (FIXTURES.md §§2-3) — driver-side, small scale only
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VerifyOutcome:
+    jaccard: float
+    hamming: int
+    contained: bool
+
+    def must_match(self, cfg: PipelineConfig = PINNED) -> bool:
+        return (
+            self.jaccard >= cfg.jaccard_threshold
+            or self.hamming <= cfg.hamming_max
+            or self.contained
+        )
+
+
+def pinned_verify(content_a: str, content_b: str, cfg: PipelineConfig = PINNED) -> VerifyOutcome:
+    """Ground-truth evaluation of the pinned dup criterion on raw contents."""
+    na, nb = normalize_text_py(content_a), normalize_text_py(content_b)
+    sa = H.token_shingle_hashes(na.split(" ") if na else [], cfg.token_shingle_k)
+    sb = H.token_shingle_hashes(nb.split(" ") if nb else [], cfg.token_shingle_k)
+    jac = H.jaccard(sa.tolist(), sb.tolist())
+    fa = H.simhash64(H.char_gram_hashes(na, cfg.char_gram_k))
+    fb = H.simhash64(H.char_gram_hashes(nb, cfg.char_gram_k))
+    ham = bin(fa ^ fb).count("1")
+    small, big = (na, nb) if len(na) <= len(nb) else (nb, na)
+    contained = len(small) >= cfg.winnow_gram_k and small in big
+    return VerifyOutcome(jac, ham, contained)
+
+
+def expected_pairs_pandas(n_base: int, seed: int = SEED, cfg: PipelineConfig = PINNED) -> pd.DataFrame:
+    """Golden (base, variant) pairs with computed must_match flags."""
+    rows = []
+    for b in range(n_base):
+        base_row = gen_row(b, 0, seed)
+        for s in range(1, SLOTS_PER_BASE):
+            var_row = gen_row(b, s, seed)
+            if var_row is None:
+                continue
+            dup_class = var_row["dup_class"]
+            if dup_class == "exact":
+                outcome = VerifyOutcome(1.0, 0, True)
+            else:
+                outcome = pinned_verify(base_row["content"], var_row["content"], cfg)
+            ka = (base_row["repo"], base_row["path"], base_row["commit"])
+            kb = (var_row["repo"], var_row["path"], var_row["commit"])
+            if kb < ka:
+                ka, kb = kb, ka
+            rows.append(
+                {
+                    "src_repo": ka[0], "src_path": ka[1], "src_commit": ka[2],
+                    "dst_repo": kb[0], "dst_path": kb[1], "dst_commit": kb[2],
+                    "dup_class": dup_class,
+                    "jaccard": outcome.jaccard,
+                    "hamming": outcome.hamming,
+                    "contained": outcome.contained,
+                    "must_match": (
+                        False if dup_class == "negative" else outcome.must_match(cfg)
+                    ),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def expected_clusters_pandas(n_base: int, seed: int = SEED, cfg: PipelineConfig = PINNED) -> pd.DataFrame:
+    """Transitive closure of must_match pairs → (file key, cluster_rep)."""
+    pairs = expected_pairs_pandas(n_base, seed, cfg)
+    corpus = corpus_pandas(n_base, seed, with_meta=True)
+    key = lambda r, p, c: f"{r}\x01{p}\x01{c}"
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: str, y: str) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    all_keys = [key(r.repo, r.path, r.commit) for r in corpus.itertuples()]
+    for k in all_keys:
+        parent.setdefault(k, k)
+    for p in pairs[pairs.must_match].itertuples():
+        union(key(p.src_repo, p.src_path, p.src_commit),
+              key(p.dst_repo, p.dst_path, p.dst_commit))
+    # exact-content duplicates must always cluster (per-row invariant)
+    by_sha: dict[str, str] = {}
+    for r in corpus.itertuples():
+        sha = hashlib.sha256(r.content.encode()).hexdigest()
+        k = key(r.repo, r.path, r.commit)
+        if sha in by_sha:
+            union(by_sha[sha], k)
+        else:
+            by_sha[sha] = k
+    return pd.DataFrame(
+        {
+            "repo": corpus["repo"],
+            "path": corpus["path"],
+            "commit": corpus["commit"],
+            "cluster_rep": [find(k) for k in all_keys],
+        }
+    )

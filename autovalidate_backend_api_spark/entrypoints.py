@@ -1,0 +1,629 @@
+"""Driver contract implementation: queries() + oracle_sql() pairs.
+
+Each entry re-expresses one operator family from SURVEY.md §2 over the
+driver testdata tables; the oracle is the ANSI-SQL equivalent DuckDB
+runs on the same parquet. Column names/aliases match exactly on both
+sides (the driver hashes values under sorted column names).
+
+Float discipline (oracle parity): money/value sums go through
+DECIMAL casts (exact arithmetic in both engines); cosine similarities
+are rounded at 6 decimals before ranking so rank ties break identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.config import PINNED
+from autovalidate_backend_api_spark.functions.normalize import (
+    normalize_text_col,
+    normalize_text_sql,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions / text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = normalize_text_sql("text")
+
+# F1 normalize_text (search.py:14-21) as a full-table projection
+@_register(
+    "normalized_docs",
+    f"SELECT doc_id, {_NORM_SQL} AS norm FROM documents",
+)
+def normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text_col(F.col("text")).alias("norm"))
+
+
+# F5/J1 key construction: sha256 fingerprint of normalized content
+# (db_lookup.py:35 key build → content-digest analog)
+@_register(
+    "doc_fingerprint",
+    f"SELECT doc_id, sha256({_NORM_SQL}) AS fp FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(normalize_text_col(F.col("text")), 256).alias("fp")
+    )
+
+
+# Stage A analog on documents: exact-dup grouping by content digest
+@_register(
+    "exact_dedup_groups",
+    f"""SELECT sha256({_NORM_SQL}) AS sha, count(*) AS n_docs,
+               min(doc_id) AS rep_doc_id
+        FROM documents GROUP BY 1""",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.sha2(normalize_text_col(F.col("text")), 256).alias("sha"), "doc_id"
+        )
+        .groupBy("sha")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+# token counting (whitespace tokens of normalized text)
+@_register(
+    "token_counts",
+    f"""SELECT doc_id,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len({_NORM_SQL}) AS BIGINT) AS n_chars_norm
+        FROM documents""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+# quality scoring: alpha/digit/space character ratios (P7 analog)
+@_register(
+    "doc_quality",
+    """SELECT doc_id,
+              round(CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                    / len(text), 6) AS alpha_ratio,
+              round(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                    / len(text), 6) AS digit_ratio,
+              round(CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                    / len(text), 6) AS space_ratio
+       FROM documents WHERE len(text) > 0""",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ln = F.length("text").cast("double")
+
+    def ratio(pattern: str):
+        return F.round(F.length(F.regexp_replace("text", pattern, "")) / ln, 6)
+
+    return docs.select(
+        "doc_id",
+        ratio("[^a-zA-Z]").alias("alpha_ratio"),
+        ratio("[^0-9]").alias("digit_ratio"),
+        ratio("[^ ]").alias("space_ratio"),
+    )
+
+
+# language-ID heuristic: argmax stopword hits per language family
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "con", "para"],
+}
+
+
+def _stop_hits_sql(lang: str) -> str:
+    toks = f"string_split({_NORM_SQL}, ' ')"
+    terms = " + ".join(
+        f"len(list_filter({toks}, x -> x = '{w}'))" for w in _STOPWORDS[lang]
+    )
+    return f"({terms})"
+
+
+@_register(
+    "lang_id_heuristic",
+    f"""SELECT doc_id,
+           CASE
+             WHEN {_stop_hits_sql('de')} > {_stop_hits_sql('en')}
+              AND {_stop_hits_sql('de')} >= {_stop_hits_sql('fr')}
+              AND {_stop_hits_sql('de')} >= {_stop_hits_sql('es')} THEN 'de'
+             WHEN {_stop_hits_sql('fr')} > {_stop_hits_sql('en')}
+              AND {_stop_hits_sql('fr')} >= {_stop_hits_sql('es')} THEN 'fr'
+             WHEN {_stop_hits_sql('es')} > {_stop_hits_sql('en')} THEN 'es'
+             ELSE 'en'
+           END AS lang_guess
+        FROM documents""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+
+    def hits(lang: str):
+        e = None
+        for w in _STOPWORDS[lang]:
+            term = F.size(F.filter(toks, lambda x: x == F.lit(w)))
+            e = term if e is None else e + term
+        return e
+
+    en, de, fr, es = hits("en"), hits("de"), hits("fr"), hits("es")
+    guess = (
+        F.when((de > en) & (de >= fr) & (de >= es), "de")
+        .when((fr > en) & (fr >= es), "fr")
+        .when(es > en, "es")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", guess.alias("lang_guess"))
+
+
+# F4/F11 OCR-confusion normalization (ocr/main.py:362-369 char map)
+@_register(
+    "ocr_normalize",
+    """SELECT doc_id,
+              translate(upper(text), '0158@4', 'OISBAA') AS ocr_norm
+       FROM documents""",
+)
+def ocr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.translate(F.upper(F.col("text")), "0158@4", "OISBAA").alias("ocr_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 similarity joins over `documents` (the core operator family)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+  WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+  sh AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i)),
+  d AS (SELECT DISTINCT doc_id, s FROM sh),
+  cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+  inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS ni
+            FROM d a JOIN d b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+"""
+
+
+def _shingle_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, jaccard) for all doc pairs sharing ≥1 3-token shingle.
+
+    Inverted-index similarity join (J2 reframing): explode distinct
+    shingles → equi-join on shingle → per-pair intersection counts →
+    Jaccard = ni / (na + nb - ni). Never a cross join.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1)))
+    sh = (
+        docs.select("doc_id", toks.alias("t"), idx.alias("idx"))
+        .select("doc_id", "t", F.explode("idx").alias("i"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+                F.element_at("t", F.col("i") + 3),
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(cnt.withColumnRenamed("doc_id", "src").withColumnRenamed("n", "na"), "src")
+        .join(cnt.withColumnRenamed("doc_id", "dst").withColumnRenamed("n", "nb"), "dst")
+        .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    _SHINGLES_SQL
+    + """
+    SELECT src, dst, round(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst
+    WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shingle_pairs_spark(spark, sf_dir)
+    return pairs.filter(F.col("jaccard") >= 0.5).select(
+        "src", "dst", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# MinHash+LSH near-dup join, exact-verified at the pinned 0.75 threshold.
+# Oracle = exhaustive exact Jaccard (the LSH miss probability at J≥0.75
+# with 32×4 banding is <1e-5 per pair).
+@_register(
+    "minhash_lsh_dedup_pairs",
+    _SHINGLES_SQL
+    + """
+    SELECT src, dst, round(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst
+    WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.75""",
+)
+def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.signatures import with_signatures
+    from autovalidate_backend_api_spark.operators import stage_b_lsh as B
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
+    )
+    sigs = with_signatures(docs, PINNED, include_winnow=False)
+    cands, _ = B.candidate_pairs(sigs, PINNED)
+    verified = B.verify_pairs(cands, sigs, PINNED)
+    a, b = F.col("src").cast("bigint"), F.col("dst").cast("bigint")
+    return verified.filter(F.col("stage") == "minhash").select(
+        F.least(a, b).alias("src"),
+        F.greatest(a, b).alias("dst"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+# Stage-C containment join (J5 analog): winnowing candidates + native
+# contains() verify; oracle = quadratic contains() check.
+@_register(
+    "containment_pairs",
+    f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM n a JOIN n b ON a.doc_id < b.doc_id
+    WHERE len(least(a.norm, b.norm)) >= 0  -- keep planner simple
+      AND CASE WHEN len(a.norm) <= len(b.norm)
+               THEN len(a.norm) >= {PINNED.winnow_gram_k} AND contains(b.norm, a.norm)
+               ELSE len(b.norm) >= {PINNED.winnow_gram_k} AND contains(a.norm, b.norm)
+          END""",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.signatures import with_signatures
+    from autovalidate_backend_api_spark.operators import stage_c_substring as C
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
+    )
+    sigs = with_signatures(docs, PINNED, include_winnow=True)
+    cands, _ = C.fingerprint_candidates(sigs, PINNED)
+    confirmed = C.verify_containment(cands, sigs, PINNED)
+    return confirmed.select(
+        F.least(F.col("src").cast("bigint"), F.col("dst").cast("bigint")).alias("src"),
+        F.greatest(F.col("src").cast("bigint"), F.col("dst").cast("bigint")).alias("dst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over `embeddings` (S5/J5 family)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+  pairs AS (
+    SELECT q.vec_id AS qid, e.vec_id AS nid,
+           round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+    FROM q JOIN embeddings e ON e.vec_id != q.vec_id)
+"""
+
+
+@_register(
+    "cosine_topk",
+    _COS_SQL
+    + """
+    SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+      FROM pairs) WHERE rnk <= 5""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline; S5 analog).
+
+    The over-fetch-then-rank shape mirrors search.py:149-176 (W3).
+    Scale path: LSH-bucketed variant in operators/similarity.py.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    withn = emb.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    q = withn.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    pairs = (
+        q.crossJoin(F.broadcast(withn))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nid", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2-2.6 relational operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+# A1/A3: grouped aggregation with exact decimal sums (TPC-H Q1 shape)
+@_register(
+    "lineitem_agg",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+              count(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").cast("double")
+        .alias("sum_base_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# W1: global top-k with deterministic tiebreak (search.py:179)
+@_register(
+    "top_orders",
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice")
+        )
+    )
+
+
+# W2: per-group top-k window (the limit=top_k*2 over-fetch as row_number)
+@_register(
+    "top_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+         FROM orders) WHERE rnk <= 2""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# J6: multi-key equi-join + aggregation (broadcast dims)
+@_register(
+    "revenue_by_nation",
+    """SELECT n.n_name AS nation,
+              CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+              count(*) AS n_orders
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# P8/J8: anti join (rows resolved in stage N excluded from stage N+1)
+@_register(
+    "customers_without_orders",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# semi join (EXISTS)
+@_register(
+    "nations_with_orders",
+    """SELECT DISTINCT n.n_name AS nation FROM nation n
+       WHERE EXISTS (SELECT 1 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                     WHERE c.c_nationkey = n.n_nationkey)""",
+)
+def nations_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return (
+        nation.join(active, nation.n_nationkey == active.c_nationkey, "left_semi")
+        .select(F.col("n_name").alias("nation"))
+        .distinct()
+    )
+
+
+# A2: first-wins dedup via window (deterministic, NOT dropDuplicates)
+@_register(
+    "latest_order_per_customer",
+    """SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"))
+    )
+
+
+# U2: union of stage outputs with a source tag (search.py:136,175)
+@_register(
+    "order_priority_union",
+    """SELECT o_orderkey, 'urgent' AS source FROM orders WHERE o_orderpriority = '1-URGENT'
+       UNION ALL
+       SELECT o_orderkey, 'high' AS source FROM orders WHERE o_orderpriority = '2-HIGH'""",
+)
+def order_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("source")
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", F.lit("high").alias("source")
+    )
+    return urgent.unionByName(high)
+
+
+# P2: null-drop + distinct
+@_register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment AS segment FROM customer WHERE c_mktsegment IS NOT NULL",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.where(F.col("c_mktsegment").isNotNull())
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+# P6: range predicate + P3 threshold predicate
+@_register(
+    "mid_price_parts",
+    """SELECT p_partkey, p_name FROM part
+       WHERE p_retailprice BETWEEN 500 AND 1500 AND p_size >= 10""",
+)
+def mid_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_retailprice").between(500, 1500) & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 events: tumbling-window agg + JSON extraction
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_hourly",
+    """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+              count(*) AS n_events,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h aggregation keyed on epoch-hour (timezone-proof: the
+    bucket is derived from the instant, not session-local wall time)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)").cast("double")
+        .alias("total_value"),
+    )
+
+
+# F13: JSON field extraction
+@_register(
+    "events_json_k",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events""",
+)
+def events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# public surface
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

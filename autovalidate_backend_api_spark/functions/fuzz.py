@@ -1,0 +1,61 @@
+"""Pure-Python reimplementation of the two RapidFuzz scorers the
+reference uses (rapidfuzz is not available in this environment).
+
+- ``ratio``            ≙ rapidfuzz.fuzz.ratio — normalized Indel
+  similarity × 100 (Indel distance = Levenshtein without substitutions
+  = len(a) + len(b) - 2·LCS).
+- ``token_sort_ratio`` ≙ rapidfuzz.fuzz.token_sort_ratio — whitespace
+  tokens sorted, joined by single spaces, then ``ratio``.
+
+Scorer selection rule (reference /root/reference/app/api/core/search.py:110)::
+
+    scorer = token_sort_ratio if ' ' in q or len(q) > 10 else ratio
+
+Parity is pinned by tests/test_fuzz.py against the stored notebook output
+of /root/reference/evals/fuzzy_threshold_evals.ipynb cell 0
+(29/50 cases pass at threshold 75).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence (numpy row-DP)."""
+    if not a or not b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.zeros(len(bn) + 1, dtype=np.int64)
+    for ch in a:
+        code = ord(ch)
+        cur = np.empty_like(prev)
+        cur[0] = 0
+        match = prev[:-1] + (bn == code)
+        np.maximum(match, prev[1:], out=cur[1:])
+        np.maximum.accumulate(cur, out=cur)  # carry cur[j-1] forward
+        prev = cur
+    return int(prev[-1])
+
+
+def ratio(a: str, b: str) -> float:
+    """rapidfuzz.fuzz.ratio: 100 · 2·LCS / (len(a)+len(b))."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 100.0
+    return 200.0 * lcs_len(a, b) / total
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    sa = " ".join(sorted(a.split()))
+    sb = " ".join(sorted(b.split()))
+    return ratio(sa, sb)
+
+
+def reference_scorer(query_norm: str):
+    """The reference's scorer-selection dispatch (search.py:110)."""
+    if " " in query_norm or len(query_norm) > 10:
+        return token_sort_ratio
+    return ratio

@@ -1,0 +1,185 @@
+"""Vectorized signature functions: MinHash, SimHash, LSH bands, winnowing.
+
+These replace the reference's similarity machinery with batch-friendly
+signatures (per BASELINE.json north_rule):
+
+- MinHash over token shingles ≈ token-level similarity
+  (``fuzz.token_sort_ratio`` branch of /root/reference/app/api/core/search.py:110)
+- SimHash over char 4-grams ≈ char-level similarity
+  (``fuzz.ratio`` branch, same line)
+- winnowing fingerprints → substring/containment candidates
+  (the Qdrant semantic fallback analog, search.py:139-176)
+
+Everything is numpy uint64 arithmetic inside Arrow-batched pandas UDFs —
+no per-row Python in Spark's hot path (input_hint mandate). The hash
+family is multiply-shift mod 2**64 (odd multipliers), mixed with a
+splitmix64 finalizer; deterministic across runs given the pinned seed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import numpy as np
+
+from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+_MIX1 = _U64(0xBF58476D1CE4E5B9)
+_MIX2 = _U64(0x94D049BB133111EB)
+_POLY = _U64(0x100000001B3)  # FNV-ish odd multiplier for shingle combine
+
+_ERRSTATE = {"over": "ignore"}  # uint64 wrap-around is intentional
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 arrays."""
+    with np.errstate(**_ERRSTATE):
+        z = (x + _GOLDEN).astype(_U64)
+        z ^= z >> _U64(30)
+        z *= _MIX1
+        z ^= z >> _U64(27)
+        z *= _MIX2
+        z ^= z >> _U64(31)
+    return z
+
+
+def hash_token(token: str) -> int:
+    """Stable 64-bit hash of one token (blake2b, 8-byte digest)."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def token_shingle_hashes(tokens: list[str], k: int = PINNED.token_shingle_k) -> np.ndarray:
+    """Distinct uint64 hashes of the k-token shingles of ``tokens``.
+
+    Documents shorter than k tokens fall back to single-token shingles so
+    short files still produce a signature (mirrors the reference scoring
+    short queries with ``fuzz.ratio`` rather than skipping them).
+    """
+    if not tokens:
+        return np.empty(0, dtype=_U64)
+    th = np.fromiter((hash_token(t) for t in tokens), dtype=_U64, count=len(tokens))
+    n = len(tokens)
+    if n < k:
+        return np.unique(mix64(th))
+    m = n - k + 1
+    with np.errstate(**_ERRSTATE):
+        acc = th[0:m].copy()
+        for j in range(1, k):
+            acc = acc * _POLY + th[j : j + m]
+    return np.unique(mix64(acc))
+
+
+def char_gram_hashes(text: str, k: int = PINNED.char_gram_k) -> np.ndarray:
+    """uint64 hashes of every overlapping k-char gram (with multiplicity)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(_U64)
+    n = b.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    if n < k:
+        with np.errstate(**_ERRSTATE):
+            acc = _U64(0)
+            for j in range(n):
+                acc = acc * _POLY + b[j]
+        return mix64(np.array([acc], dtype=_U64))
+    m = n - k + 1
+    with np.errstate(**_ERRSTATE):
+        acc = b[0:m].copy()
+        for j in range(1, k):
+            acc = acc * _POLY + b[j : j + m]
+    return mix64(acc)
+
+
+def minhash_params(cfg: PipelineConfig = PINNED) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) multiply-shift parameters; a forced odd."""
+    rng = np.random.default_rng(cfg.minhash_seed)
+    a = rng.integers(1, 2**63, size=cfg.num_perm, dtype=np.uint64) * _U64(2) + _U64(1)
+    b = rng.integers(0, 2**63, size=cfg.num_perm, dtype=np.uint64)
+    return a, b
+
+
+# Signature of an empty document: max-uint64 in every slot. Two empty
+# documents are exact duplicates (Stage A catches them); the sentinel
+# keeps them from LSH-matching everything.
+EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """num_perm-wide MinHash signature of a distinct-shingle hash array."""
+    if shingles.size == 0:
+        return np.full(a.shape[0], EMPTY_SLOT, dtype=_U64)
+    with np.errstate(**_ERRSTATE):
+        # (m, P) = shingles[:, None] * a[None, :] + b
+        mat = shingles[:, None] * a[None, :] + b[None, :]
+    return mat.min(axis=0)
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Combine each band's ``rows`` signature slots into one uint64 key."""
+    with np.errstate(**_ERRSTATE):
+        banded = sig.reshape(bands, rows)
+        acc = banded[:, 0].copy()
+        for j in range(1, rows):
+            acc = acc * _POLY + banded[:, j]
+        # fold in the band index so band 0 and band 1 never collide
+        acc = acc * _POLY + np.arange(bands, dtype=_U64)
+    return mix64(acc)
+
+
+def simhash64(gram_hashes: np.ndarray) -> int:
+    """64-bit SimHash fingerprint from char-gram hashes (with multiplicity)."""
+    if gram_hashes.size == 0:
+        return 0
+    # bits: (m, 64) little-endian view of each uint64
+    bits = np.unpackbits(
+        gram_hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - gram_hashes.size
+    fp_bits = (votes > 0).astype(np.uint8)
+    return int(np.packbits(fp_bits, bitorder="little").view(np.uint64)[0])
+
+
+def winnow_fingerprints(
+    text: str,
+    k: int = PINNED.winnow_gram_k,
+    w: int = PINNED.winnow_window,
+) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD'03) fingerprints of ``text``.
+
+    Selects the min gram-hash in every window of ``w`` consecutive grams.
+    Guarantee: any match of length ≥ w + k - 1 shares a fingerprint; and
+    if A's text is a substring of B's, A's fingerprint set ⊆ B's
+    (selection depends only on window content) — full recall for
+    containment candidates ≥ k chars.
+    """
+    g = char_gram_hashes(text, k)
+    if g.size == 0:
+        return np.empty(0, dtype=_U64)
+    if g.size <= w:
+        return np.unique(g.min(keepdims=True))
+    windows = np.lib.stride_tricks.sliding_window_view(g, w)
+    return np.unique(windows.min(axis=1))
+
+
+def to_int64(arr: np.ndarray) -> np.ndarray:
+    """Reinterpret uint64 → int64 for Spark LongType transport."""
+    return arr.view(np.int64)
+
+
+def tokens_of(normalized: str) -> list[str]:
+    """Token split of an already-normalized string (single spaces)."""
+    return normalized.split(" ") if normalized else []
+
+
+def jaccard(a: Iterable[int], b: Iterable[int]) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0

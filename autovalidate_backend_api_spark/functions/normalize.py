@@ -1,0 +1,62 @@
+"""Text normalization — byte-parity with the reference ``normalize_text``.
+
+Reference (/root/reference/app/api/core/search.py:14-21)::
+
+    s = s.strip().lower()
+    s = re.sub(r'[\\-–—_/]', ' ', s)
+    s = re.sub(r'\\s+', ' ', s)
+
+The normalizer defines shingle tokenization and therefore cluster
+assignments, so the Spark expression chain, the DuckDB oracle SQL, and
+the pure-Python reference below must agree byte-for-byte (property-tested
+in tests/test_normalize.py). Order of operations: strip → lower →
+dashes/underscore/slash → space → collapse whitespace. Note the reference
+does NOT re-strip after dash replacement, so a leading '-' yields a
+leading space — we reproduce that exactly.
+
+Implemented as native Spark expressions (whole-stage codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Python \s on str is unicode-aware; Java/RE2 \s is ASCII. Test corpora are
+# ASCII; the explicit class below pins identical semantics in all engines.
+_WS = r"[ \t\n\r\f\x0b]"
+_DASHES = "[-–—_/]"  # - – — _ /
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Spark-native normalize_text (search.py:14-21 parity)."""
+    stripped = F.regexp_replace(col, f"^{_WS}+|{_WS}+$", "")
+    lowered = F.lower(stripped)
+    dashed = F.regexp_replace(lowered, _DASHES, " ")
+    return F.regexp_replace(dashed, f"{_WS}+", " ")
+
+
+def normalize_text_sql(expr: str) -> str:
+    """The same chain as ANSI/DuckDB SQL over an input expression."""
+    return (
+        "regexp_replace(regexp_replace(lower(regexp_replace("
+        f"{expr}, '^{_WS}+|{_WS}+$', '', 'g')), '{_DASHES}', ' ', 'g'), "
+        f"'{_WS}+', ' ', 'g')"
+    )
+
+
+def normalize_text_py(s: str) -> str:
+    """Pure-Python reference (identical to search.py:14-21, ASCII \\s)."""
+    if not isinstance(s, str):
+        return s
+    s = s.strip().lower()
+    s = re.sub(r"[-–—_/]", " ", s)
+    s = re.sub(r"[ \t\n\r\f\x0b]+", " ", s)
+    return s
+
+
+def normalize_case_py(s: str) -> str:
+    """Reference normalize_case (/root/reference/app/api/app.py:44-48)."""
+    return s.strip().title() if isinstance(s, str) else s

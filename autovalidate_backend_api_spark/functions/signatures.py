@@ -1,0 +1,149 @@
+"""Arrow-batched pandas UDFs that attach dedup signatures to a corpus.
+
+Column plumbing (all computed from the *normalized* content, which is
+produced by native Spark expressions — see functions/normalize.py):
+
+- ``shingles``   array<long>  distinct token-shingle hashes (verify stage)
+- ``bands_tok``  array<long>  token-space LSH band keys
+- ``bands_chr``  array<long>  char-space LSH band keys (MinHash over
+                              char 4-grams — the ``fuzz.ratio`` branch of
+                              the reference's dual-scorer rule,
+                              /root/reference/app/api/core/search.py:110)
+- ``n_shingles`` int          shingle count (cheap size filter / metrics)
+- ``simhash``    long         64-bit char-space fingerprint (verify metric)
+- ``winnow``     array<long>  winnowing fingerprints (Stage C containment)
+
+One UDF computes the char-gram hashes once and derives both the char
+MinHash bands and the SimHash from them.
+
+Scale note (100 TB): the shingle array is carried only into the verify
+join on candidate pairs; at production scale the signatures DataFrame is
+persisted once (bucketed by file key) and joined twice, so content is
+read and shingled exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+from autovalidate_backend_api_spark.functions import hashing as H
+from autovalidate_backend_api_spark.functions.normalize import normalize_text_col
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("shingles", T.ArrayType(T.LongType()), False),
+        T.StructField("bands_tok", T.ArrayType(T.LongType()), False),
+        T.StructField("bands_chr", T.ArrayType(T.LongType()), False),
+        T.StructField("n_shingles", T.IntegerType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def make_signature_udf(cfg: PipelineConfig = PINNED):
+    """pandas UDF: normalized text → all Stage-B signature columns."""
+    a_tok, b_tok = H.minhash_params(cfg)
+    rng_params = cfg  # capture for char family
+    import dataclasses
+
+    chr_cfg = dataclasses.replace(cfg, minhash_seed=cfg.char_minhash_seed)
+    a_chr, b_chr = H.minhash_params(chr_cfg)
+    k_tok, k_chr = cfg.token_shingle_k, cfg.char_gram_k
+    bands, rows = cfg.lsh_bands, cfg.lsh_rows
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def signature(norm_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for norm in norm_iter:
+            sh_out, bt_out, bc_out, n_out = [], [], [], []
+            sim_out = np.empty(len(norm), dtype=np.uint64)
+            for i, s in enumerate(norm):
+                s = s if isinstance(s, str) else ""
+                toks = H.tokens_of(s)
+                sh = H.token_shingle_hashes(toks, k_tok)
+                sig_t = H.minhash_signature(sh, a_tok, b_tok)
+                grams = H.char_gram_hashes(s, k_chr)
+                sig_c = H.minhash_signature(np.unique(grams), a_chr, b_chr)
+                sh_out.append(H.to_int64(sh))
+                bt_out.append(H.to_int64(H.band_hashes(sig_t, bands, rows)))
+                bc_out.append(H.to_int64(H.band_hashes(sig_c, bands, rows)))
+                n_out.append(len(sh))
+                sim_out[i] = H.simhash64(grams)
+            yield pd.DataFrame(
+                {
+                    "shingles": sh_out,
+                    "bands_tok": bt_out,
+                    "bands_chr": bc_out,
+                    "n_shingles": n_out,
+                    "simhash": pd.Series(sim_out.view(np.int64)),
+                }
+            )
+
+    return signature
+
+
+def make_winnow_udf(cfg: PipelineConfig = PINNED):
+    k, w = cfg.winnow_gram_k, cfg.winnow_window
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(norm_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for norm in norm_iter:
+            yield pd.Series(
+                [
+                    H.to_int64(
+                        H.winnow_fingerprints(s if isinstance(s, str) else "", k, w)
+                    )
+                    for s in norm
+                ]
+            )
+
+    return winnow
+
+
+def sha256_col(col: Column) -> Column:
+    """Exact-dup key: hex sha256 of raw content (per-row invariant,
+    reference analog: Redis exact key db_lookup.py:35)."""
+    return F.sha2(col, 256)
+
+
+def file_key_col() -> Column:
+    """Single-string file key (collision-free: field-separated)."""
+    return F.concat_ws("\x01", F.col("repo"), F.col("path"), F.col("commit"))
+
+
+def with_signatures(
+    corpus: DataFrame,
+    cfg: PipelineConfig = PINNED,
+    content_col: str = "content",
+    include_winnow: bool = True,
+) -> DataFrame:
+    """Attach key/sha/norm/signature columns to a corpus DataFrame.
+
+    One pass over content; all Python work Arrow-batched.
+    """
+    df = corpus
+    if "key" not in df.columns:
+        df = df.withColumn("key", file_key_col())
+    if "sha" not in df.columns:
+        df = df.withColumn("sha", sha256_col(F.col(content_col)))
+    df = df.withColumn("norm", normalize_text_col(F.col(content_col)))
+    sig = make_signature_udf(cfg)
+    df = df.withColumn("_sig", sig(F.col("norm")))
+    df = df.select(
+        "*",
+        F.col("_sig.shingles").alias("shingles"),
+        F.col("_sig.bands_tok").alias("bands_tok"),
+        F.col("_sig.bands_chr").alias("bands_chr"),
+        F.col("_sig.n_shingles").alias("n_shingles"),
+        F.col("_sig.simhash").alias("simhash"),
+    ).drop("_sig")
+    if include_winnow:
+        df = df.withColumn("winnow", make_winnow_udf(cfg)(F.col("norm")))
+    return df

@@ -1,0 +1,85 @@
+"""Stage D — connected components over the confirmed-pair edge DataFrame.
+
+The batch reframing of the reference's typo → canonical correction map
+(/root/reference/app/api/core/db_lookup.py:52-83): instead of persisting
+one correction per query, we assign every file the lexicographic-min key
+of its transitive dup closure as cluster representative.
+
+Algorithm: iterative min-label propagation (the "small-star" half of
+Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14,
+simplified): every vertex repeatedly adopts the minimum label in its
+closed neighborhood until a fixpoint. Each iteration is one shuffle
+(join + groupBy-min). Dup clusters are shallow (stars around a base
+file), so convergence takes O(log diameter) ≈ 2-4 iterations in
+practice; ``cc_max_iterations`` bounds pathological chains.
+
+Scale notes:
+- labels/edges are re-``localCheckpoint``ed every iteration — iterative
+  joins otherwise accumulate lineage and re-execute the whole prefix
+  (classic iterative-Spark trap). On a cluster use
+  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead;
+  the flag ``use_local_checkpoint`` switches.
+- the convergence test piggybacks on the label aggregation (count of
+  changed labels), one action per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    cfg: PipelineConfig = PINNED,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(key) vertices + (src, dst) edges → (key, cluster_rep).
+
+    Vertices absent from any edge keep themselves as representative.
+    """
+    spark = vertices.sparkSession
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if use_local_checkpoint:
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True)
+
+    # symmetric edge list, no self loops
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    sym = ckpt(sym)
+
+    labels = vertices.select("key", F.col("key").alias("comp"))
+    labels = ckpt(labels)
+
+    for _ in range(cfg.cc_max_iterations):
+        # neighbor-min: for each vertex, min comp among neighbors
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.key)
+            .select(F.col("src").alias("key"), "comp")
+            .groupBy("key")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "key", "left")
+            .select(
+                "key",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+                (F.coalesce("nmin", "comp") < F.col("comp")).cast("int").alias("_chg"),
+            )
+        )
+        new_labels = ckpt(new_labels)
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+
+    return labels.select("key", F.col("comp").alias("cluster_rep"))

@@ -1,0 +1,65 @@
+"""Stage A — exact-duplicate grouping via sha256(content).
+
+The batch reframing of the reference's Redis exact typo lookup
+(/root/reference/app/api/core/db_lookup.py:24-50): a hash-key lookup
+becomes a hash aggregation on the digest, and the "hit short-circuits
+the cascade" behavior (app.py:340-347) becomes dataflow — only one
+representative per sha group continues to the (much more expensive)
+signature stages.
+
+Scale: groupBy(sha) is a single hash-shuffle on a high-cardinality,
+uniformly-distributed key — no skew by construction (sha256 of distinct
+contents is uniform; identical contents are exactly what we're grouping).
+Map-side partial aggregation applies. At 10^12 rows this stage removes
+the (often dominant) exact-copy mass before any shingling happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_groups(hashed: DataFrame) -> DataFrame:
+    """sha → group size + lexicographic-min representative key.
+
+    Input needs columns (key, sha). Output: FIXTURES.md `sha_groups`.
+    """
+    return hashed.groupBy("sha").agg(
+        F.count("*").alias("n"), F.min("key").alias("rep_key")
+    )
+
+
+def exact_pairs(hashed: DataFrame) -> DataFrame:
+    """Star edges (rep_key → member) for every sha group with n > 1.
+
+    Emitting member↔representative (not all O(n²) member pairs) keeps the
+    edge count linear in group size; connected components restores the
+    full cluster. Columns: src, dst, stage, score.
+    """
+    w = Window.partitionBy("sha")
+    return (
+        hashed.withColumn("rep_key", F.min("key").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .filter((F.col("n") > 1) & (F.col("key") != F.col("rep_key")))
+        .select(
+            F.col("rep_key").alias("src"),
+            F.col("key").alias("dst"),
+            F.lit("sha").alias("stage"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+
+def survivors(hashed: DataFrame) -> DataFrame:
+    """One representative row per distinct sha (the cascade gate P8).
+
+    Uses min(key)-per-sha so the choice is deterministic under any input
+    order — never rely on dropDuplicates' arbitrary pick (SURVEY.md A2).
+    """
+    w = Window.partitionBy("sha").orderBy("key")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,128 @@
+"""Stage B — LSH band-hash candidate generation + threshold verification.
+
+The batch reframing of the reference's RapidFuzz pass
+(/root/reference/app/api/core/search.py:110-137): the one-query ×
+all-choices fuzzy scan (J2) becomes an equi-self-join on LSH band keys —
+over-generate candidates below the verify threshold, then filter, exactly
+the reference's ``limit=top_k*2`` → ``score >= threshold`` pattern
+(search.py:117,125). Two signature families mirror the dual-scorer
+dispatch (search.py:110): token-space MinHash ≈ token_sort_ratio,
+char-space MinHash ≈ fuzz.ratio; SimHash Hamming is the char-space
+verify metric.
+
+Skew & scale (SURVEY.md §4):
+- band buckets above ``max_band_bucket`` are DROPPED and logged —
+  boilerplate shingles (license headers) produce huge buckets whose
+  pairs are overwhelmingly non-dups; their true dup pairs are still
+  reachable via their other 31+32 bands. This caps worst-case pair
+  explosion at O(buckets · cap²).
+- the candidate join shuffles on (family, band_idx, band_hash) — high
+  cardinality; residual skew is handled by AQE skew-join splitting
+  (enabled in session.py).
+- verification is JVM-native: array_intersect/array_union for exact
+  token-shingle Jaccard, xor + bit_count for SimHash Hamming. No Python
+  in the pair loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+
+
+def explode_bands(sigs: DataFrame) -> DataFrame:
+    """(key, family, band_idx, band_hash) — one row per band per family."""
+    tok = sigs.select(
+        "key",
+        F.lit("tok").alias("family"),
+        F.posexplode("bands_tok").alias("band_idx", "band_hash"),
+    )
+    chr_ = sigs.select(
+        "key",
+        F.lit("chr").alias("family"),
+        F.posexplode("bands_chr").alias("band_idx", "band_hash"),
+    )
+    return tok.unionByName(chr_)
+
+
+def candidate_pairs(
+    sigs: DataFrame, cfg: PipelineConfig = PINNED
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs (src < dst) + dropped-bucket log.
+
+    Returns (pairs, dropped_buckets). ``pairs`` columns: src, dst.
+    """
+    bands = explode_bands(sigs)
+    bucket_cols = ["family", "band_idx", "band_hash"]
+
+    sizes = bands.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
+    dropped = sizes.filter(F.col("bucket_n") > cfg.max_band_bucket)
+    # semi-join keeps only survivable buckets; the dropped side is tiny
+    # (hot boilerplate keys) so it broadcasts.
+    keep = bands.join(
+        F.broadcast(dropped.select(*bucket_cols)), bucket_cols, "left_anti"
+    )
+
+    left = keep.alias("a")
+    right = keep.alias("b")
+    pairs = (
+        left.join(
+            right,
+            on=[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols],
+            how="inner",
+        )
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("src"), F.col("b.key").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return pairs, dropped
+
+
+def verify_pairs(
+    pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig = PINNED
+) -> DataFrame:
+    """Exact verification of candidate pairs (the P3 threshold predicate).
+
+    Joins the signatures table twice (src/dst) and computes, JVM-side:
+    - token-shingle Jaccard  = |∩| / |∪|   (≥ cfg.jaccard_threshold), or
+    - SimHash Hamming        = bit_count(xor) (≤ cfg.hamming_max).
+
+    Output columns: src, dst, jaccard, hamming, stage.
+    """
+    src_sig = sigs.select(
+        F.col("key").alias("src"),
+        F.col("shingles").alias("sh_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    dst_sig = sigs.select(
+        F.col("key").alias("dst"),
+        F.col("shingles").alias("sh_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+
+    verified = (
+        pairs.join(src_sig, "src")
+        .join(dst_sig, "dst")
+        .withColumn("jaccard", jac)
+        .withColumn("hamming", ham)
+        .filter(
+            (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+            | (F.col("hamming") <= F.lit(cfg.hamming_max))
+        )
+        .select(
+            "src",
+            "dst",
+            "jaccard",
+            "hamming",
+            F.when(F.col("jaccard") >= cfg.jaccard_threshold, "minhash")
+            .otherwise("simhash")
+            .alias("stage"),
+        )
+    )
+    return verified

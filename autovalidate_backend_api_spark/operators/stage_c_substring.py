@@ -1,0 +1,86 @@
+"""Stage C — containment (substring) pass via winnowing fingerprints.
+
+The batch reframing of the reference's semantic fallback
+(/root/reference/app/api/core/search.py:139-176): pairs the fuzzy stage
+misses — abbreviation/containment cases like ``benz→Mercedes-Benz``,
+``hondacity→City`` — are recovered here. Whole-document signatures can't
+see that one file is embedded inside another (Jaccard is diluted by the
+wrapper), so we use local fingerprints:
+
+Winnowing (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms
+for Document Fingerprinting", SIGMOD 2003): hash every k-char gram, keep
+the minimum in every window of w grams. Guarantees: (a) any shared run
+of ≥ w + k - 1 chars shares a fingerprint; (b) fingerprint selection
+depends only on local content, so if A ⊆ B then fingerprints(A) ⊆
+fingerprints(B) — full recall for containment candidates.
+
+Like Stage B, this is over-generate → verify: fingerprint equi-join
+proposes pairs, native ``contains()`` on normalized text confirms.
+
+Scale: identical shape to the band join — explode → bucket-cap → self
+join. The verify join carries normalized content; at 10^12 rows the
+gate (only Stage-A/B-unresolved rows enter) keeps this side small,
+mirroring the reference running semantic search only when fuzzy
+produced nothing (search.py:140).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+
+
+def fingerprint_candidates(
+    sigs: DataFrame, cfg: PipelineConfig = PINNED
+) -> tuple[DataFrame, DataFrame]:
+    """Pairs sharing ≥1 winnowing fingerprint (src < dst) + dropped log.
+
+    Input needs (key, winnow). Hot fingerprints (license boilerplate)
+    are capped exactly like Stage-B band buckets.
+    """
+    fps = sigs.select("key", F.explode("winnow").alias("fp"))
+    sizes = fps.groupBy("fp").agg(F.count("*").alias("bucket_n"))
+    dropped = sizes.filter(F.col("bucket_n") > cfg.max_fingerprint_bucket)
+    keep = fps.join(F.broadcast(dropped.select("fp")), ["fp"], "left_anti")
+
+    pairs = (
+        keep.alias("a")
+        .join(keep.alias("b"), "fp")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("src"), F.col("b.key").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return pairs, dropped
+
+
+def verify_containment(
+    pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig = PINNED
+) -> DataFrame:
+    """Confirm containment: shorter normalized text ⊆ longer one,
+    min length cfg.winnow_gram_k. Native contains(); no UDF.
+
+    Output: src, dst, jaccard(=overlap ratio |small|/|big|), hamming(=-1
+    sentinel), stage='substring'.
+    """
+    src_sig = sigs.select(F.col("key").alias("src"), F.col("norm").alias("norm_a"))
+    dst_sig = sigs.select(F.col("key").alias("dst"), F.col("norm").alias("norm_b"))
+    la, lb = F.length("norm_a"), F.length("norm_b")
+    small = F.when(la <= lb, F.col("norm_a")).otherwise(F.col("norm_b"))
+    big = F.when(la <= lb, F.col("norm_b")).otherwise(F.col("norm_a"))
+    return (
+        pairs.join(src_sig, "src")
+        .join(dst_sig, "dst")
+        .filter(
+            (F.length(small) >= F.lit(cfg.winnow_gram_k))
+            & F.contains(big, small)
+        )
+        .select(
+            "src",
+            "dst",
+            (F.least(la, lb) / F.greatest(la, lb)).alias("jaccard"),
+            F.lit(-1).alias("hamming"),
+            F.lit("substring").alias("stage"),
+        )
+    )

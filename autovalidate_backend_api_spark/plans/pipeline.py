@@ -1,0 +1,177 @@
+"""The flagship dedup pipeline: Stage A → B → C → D with checkpoints.
+
+Dataflow reframing of the reference cascade
+(/root/reference/app/api/app.py:307-380, traced in SURVEY.md §3.1):
+
+  corpus ─ sha256 ─► Stage A exact groups ──► star edges ───────────┐
+              │ (survivors: 1 rep / sha — the P8 short-circuit)     │
+              ▼                                                     │
+         signatures (one Arrow pass: MinHash/SimHash/winnow)        │
+              ├─► Stage B: LSH bands → candidates → verify ─────────┤
+              └─► Stage C: winnow fingerprints → containment ───────┤
+                                                                    ▼
+                              union → canonicalize → connected components
+                                                                    │
+                              clusters (key → cluster_rep) ◄────────┘
+
+Stage gating: Stage B/C run on sha-survivors only — exact copies never
+reach the expensive stages (the reference's cache-hit short-circuit,
+app.py:340-347). Confirmed pairs from B are NOT excluded from C's input
+corpus (C is cheap after bucket caps and catches containments between
+already-B-matched files' clusters too); the B/C union is deduplicated
+with a first-stage-wins window (SURVEY.md A2).
+
+Every stage output is an idempotent checkpoint commit; re-running the
+same (run_id, config) skips completed stages (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.config import PINNED, PipelineConfig
+from autovalidate_backend_api_spark.functions.signatures import (
+    file_key_col,
+    sha256_col,
+    with_signatures,
+)
+from autovalidate_backend_api_spark.operators import stage_a_exact as A
+from autovalidate_backend_api_spark.operators import stage_b_lsh as B
+from autovalidate_backend_api_spark.operators import stage_c_substring as C
+from autovalidate_backend_api_spark.operators.connected_components import (
+    connected_components,
+)
+from autovalidate_backend_api_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame          # key, cluster_rep
+    confirmed_pairs: DataFrame   # src, dst, jaccard, hamming, stage
+    metrics: list[dict]
+
+
+def _dedup_pairs(pairs: DataFrame) -> DataFrame:
+    """Canonical (src<dst) + first-stage-wins dedup (A2 window form)."""
+    canon = pairs.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "jaccard",
+        "hamming",
+        "stage",
+    )
+    w = Window.partitionBy("src", "dst").orderBy(
+        # sha > minhash > simhash > substring priority, then best score
+        F.when(F.col("stage") == "sha", 0)
+        .when(F.col("stage") == "minhash", 1)
+        .when(F.col("stage") == "simhash", 2)
+        .otherwise(3),
+        F.desc("jaccard"),
+    )
+    return (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    checkpoint_dir: str,
+    run_id: str = "run0",
+    cfg: PipelineConfig = PINNED,
+) -> PipelineResult:
+    metrics: list[dict] = []
+
+    def timed(stage: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        metrics.append(
+            {"run_id": run_id, "stage": stage,
+             "wall_ms": int((time.monotonic() - t0) * 1000)}
+        )
+        return out
+
+    ckpt = CheckpointManager(spark, checkpoint_dir, run_id, cfg.config_hash())
+
+    # ---- Stage A: exact dups on raw content (native sha256) -------------
+    hashed = corpus.select(
+        file_key_col().alias("key"), sha256_col(F.col("content")).alias("sha"), "content"
+    )
+    sha_pairs = timed(
+        "stage_a_pairs",
+        lambda: ckpt.get_or_compute("stage_a_pairs", lambda: A.exact_pairs(hashed)),
+    )
+    survivors = timed(
+        "stage_a_survivors",
+        lambda: ckpt.get_or_compute(
+            "stage_a_survivors", lambda: A.survivors(hashed)
+        ),
+    )
+
+    # ---- signatures: one Arrow pass over sha-survivors ------------------
+    sigs = timed(
+        "signatures",
+        lambda: ckpt.get_or_compute(
+            "signatures",
+            lambda: with_signatures(survivors, cfg, include_winnow=True).select(
+                "key", "norm", "shingles", "bands_tok", "bands_chr",
+                "n_shingles", "simhash", "winnow",
+            ),
+        ),
+    )
+
+    # ---- Stage B: LSH candidates + verify --------------------------------
+    def _stage_b():
+        cands, dropped = B.candidate_pairs(sigs, cfg)
+        n_dropped = dropped.count()
+        if n_dropped:
+            # logged drop (SURVEY.md §4 skew row): hot boilerplate buckets
+            print(f"[stage_b] dropped {n_dropped} oversized band buckets")
+        return B.verify_pairs(cands, sigs, cfg)
+
+    b_pairs = timed(
+        "stage_b_pairs", lambda: ckpt.get_or_compute("stage_b_pairs", _stage_b)
+    )
+
+    # ---- Stage C: containment on survivors -------------------------------
+    def _stage_c():
+        cands, dropped = C.fingerprint_candidates(sigs, cfg)
+        n_dropped = dropped.count()
+        if n_dropped:
+            print(f"[stage_c] dropped {n_dropped} oversized fingerprint buckets")
+        return C.verify_containment(cands, sigs, cfg)
+
+    c_pairs = timed(
+        "stage_c_pairs", lambda: ckpt.get_or_compute("stage_c_pairs", _stage_c)
+    )
+
+    # ---- union + dedup + connected components ---------------------------
+    def _confirmed():
+        all_pairs = (
+            sha_pairs.select("src", "dst", F.col("score").alias("jaccard"),
+                             F.lit(0).alias("hamming"), "stage")
+            .unionByName(b_pairs)
+            .unionByName(c_pairs)
+        )
+        return _dedup_pairs(all_pairs)
+
+    confirmed = timed(
+        "confirmed_pairs",
+        lambda: ckpt.get_or_compute("confirmed_pairs", _confirmed),
+    )
+
+    def _clusters():
+        vertices = hashed.select("key").distinct()
+        return connected_components(vertices, confirmed, cfg)
+
+    clusters = timed(
+        "clusters", lambda: ckpt.get_or_compute("clusters", _clusters)
+    )
+
+    return PipelineResult(clusters=clusters, confirmed_pairs=confirmed, metrics=metrics)

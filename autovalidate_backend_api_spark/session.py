@@ -1,0 +1,60 @@
+"""SparkSession builder tuned for this engine.
+
+Local-mode defaults follow the sandbox (local[32], 128 GiB); on a real
+cluster the same conf keys apply, sized per executor. AQE is always on —
+it handles skewed LSH band-hash joins at runtime (skew-join splitting)
+on top of our explicit salting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "autovalidate_backend_api_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = master[6:-1] if master.startswith("local[") else "32"
+    try:
+        n_cores = int(cores) if cores != "*" else (os.cpu_count() or 8)
+    except ValueError:
+        n_cores = 32
+    shuffle_partitions = shuffle_partitions or max(n_cores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> None:
+    """Runtime confs safe to set on a driver-provided session.
+
+    The correctness driver builds its own SparkSession; these are the
+    runtime-settable keys that matter for DuckDB-oracle parity.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass

@@ -1,0 +1,107 @@
+"""Per-stage checkpoint tables: resumability + lineage (north_rule).
+
+Reference analog: the feedback loop persisting confirmed corrections to
+Redis + the ``typo_training_dataset`` table
+(/root/reference/app/api/core/db_lookup.py:52-83) — confirmed state
+survives the process and short-circuits future work.
+
+Production target is Iceberg (atomic snapshot commits; ``writeTo(...)
+.append()`` / ``overwritePartitions()``); the Iceberg runtime jar is not
+in this sandbox, so the default backend is parquet directories with
+Spark's atomic ``_SUCCESS`` marker plus a JSON manifest carrying the
+config hash and row count (lineage). The interface is identical either
+way; `ICEBERG_DDL` documents the production DDL.
+
+Resume semantics: a stage is skipped iff its checkpoint exists AND was
+written under the same pipeline-config hash — a config change invalidates
+downstream state automatically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_DDL = {
+    "corpus": """
+        CREATE TABLE IF NOT EXISTS {catalog}.dedup.corpus (
+          repo string, path string, commit string, lang string, content string)
+        USING iceberg PARTITIONED BY (bucket(512, repo))""",
+    "confirmed_pairs": """
+        CREATE TABLE IF NOT EXISTS {catalog}.dedup.confirmed_pairs (
+          src string, dst string, jaccard double, hamming int,
+          stage string, run_id string)
+        USING iceberg PARTITIONED BY (stage)""",
+    "clusters": """
+        CREATE TABLE IF NOT EXISTS {catalog}.dedup.clusters (
+          key string, cluster_rep string, run_id string)
+        USING iceberg""",
+    "stage_metrics": """
+        CREATE TABLE IF NOT EXISTS {catalog}.dedup.stage_metrics (
+          run_id string, stage string, partition_id int,
+          rows_out long, wall_ms long)
+        USING iceberg PARTITIONED BY (run_id)""",
+}
+
+
+class CheckpointManager:
+    """Parquet-backed stage checkpoints under ``base_dir/run_id/stage``."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str, config_hash: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.run_id = run_id
+        self.config_hash = config_hash
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.base_dir, self.run_id, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "_manifest.json")
+
+    def exists(self, stage: str) -> bool:
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return False
+        try:
+            with open(mp) as f:
+                manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return manifest.get("config_hash") == self.config_hash
+
+    def write(self, stage: str, df: DataFrame) -> DataFrame:
+        """Materialize a stage output; returns the re-read DataFrame so
+        downstream stages read the checkpoint (lineage truncation)."""
+        path = os.path.join(self._stage_dir(stage), "data")
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rows = out.count()
+        manifest = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "rows": rows,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "path": path,
+        }
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(manifest, f)
+        return out
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._stage_dir(stage), "data"))
+
+    def manifest(self, stage: str) -> dict:
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f)
+
+    def get_or_compute(self, stage: str, compute) -> DataFrame:
+        """Resume gate: skip ``compute`` if a valid checkpoint exists."""
+        if self.exists(stage):
+            return self.read(stage)
+        return self.write(stage, compute())

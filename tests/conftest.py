@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from autovalidate_backend_api_spark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"

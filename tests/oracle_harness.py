@@ -1,0 +1,55 @@
+"""Local replica of the driver's correctness gate: run a Spark query and
+its DuckDB oracle on the same parquet, compare row count + column names +
+order-insensitive value hash."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        try:
+            pdf[c] = pd.to_numeric(pdf[c], errors="raise").astype("float64")
+        except (ValueError, TypeError):
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = con.sql(sql).df()
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"row counts differ: {len(spark_pdf)} vs {len(duck_pdf)}"
+    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    for c in a.columns:
+        if a[c].dtype == "float64":
+            import numpy as np
+
+            if not np.allclose(a[c].fillna(-1e308), b[c].fillna(-1e308), rtol=0, atol=1e-9):
+                bad = (a[c].fillna(-1e308) - b[c].fillna(-1e308)).abs().idxmax()
+                return False, f"value mismatch col={c} row={bad}: {a[c][bad]} vs {b[c][bad]}"
+        else:
+            if not (a[c] == b[c]).all():
+                bad = (a[c] != b[c]).idxmax()
+                return False, f"value mismatch col={c} row={bad}: {a[c][bad]!r} vs {b[c][bad]!r}"
+    return True, "ok"

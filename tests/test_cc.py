@@ -1,0 +1,46 @@
+"""Connected components on known graphs (Stage D)."""
+
+from __future__ import annotations
+
+from autovalidate_backend_api_spark.operators.connected_components import (
+    connected_components,
+)
+
+
+def _run(spark, vertices, edges):
+    vdf = spark.createDataFrame([(v,) for v in vertices], "key string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    out = connected_components(vdf, edf)
+    return {r["key"]: r["cluster_rep"] for r in out.collect()}
+
+
+def test_star(spark):
+    got = _run(spark, list("abcd"), [("a", "b"), ("a", "c"), ("a", "d")])
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_chain(spark):
+    # worst case diameter: e-d-c-b-a
+    got = _run(spark, list("abcde"), [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a")])
+    assert set(got.values()) == {"a"}
+
+
+def test_two_components_and_isolated(spark):
+    got = _run(
+        spark, list("abcdefg"), [("a", "b"), ("b", "c"), ("e", "f")]
+    )
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["e"] == got["f"] == "e"
+    assert got["d"] == "d" and got["g"] == "g"
+
+
+def test_rep_is_lexicographic_min(spark):
+    got = _run(spark, ["z", "m", "a"], [("z", "m"), ("m", "a")])
+    assert set(got.values()) == {"a"}
+
+
+def test_input_order_invariance(spark):
+    edges = [("c", "b"), ("a", "c"), ("d", "a")]
+    got1 = _run(spark, list("abcd"), edges)
+    got2 = _run(spark, list("dcba"), list(reversed(edges)))
+    assert got1 == got2

@@ -1,0 +1,59 @@
+"""Parity of the pure-Python scorers with the reference's STORED eval
+output: /root/reference/evals/fuzzy_threshold_evals.ipynb cell 0 reports
+29/50 cases passing fuzz.ratio >= 75 (BASELINE.md row 'Fuzzy pass rate')."""
+
+from __future__ import annotations
+
+from autovalidate_backend_api_spark.functions.fuzz import (
+    ratio,
+    reference_scorer,
+    token_sort_ratio,
+)
+
+# the 50 (query, expected) cases verbatim from the eval notebook cell 0
+EVAL_CASES = [
+    ("bezxa", "Bezza"), ("bizza", "Bezza"), ("axla", "Axia"), ("aksia", "Axia"),
+    ("myvee", "Myvi"), ("sagha", "Saga"), ("alzza", "Alza"), ("attiva", "Ativa"),
+    ("vi0s", "Vios"), ("ciity", "City"), ("x-5o", "X50"), ("hilax", "Hilux"),
+    ("hiluks", "Hilux"), ("perodue", "Perodua"), ("perjdia", "Perodua"),
+    ("[roton", "Proton"), ("protoon", "Proton"), ("toyouta", "Toyota"),
+    ("hinda", "Honda"), ("neesun", "Nissan"), ("merc benz", "Mercedes-Benz"),
+    ("benz", "Mercedes-Benz"), ("bmww", "BMW"), ("bydd", "BYD"),
+    ("wolkswagen", "Volkswagen"), ("p495on", "Proton"), ("p4tons", "Proton"),
+    ("jpnda", "Honda"), ("protin", "Proton"), ("e-mas seven", "E-Mas 7"),
+    ("xseventy", "X70"), ("cx thirty", "CX-30"), ("x-7o", "X70"),
+    (",yvi", "Myvi"), ("sivic", "Civic"), ("t0y0ta", "Toyota"),
+    ("h0nda", "Honda"), ("v1os", "Vios"), ("nisan", "Nissan"),
+    ("merz", "Mercedes-Benz"), ("bemer", "BMW"), ("civik", "Civic"),
+    ("mercedesbenz", "Mercedes-Benz"), ("perod u a", "Perodua"),
+    ("hondacity", "City"), ("x fifty", "X50"), ("c x thirty", "CX-30"),
+    ("aqia", "Axia"), ("citu", "City"), ("hilud", "Hilux"),
+]
+
+
+def test_ratio_basics():
+    assert ratio("", "") == 100.0
+    assert ratio("abc", "abc") == 100.0
+    assert ratio("abc", "xyz") == 0.0
+    # indel: bezxa vs bezza shares LCS 'bezа' (4) → 200*4/10
+    assert ratio("bezxa", "bezza") == 80.0
+
+
+def test_token_sort_is_order_insensitive():
+    assert token_sort_ratio("benz merc", "merc benz") == 100.0
+
+
+def test_stored_notebook_pass_rate():
+    """Reproduce the stored output: 29/50 pass at threshold 75 with
+    fuzz.ratio on lowercased pairs."""
+    passes = sum(
+        1 for q, e in EVAL_CASES if ratio(q.lower(), e.lower()) >= 75
+    )
+    assert passes == 29, f"expected 29/50 (reference stored output), got {passes}"
+
+
+def test_scorer_selection_rule():
+    # search.py:110 — space or len>10 → token_sort_ratio
+    assert reference_scorer("merc benz") is token_sort_ratio
+    assert reference_scorer("wolkswagenx") is token_sort_ratio
+    assert reference_scorer("benz") is ratio

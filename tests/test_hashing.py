@@ -1,0 +1,111 @@
+"""Kernel properties: MinHash estimate error bound, LSH S-curve
+behavior, SimHash locality, winnowing containment guarantee."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from autovalidate_backend_api_spark.config import PINNED
+from autovalidate_backend_api_spark.functions import hashing as H
+
+A, B = H.minhash_params()
+
+
+def _tokens(n, prefix="t"):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_minhash_estimate_error_bound():
+    """128 perms ⇒ σ = sqrt(J(1-J)/128) ≈ 0.044 at J=0.5; assert 4σ."""
+    for overlap in (50, 100, 150, 190):
+        t1 = _tokens(200)
+        t2 = _tokens(overlap) + _tokens(200 - overlap, "x")
+        s1, s2 = H.token_shingle_hashes(t1), H.token_shingle_hashes(t2)
+        true_j = H.jaccard(s1.tolist(), s2.tolist())
+        est = float(
+            (H.minhash_signature(s1, A, B) == H.minhash_signature(s2, A, B)).mean()
+        )
+        assert abs(est - true_j) < 0.18, (overlap, true_j, est)
+
+
+def test_minhash_identical_inputs():
+    s = H.token_shingle_hashes(_tokens(50))
+    assert (H.minhash_signature(s, A, B) == H.minhash_signature(s, A, B)).all()
+
+
+def test_band_hash_no_cross_band_collisions():
+    sig = H.minhash_signature(H.token_shingle_hashes(_tokens(50)), A, B)
+    bh = H.band_hashes(sig, PINNED.lsh_bands, PINNED.lsh_rows)
+    assert bh.shape == (PINNED.lsh_bands,)
+    # constant signature slots would otherwise give equal band keys
+    const_sig = np.full(PINNED.num_perm, np.uint64(7), dtype=np.uint64)
+    cb = H.band_hashes(const_sig, PINNED.lsh_bands, PINNED.lsh_rows)
+    assert len(np.unique(cb)) == PINNED.lsh_bands
+
+
+@given(st.permutations(list(range(30))))
+@settings(max_examples=20, deadline=None)
+def test_token_shingles_line_reorder_keeps_most(perm):
+    """Reordering 3-line blocks keeps shingle overlap high — the
+    token_sort_ratio-space property the MinHash family relies on."""
+    lines = [" ".join(_tokens(6, f"l{i}_")) for i in range(10)]
+    base = " ".join(lines)
+    shuffled = " ".join(lines[i % 10] for i in perm[:10])
+    s1 = H.token_shingle_hashes(base.split(" "))
+    s2 = H.token_shingle_hashes(shuffled.split(" "))
+    # same multiset of lines ⇒ only boundary shingles differ
+    if sorted(perm[:10]) == list(range(10)):
+        assert H.jaccard(s1.tolist(), s2.tolist()) > 0.6
+
+
+def test_simhash_locality():
+    text = " ".join(_tokens(300))
+    noisy = text.replace("t5", "t5x").replace("t17", "tI7")
+    other = " ".join(_tokens(300, "z"))
+    f0 = H.simhash64(H.char_gram_hashes(text))
+    f1 = H.simhash64(H.char_gram_hashes(noisy))
+    f2 = H.simhash64(H.char_gram_hashes(other))
+    near = bin(f0 ^ f1).count("1")
+    far = bin(f0 ^ f2).count("1")
+    assert near <= PINNED.hamming_max < far
+
+
+def test_winnow_containment_guarantee():
+    """A ⊆ B ⇒ fingerprints(A) ⊆ fingerprints(B) (Stage C recall)."""
+    inner = "x = compute_value(alpha, beta) + gamma_offset * 2"
+    for pad in ("header line one\n", "zz " * 40):
+        outer = pad + inner + "\ntrailing content here"
+        wi = set(H.winnow_fingerprints(inner).tolist())
+        wo = set(H.winnow_fingerprints(outer).tolist())
+        assert wi <= wo
+
+
+def test_winnow_guarantee_on_long_shared_run():
+    w, k = PINNED.winnow_window, PINNED.winnow_gram_k
+    shared = "s" * 0 + "the quick brown fox jumps over lazy dogs"  # > w+k-1
+    a = "AAAA " + shared + " BBBB"
+    b = "CCCCCC " + shared + " DD"
+    fa = set(H.winnow_fingerprints(a).tolist())
+    fb = set(H.winnow_fingerprints(b).tolist())
+    assert fa & fb, "shared run ≥ w+k-1 must share a fingerprint"
+
+
+def test_empty_and_short_inputs():
+    assert H.token_shingle_hashes([]).size == 0
+    assert H.char_gram_hashes("").size == 0
+    assert H.winnow_fingerprints("").size == 0
+    assert H.simhash64(H.char_gram_hashes("")) == 0
+    assert H.token_shingle_hashes(["ab"]).size == 1  # shorter than k
+    sig = H.minhash_signature(np.empty(0, dtype=np.uint64), A, B)
+    assert (sig == H.EMPTY_SLOT).all()
+
+
+def test_determinism_across_processes():
+    """Hash params derive from the pinned seed only."""
+    a2, b2 = H.minhash_params()
+    assert (a2 == A).all() and (b2 == B).all()
+    assert H.hash_token("hello") == H.hash_token("hello")
+    assert (a2 % 2 == 1).all(), "multiply-shift multipliers must be odd"

@@ -1,0 +1,95 @@
+"""Byte-parity of the three normalize_text implementations (Python
+reference port, Spark native exprs, DuckDB oracle SQL). The normalizer
+defines shingle tokenization ⇒ cluster assignments (SURVEY.md F1)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from autovalidate_backend_api_spark.functions.normalize import (
+    normalize_text_py,
+    normalize_text_sql,
+)
+
+CASES = [
+    "Hello World",
+    "  merc-benz  ",
+    "-leading dash",
+    "trailing dash-",
+    "a–b—c_d/e",
+    "tabs\tand\nnewlines",
+    "MiXeD CaSe",
+    "",
+    "   ",
+    "perod u a",
+    "x-5o",
+    "a  b   c",
+    "/slash/path/file_name-v2",
+]
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=60
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def duck_norm(con, s: str) -> str:
+    return con.execute(
+        f"SELECT {normalize_text_sql('?')}", [s]
+    ).fetchone()[0]
+
+
+@pytest.mark.parametrize("s", CASES)
+def test_python_vs_duckdb(s, duck):
+    assert normalize_text_py(s) == duck_norm(duck, s)
+
+
+def test_python_vs_spark(spark):
+    from pyspark.sql import functions as F
+
+    from autovalidate_backend_api_spark.functions.normalize import normalize_text_col
+
+    df = spark.createDataFrame([(s,) for s in CASES if s], "text string")
+    got = {
+        r["text"]: r["norm"]
+        for r in df.select("text", normalize_text_col(F.col("text")).alias("norm")).collect()
+    }
+    for s in CASES:
+        if s:
+            assert got[s] == normalize_text_py(s), repr(s)
+
+
+@given(ascii_text)
+@settings(max_examples=200, deadline=None)
+def test_second_application_only_strips_edges(s):
+    """The reference fn is NOT idempotent: a leading/trailing dash
+    becomes an edge space that only a second pass strips (search.py
+    strips before dash-replacement, never after). We reproduce that
+    exactly, so: normalize(normalize(s)) == normalize(s).strip(' ')."""
+    n = normalize_text_py(s)
+    assert normalize_text_py(n) == n.strip(" ")
+
+
+@given(ascii_text)
+@settings(max_examples=100, deadline=None)
+def test_reference_semantics(s):
+    """Property: output is lowercase, no dashes/underscores/slashes,
+    single-space separated (matches search.py:14-21 postconditions)."""
+    n = normalize_text_py(s)
+    assert n == n.lower()
+    for ch in "-_/":
+        assert ch not in n
+    assert "  " not in n
+
+
+@given(ascii_text)
+@settings(max_examples=100, deadline=None)
+def test_python_vs_duckdb_property(duck, s):
+    assert normalize_text_py(s) == duck_norm(duck, s)

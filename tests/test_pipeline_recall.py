@@ -1,0 +1,112 @@
+"""The north_rule correctness gate: dup-pair recall ≥ 0.99 on the recast
+fixture corpus, zero false merges on negatives, the per-row sha256
+invariant, golden cluster-assignment parity, and checkpoint resume."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from autovalidate_backend_api_spark import corpus as C
+from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+N_BASE = 200
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark):
+    corpus_df = spark.createDataFrame(C.corpus_pandas(N_BASE))
+    tmp = tempfile.mkdtemp(prefix="av_ckpt_")
+    res = run_pipeline(spark, corpus_df, tmp, run_id="pytest")
+    clusters = {r["key"]: r["cluster_rep"] for r in res.clusters.collect()}
+    yield corpus_df, res, clusters, tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _key(repo, path, commit):
+    return f"{repo}\x01{path}\x01{commit}"
+
+
+def test_recall_gate(pipeline_run):
+    """north_rule: dup-pair recall ≥ 0.99 at the pinned config."""
+    _, _, clusters, _ = pipeline_run
+    exp = C.expected_pairs_pandas(N_BASE)
+    mm = exp[exp.must_match]
+    found = sum(
+        clusters[_key(p.src_repo, p.src_path, p.src_commit)]
+        == clusters[_key(p.dst_repo, p.dst_path, p.dst_commit)]
+        for p in mm.itertuples()
+    )
+    recall = found / len(mm)
+    assert recall >= 0.99, f"recall {recall:.4f} ({found}/{len(mm)})"
+
+
+def test_negative_precision_guard(pipeline_run):
+    """Files sharing only the license header must NOT cluster."""
+    _, _, clusters, _ = pipeline_run
+    exp = C.expected_pairs_pandas(N_BASE)
+    neg = exp[exp.dup_class == "negative"]
+    merged = sum(
+        clusters[_key(p.src_repo, p.src_path, p.src_commit)]
+        == clusters[_key(p.dst_repo, p.dst_path, p.dst_commit)]
+        for p in neg.itertuples()
+    )
+    assert merged == 0, f"{merged}/{len(neg)} negatives falsely merged"
+
+
+def test_sha_invariant(pipeline_run):
+    """Per-row invariant: sha256(content) equality ⇒ same cluster, always."""
+    corpus_df, _, clusters, _ = pipeline_run
+    import pyspark.sql.functions as F
+
+    rows = corpus_df.select(
+        F.concat_ws("\x01", "repo", "path", "commit").alias("key"),
+        F.sha2("content", 256).alias("sha"),
+    ).collect()
+    by_sha = {}
+    for r in rows:
+        by_sha.setdefault(r["sha"], []).append(r["key"])
+    for sha, keys in by_sha.items():
+        reps = {clusters[k] for k in keys}
+        assert len(reps) == 1, f"sha group split across clusters: {sha}"
+
+
+def test_golden_cluster_assignment(pipeline_run):
+    """Full cluster-assignment parity with the expected transitive
+    closure (representative = lexicographic min key)."""
+    _, _, clusters, _ = pipeline_run
+    expc = C.expected_clusters_pandas(N_BASE)
+    mismatches = [
+        (r.repo, r.path)
+        for r in expc.itertuples()
+        if clusters[_key(r.repo, r.path, r.commit)] != r.cluster_rep
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+
+
+def test_checkpoint_resume(spark, pipeline_run):
+    """Re-running the same (run_id, config) must skip completed stages
+    and reproduce identical clusters (north_rule resumability)."""
+    corpus_df, first, clusters, tmp = pipeline_run
+    res2 = run_pipeline(spark, corpus_df, tmp, run_id="pytest")
+    wall2 = {m["stage"]: m["wall_ms"] for m in res2.metrics}
+    # resumed run does no recomputation — every stage is a checkpoint read
+    assert sum(wall2.values()) < 15_000, f"resume recomputed: {wall2}"
+    clusters2 = {r["key"]: r["cluster_rep"] for r in res2.clusters.collect()}
+    assert clusters2 == clusters
+
+
+def test_config_change_invalidates_checkpoints(spark, pipeline_run):
+    import dataclasses
+
+    from autovalidate_backend_api_spark.config import PINNED
+    from autovalidate_backend_api_spark.sources.checkpoint import CheckpointManager
+
+    _, _, _, tmp = pipeline_run
+    other = dataclasses.replace(PINNED, jaccard_threshold=0.8)
+    mgr = CheckpointManager(spark, tmp, "pytest", other.config_hash())
+    assert not mgr.exists("stage_b_pairs")
+    mgr_same = CheckpointManager(spark, tmp, "pytest", PINNED.config_hash())
+    assert mgr_same.exists("stage_b_pairs")

@@ -1,0 +1,33 @@
+"""Every queries() entry with an oracle must match DuckDB exactly
+(the driver's CORRECTNESS gate, replicated locally at sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from autovalidate_backend_api_spark import entrypoints
+from tests.oracle_harness import compare, duck_connection
+
+QUERIES = entrypoints.queries()
+ORACLES = entrypoints.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    ok, msg = compare(df, duck, ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_query_runs_rows_only(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
