@@ -34,16 +34,46 @@ class PipelineConfig:
     char_minhash_seed: int = 1337     # char-gram MinHash family (dual scorer)
     # S-curve threshold (1/bands)^(1/rows) ≈ 0.66 < 0.75 verify threshold
     # ⇒ recall-safe over-generation (reference over-fetch pattern).
+    # Require ≥2 shared LSH buckets per candidate pair. At the verify
+    # threshold J=0.75 the pair-survival probability stays ≥0.9999
+    # (binomial over 32 bands, p=J^4=0.316), while background pairs at
+    # J≈0.2-0.3 — the candidate-explosion mass at web scale — drop 8-40×.
+    # This is the "over-fetch, then threshold" dial (search.py:117,125).
+    min_shared_buckets: int = 2
     # --- verification ----------------------------------------------------
     jaccard_threshold: float = 0.75   # token-space verify (ref threshold 75)
     hamming_max: int = 12             # char-space verify (≤12/64 bits)
     # --- Stage C (containment / substring) -------------------------------
-    winnow_gram_k: int = 16           # chars per winnowing gram (min overlap)
-    winnow_window: int = 8            # winnowing window (guarantee ≥ w+k-1)
+    winnow_gram_k: int = 16           # chars per winnowing gram
+    # Fingerprint density ≈ 2/(w+1) ≈ 1.5% at w=128 — the exploded
+    # fingerprint table is THE Stage-C shuffle cost, and the containment
+    # guarantee (contained doc shares fingerprints with its container)
+    # holds whenever the contained normalized text is ≥ w + k - 1 chars:
+    # every winnowing window of the contained doc is then also a window
+    # of the container, so fps(contained) ⊆ fps(container). That bound
+    # (143 chars) is the pipeline's containment contract — see
+    # contains_min_len below.
+    winnow_window: int = 128
+    winnow_probe_h: int = 8           # bottom-h probe sketch (candidate gen)
+
+    @property
+    def contains_min_len(self) -> int:
+        """Minimum contained-normalized-length the Stage-C guarantee
+        covers (winnowing window + gram - 1)."""
+        return self.winnow_window + self.winnow_gram_k - 1
     # --- skew / scale knobs ----------------------------------------------
     max_band_bucket: int = 200        # drop LSH buckets larger than this
-    max_fingerprint_bucket: int = 200  # same for winnowing buckets
+    # Winnowing buckets cap lower than band buckets: a contained doc
+    # shares ALL its ~100 fingerprints with its container, so it only
+    # needs ONE of them to live in a surviving bucket — common-phrase
+    # buckets (keyword runs) carry almost no containment signal.
+    max_fingerprint_bucket: int = 32
     shuffle_partitions: int = 32
+    # Count-first hot-key exclusion before collect_list (Stage B/C).
+    # Required at web scale: a degenerate bucket must be dropped from
+    # counts (map-side combinable) — never materialized as one task's
+    # collect_list. Costs one extra compact shuffle.
+    hot_key_precheck: bool = True
     salt_buckets: int = 8             # salt factor for hot band-hash keys
     cc_max_iterations: int = 25       # connected-components bound
 

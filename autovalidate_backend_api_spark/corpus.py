@@ -384,7 +384,8 @@ def pinned_verify(content_a: str, content_b: str, cfg: PipelineConfig = PINNED) 
     fb = H.simhash64(H.char_gram_hashes(nb, cfg.char_gram_k))
     ham = bin(fa ^ fb).count("1")
     small, big = (na, nb) if len(na) <= len(nb) else (nb, na)
-    contained = len(small) >= cfg.winnow_gram_k and small in big
+    # containment contract: guaranteed only ≥ winnowing window + k - 1
+    contained = len(small) >= cfg.contains_min_len and small in big
     return VerifyOutcome(jac, ham, contained)
 
 

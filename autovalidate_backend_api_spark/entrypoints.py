@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -290,7 +292,9 @@ def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
     )
-    sigs = with_signatures(docs, PINNED, include_winnow=False)
+    # persist: the signature UDF plan has 4 downstream consumers
+    # (bucket sizes, band join both sides, verify both sides)
+    sigs = with_signatures(docs, PINNED, include_winnow=False).persist()
     cands, _ = B.candidate_pairs(sigs, PINNED)
     verified = B.verify_pairs(cands, sigs, PINNED)
     a, b = F.col("src").cast("bigint"), F.col("dst").cast("bigint")
@@ -308,10 +312,9 @@ def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
     SELECT a.doc_id AS src, b.doc_id AS dst
     FROM n a JOIN n b ON a.doc_id < b.doc_id
-    WHERE len(least(a.norm, b.norm)) >= 0  -- keep planner simple
-      AND CASE WHEN len(a.norm) <= len(b.norm)
-               THEN len(a.norm) >= {PINNED.winnow_gram_k} AND contains(b.norm, a.norm)
-               ELSE len(b.norm) >= {PINNED.winnow_gram_k} AND contains(a.norm, b.norm)
+    WHERE CASE WHEN len(a.norm) <= len(b.norm)
+               THEN len(a.norm) >= {PINNED.contains_min_len} AND contains(b.norm, a.norm)
+               ELSE len(b.norm) >= {PINNED.contains_min_len} AND contains(a.norm, b.norm)
           END""",
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +324,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
     )
-    sigs = with_signatures(docs, PINNED, include_winnow=True)
+    sigs = with_signatures(docs, PINNED, include_winnow=True).persist()
     cands, _ = C.fingerprint_candidates(sigs, PINNED)
     confirmed = C.verify_containment(cands, sigs, PINNED)
     return confirmed.select(
@@ -614,6 +617,173 @@ def events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+# ANN scale path (approximate by design ⇒ rows-only driver check)
+@_register("ann_cosine_topk")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# embedding near-dup pairs (cosine threshold — Stage-B analog in vector space)
+@_register(
+    "embedding_neardup_pairs",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       SELECT a.vec_id AS src, b.vec_id AS dst,
+              round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+)
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# SimHash fingerprints (pandas-UDF signature ⇒ rows-only driver check)
+@_register("simhash_docs")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.signatures import with_signatures
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
+    )
+    sigs = with_signatures(docs, PINNED, include_winnow=False)
+    return sigs.select(
+        F.col("key").cast("bigint").alias("doc_id"), "simhash", "n_shingles"
+    )
+
+
+# sessionization (lag + cumulative sum window; gap 30 min)
+@_register(
+    "events_sessionize",
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+         SELECT user_id,
+                CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+         FROM (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events))
+       GROUP BY user_id""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.streaming.events import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ROLLUP aggregation (grouping-sets family; NULL groups labeled)
+@_register(
+    "lineitem_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              coalesce(l_linestatus, 'ALL') AS linestatus,
+              count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n")).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "n",
+    )
+
+
+# pivot (A4 group-stats analog) as portable CASE sums
+@_register(
+    "order_priority_pivot",
+    """SELECT o_orderstatus AS status,
+              sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+              sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_other
+       FROM orders GROUP BY o_orderstatus""",
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum(F.when(pr == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+        F.sum(F.when(pr == "2-HIGH", 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(~pr.isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).alias("n_other"),
+    )
+
+
+# F12 first-token extraction (ocr/main.py:188-191)
+@_register(
+    "part_first_token",
+    "SELECT p_partkey, split_part(p_name, ' ', 1) AS first_token FROM part",
+)
+def part_first_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", F.substring_index("p_name", " ", 1).alias("first_token")
+    )
+
+
+# rank window (A6 max-by-name analog, deterministic tiebreak)
+@_register(
+    "supplier_rank_in_nation",
+    """SELECT s_suppkey, s_nationkey, CAST(rnk AS INT) AS rnk FROM (
+         SELECT s_suppkey, s_nationkey,
+                rank() OVER (PARTITION BY s_nationkey
+                             ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+         FROM supplier)""",
+)
+def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return sup.select(
+        "s_suppkey", "s_nationkey", F.rank().over(w).cast("int").alias("rnk")
+    )
+
+
+# exact distinct count per group (A1)
+@_register(
+    "custkeys_per_segment",
+    """SELECT c_mktsegment AS segment, count(DISTINCT c_nationkey) AS n_nations,
+              count(*) AS n_customers
+       FROM customer GROUP BY c_mktsegment""",
+)
+def custkeys_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+# reference eval parity: the 50 typo cases scored with the reimplemented
+# fuzz.ratio must reproduce the notebook's stored 29/50 pass rate
+# (evals/fuzzy_threshold_evals.ipynb cell 0 output; BASELINE.md row
+# 'Fuzzy pass rate'). Oracle = the stored golden constants.
+@_register(
+    "typo_eval_passrate",
+    "SELECT CAST(29 AS BIGINT) AS passes, CAST(50 AS BIGINT) AS total",
+)
+def typo_eval_passrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.fuzz import EVAL_CASES, ratio
+
+    pdf = pandas.DataFrame(EVAL_CASES, columns=["query", "expected"])
+    df = spark.createDataFrame(pdf)
+
+    @F.pandas_udf("double")
+    def score(q: pandas.Series, e: pandas.Series) -> pandas.Series:
+        return pandas.Series([ratio(a.lower(), b.lower()) for a, b in zip(q, e)])
+
+    return df.select(score("query", "expected").alias("s")).agg(
+        F.sum((F.col("s") >= 75).cast("bigint")).alias("passes"),
+        F.count("*").alias("total"),
     )
 
 

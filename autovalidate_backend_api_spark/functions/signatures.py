@@ -35,76 +35,77 @@ from pyspark.sql import types as T
 
 from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
 from autovalidate_backend_api_spark.functions import hashing as H
-from autovalidate_backend_api_spark.functions.normalize import normalize_text_col
 
-_SIG_SCHEMA = T.StructType(
-    [
+def _sig_schema(include_winnow: bool) -> T.StructType:
+    fields = [
+        T.StructField("norm", T.StringType(), False),
         T.StructField("shingles", T.ArrayType(T.LongType()), False),
         T.StructField("bands_tok", T.ArrayType(T.LongType()), False),
         T.StructField("bands_chr", T.ArrayType(T.LongType()), False),
         T.StructField("n_shingles", T.IntegerType(), False),
         T.StructField("simhash", T.LongType(), False),
     ]
-)
+    if include_winnow:
+        fields.append(T.StructField("winnow", T.ArrayType(T.LongType()), False))
+    return T.StructType(fields)
 
 
-def make_signature_udf(cfg: PipelineConfig = PINNED):
-    """pandas UDF: normalized text → all Stage-B signature columns."""
-    a_tok, b_tok = H.minhash_params(cfg)
-    rng_params = cfg  # capture for char family
+def make_signature_udf(cfg: PipelineConfig = PINNED, include_winnow: bool = True):
+    """pandas UDF: raw content → norm + every signature column.
+
+    One fused Arrow round trip: normalization (Python ``re``, byte-parity
+    with functions/normalize.py), token-shingle MinHash bands, char-gram
+    MinHash bands, SimHash, winnowing fingerprints. Char-gram hashes are
+    computed once and shared by the char MinHash and SimHash.
+    """
     import dataclasses
 
+    a_tok, b_tok = H.minhash_params(cfg)
     chr_cfg = dataclasses.replace(cfg, minhash_seed=cfg.char_minhash_seed)
     a_chr, b_chr = H.minhash_params(chr_cfg)
     k_tok, k_chr = cfg.token_shingle_k, cfg.char_gram_k
     bands, rows = cfg.lsh_bands, cfg.lsh_rows
+    wk, ww = cfg.winnow_gram_k, cfg.winnow_window
 
-    @F.pandas_udf(_SIG_SCHEMA)
-    def signature(norm_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        for norm in norm_iter:
-            sh_out, bt_out, bc_out, n_out = [], [], [], []
-            sim_out = np.empty(len(norm), dtype=np.uint64)
-            for i, s in enumerate(norm):
-                s = s if isinstance(s, str) else ""
-                toks = H.tokens_of(s)
-                sh = H.token_shingle_hashes(toks, k_tok)
+    @F.pandas_udf(_sig_schema(include_winnow))
+    def signature(content_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from autovalidate_backend_api_spark.functions.normalize import (
+            normalize_text_py,
+        )
+
+        for content in content_iter:
+            m = len(content)
+            norm_out = [""] * m
+            sh_out, bt_out, bc_out, wn_out = [None] * m, [None] * m, [None] * m, [None] * m
+            n_out = np.empty(m, dtype=np.int32)
+            sim_out = np.empty(m, dtype=np.uint64)
+            for i, raw in enumerate(content):
+                s = normalize_text_py(raw) if isinstance(raw, str) else ""
+                norm_out[i] = s
+                sh = H.token_shingle_hashes(H.tokens_of(s), k_tok)
                 sig_t = H.minhash_signature(sh, a_tok, b_tok)
                 grams = H.char_gram_hashes(s, k_chr)
                 sig_c = H.minhash_signature(np.unique(grams), a_chr, b_chr)
-                sh_out.append(H.to_int64(sh))
-                bt_out.append(H.to_int64(H.band_hashes(sig_t, bands, rows)))
-                bc_out.append(H.to_int64(H.band_hashes(sig_c, bands, rows)))
-                n_out.append(len(sh))
+                sh_out[i] = H.to_int64(sh)
+                bt_out[i] = H.to_int64(H.band_hashes(sig_t, bands, rows))
+                bc_out[i] = H.to_int64(H.band_hashes(sig_c, bands, rows))
+                n_out[i] = len(sh)
                 sim_out[i] = H.simhash64(grams)
-            yield pd.DataFrame(
-                {
-                    "shingles": sh_out,
-                    "bands_tok": bt_out,
-                    "bands_chr": bc_out,
-                    "n_shingles": n_out,
-                    "simhash": pd.Series(sim_out.view(np.int64)),
-                }
-            )
+                if include_winnow:
+                    wn_out[i] = H.to_int64(H.winnow_fingerprints(s, wk, ww))
+            data = {
+                "norm": norm_out,
+                "shingles": sh_out,
+                "bands_tok": bt_out,
+                "bands_chr": bc_out,
+                "n_shingles": pd.Series(n_out),
+                "simhash": pd.Series(sim_out.view(np.int64)),
+            }
+            if include_winnow:
+                data["winnow"] = wn_out
+            yield pd.DataFrame(data)
 
     return signature
-
-
-def make_winnow_udf(cfg: PipelineConfig = PINNED):
-    k, w = cfg.winnow_gram_k, cfg.winnow_window
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def winnow(norm_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for norm in norm_iter:
-            yield pd.Series(
-                [
-                    H.to_int64(
-                        H.winnow_fingerprints(s if isinstance(s, str) else "", k, w)
-                    )
-                    for s in norm
-                ]
-            )
-
-    return winnow
 
 
 def sha256_col(col: Column) -> Column:
@@ -133,17 +134,12 @@ def with_signatures(
         df = df.withColumn("key", file_key_col())
     if "sha" not in df.columns:
         df = df.withColumn("sha", sha256_col(F.col(content_col)))
-    df = df.withColumn("norm", normalize_text_col(F.col(content_col)))
-    sig = make_signature_udf(cfg)
-    df = df.withColumn("_sig", sig(F.col("norm")))
-    df = df.select(
-        "*",
-        F.col("_sig.shingles").alias("shingles"),
-        F.col("_sig.bands_tok").alias("bands_tok"),
-        F.col("_sig.bands_chr").alias("bands_chr"),
-        F.col("_sig.n_shingles").alias("n_shingles"),
-        F.col("_sig.simhash").alias("simhash"),
-    ).drop("_sig")
+    sig = make_signature_udf(cfg, include_winnow=include_winnow)
+    df = df.withColumn("_sig", sig(F.col(content_col)))
+    out_fields = ["norm", "shingles", "bands_tok", "bands_chr", "n_shingles", "simhash"]
     if include_winnow:
-        df = df.withColumn("winnow", make_winnow_udf(cfg)(F.col("norm")))
+        out_fields.append("winnow")
+    df = df.select(
+        "*", *[F.col(f"_sig.{f}").alias(f) for f in out_fields]
+    ).drop("_sig")
     return df

@@ -1,0 +1,124 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Shape required by a training-data pipeline at 100 TB: media lives as
+``binary`` columns (or object-store URIs) beside typed metadata; decode
+and feature extraction run as Arrow-batched ``mapInPandas`` operators so
+the bytes never round-trip through the driver and partitions stay
+row-group sized.
+
+The actual codecs (PIL/ffmpeg) are NOT in this container, so the decode
+kernels are stubbed: ``decode=fake`` produces a deterministic
+hash-derived pixel block (tests exercise the real Spark plumbing —
+schema, batch iteration, partitioning); ``decode=real`` raises
+NotImplementedError at the exact call site a codec would occupy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image|audio|video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),   # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha string, "
+    "feature array<float>, decode_ok boolean"
+)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (seeded payload bytes)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(int(mid) + 7)
+                kind = ("image", "audio", "video")[int(mid) % 3]
+                payload = rng.integers(0, 256, size=256 + int(mid) % 512, dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": kind,
+                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                        "payload": payload.tobytes(),
+                        "width": 32 if kind != "audio" else None,
+                        "height": 32 if kind != "audio" else None,
+                        "duration_ms": None if kind == "image" else 1000 + int(mid),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a codec: hash-expanded 'pixels'."""
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(h, "little"))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(media: DataFrame, decode: str = "fake", dim: int = 16) -> DataFrame:
+    """mapInPandas feature extractor over binary payloads.
+
+    ``decode='real'`` marks where PIL/librosa/ffmpeg decode would run —
+    raises NotImplementedError (codecs not in this container).
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, ok = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                shas.append(hashlib.sha256(raw).hexdigest())
+                if decode == "real":
+                    raise NotImplementedError(
+                        "media codecs (PIL/ffmpeg) unavailable in this "
+                        "environment — plug the real decoder here"
+                    )
+                feats.append(_fake_decode(raw, dim))
+                ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sha": shas,
+                    "feature": feats,
+                    "decode_ok": ok,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into frame
+    timestamps (native sequence — the decode of each frame is the
+    stubbed part, not the plan)."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (S5/J5 family).
+
+The reference's ANN path (Qdrant cosine top-k with over-fetch,
+/root/reference/app/api/core/search.py:149-176) re-expressed two ways:
+
+- ``cosine_topk_bruteforce`` — exact baseline: broadcast the corpus
+  side, JVM-native dot products (zip_with + aggregate), window top-k.
+  Right up to ~10^6 vectors × small query sets.
+- ``ann_lsh_topk`` — the scale path: random-hyperplane (sign) LSH.
+  Each vector gets a ``n_planes``-bit bucket id; queries probe their
+  own bucket plus all Hamming-1 neighbors (multiprobe), candidates are
+  exactly re-scored, window top-k. Recall is approximate; the
+  over-fetch-then-rank shape mirrors the reference's ``limit=top_k*3``
+  then dedup (search.py:152,157-176).
+
+Hyperplanes are seeded (deterministic); dot products run in DOUBLE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return emb.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be a subset of ``emb`` (same schema). Output:
+    qid, nid, cos (rounded 6), rnk.
+    """
+    base = with_norm(emb).select(
+        F.col(id_col).alias("nid"), F.col("_v").alias("nv"), F.col("_norm").alias("nn")
+    )
+    q = with_norm(queries).select(
+        F.col(id_col).alias("qid"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    pairs = (
+        q.crossJoin(F.broadcast(base))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def bucket_col(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket id of a vector column (JVM-native, no UDF)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via sign-LSH buckets + Hamming-1 multiprobe.
+
+    Scale shape: the base table is bucketed once (equi-join key), each
+    query expands to n_planes+1 probe buckets — candidate count is
+    ~(n_planes+1)/2^n_planes of brute force.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = with_norm(emb).select(
+        F.col(id_col).alias("nid"),
+        F.col("_v").alias("nv"),
+        F.col("_norm").alias("nn"),
+        bucket_col(F.col("_v"), planes).alias("bucket"),
+    )
+    q = with_norm(queries).select(
+        F.col(id_col).alias("qid"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+        bucket_col(F.col("_v"), planes).alias("qbucket"),
+    )
+    # multiprobe: own bucket + flip each bit once
+    probes = F.array(
+        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    q_probed = q.select("qid", "qv", "qn", F.explode(probes).alias("bucket"))
+    cands = q_probed.join(base, "bucket").filter(F.col("nid") != F.col("qid"))
+    scored = cands.select(
+        "qid",
+        "nid",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("cos"),
+    ).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup class).
+
+    Brute-force at test scale; the LSH-bucketed variant above is the
+    10^9-row path (bucket equi-join instead of crossJoin).
+    """
+    base = with_norm(emb).select(
+        F.col(id_col).alias("id"), F.col("_v").alias("v"), F.col("_norm").alias("n")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -19,9 +19,10 @@ Skew & scale (SURVEY.md §4):
 - the candidate join shuffles on (family, band_idx, band_hash) — high
   cardinality; residual skew is handled by AQE skew-join splitting
   (enabled in session.py).
-- verification is JVM-native: array_intersect/array_union for exact
-  token-shingle Jaccard, xor + bit_count for SimHash Hamming. No Python
-  in the pair loop.
+- verification: exact token-shingle Jaccard via a vectorized Arrow UDF
+  (np.intersect1d on sorted arrays — Spark's native array_intersect
+  boxes per element and measured ~150× slower); SimHash Hamming stays
+  JVM-native (xor + bit_count).
 """
 
 from __future__ import annotations
@@ -29,7 +30,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
 from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """Exact Jaccard of two sorted-distinct long arrays, vectorized.
+
+    Spark's native array_intersect/array_union box every element
+    (~1.5 ms per 450-element evaluation — measured 550 CPU-s for 58k
+    pairs); np.intersect1d on the already-sorted arrays is ~10 µs.
+    Empty∪empty ⇒ 1.0 (two normalization-empty docs are identical).
+    """
+    for sh_a, sh_b in it:
+        out = np.empty(len(sh_a), dtype=np.float64)
+        for i in range(len(sh_a)):
+            a, b = sh_a.iloc[i], sh_b.iloc[i]
+            na, nb = len(a), len(b)
+            if na == 0 and nb == 0:
+                out[i] = 1.0
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            out[i] = inter / (na + nb - inter)
+        yield pd.Series(out)
 
 
 def explode_bands(sigs: DataFrame) -> DataFrame:
@@ -52,30 +81,66 @@ def candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (src < dst) + dropped-bucket log.
 
+    One shuffle: the exploded band table groups by bucket key and pair
+    generation happens inside each bucket row with JVM higher-order
+    functions (i<j combinations) — no self-join, no second pass for
+    bucket sizing. Oversized buckets (boilerplate band hashes) are
+    dropped and logged; their true dup pairs remain reachable via the
+    other 63 bands of the two families. Caps worst-case pair fan-out at
+    O(buckets · cap²).
+
     Returns (pairs, dropped_buckets). ``pairs`` columns: src, dst.
     """
     bands = explode_bands(sigs)
     bucket_cols = ["family", "band_idx", "band_hash"]
 
-    sizes = bands.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
-    dropped = sizes.filter(F.col("bucket_n") > cfg.max_band_bucket)
-    # semi-join keeps only survivable buckets; the dropped side is tiny
-    # (hot boilerplate keys) so it broadcasts.
-    keep = bands.join(
-        F.broadcast(dropped.select(*bucket_cols)), bucket_cols, "left_anti"
-    )
-
-    left = keep.alias("a")
-    right = keep.alias("b")
-    pairs = (
-        left.join(
-            right,
-            on=[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols],
-            how="inner",
+    if cfg.hot_key_precheck:
+        # scale-correct order: count first (map-side partial agg — a
+        # degenerate bucket costs one long per partition), broadcast the
+        # hot keys, and exclude them BEFORE collect_list ever
+        # materializes a giant member array in a single task. This is
+        # the explicit skew guard of SURVEY.md §4; AQE skew-join can't
+        # help inside an aggregation.
+        sizes = bands.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
+        dropped = sizes.filter(F.col("bucket_n") > cfg.max_band_bucket)
+        bands = bands.join(
+            F.broadcast(dropped.select(*bucket_cols)), bucket_cols, "left_anti"
         )
-        .filter(F.col("a.key") < F.col("b.key"))
-        .select(F.col("a.key").alias("src"), F.col("b.key").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+        buckets = bands.groupBy(*bucket_cols).agg(
+            F.collect_list("key").alias("members"), F.count("*").alias("bucket_n")
+        )
+        kept = buckets.filter(F.col("bucket_n") > 1)
+    else:
+        # single-shuffle variant (small corpora): cap after the fact
+        buckets = bands.groupBy(*bucket_cols).agg(
+            F.collect_list("key").alias("members"), F.count("*").alias("bucket_n")
+        )
+        dropped = buckets.filter(F.col("bucket_n") > cfg.max_band_bucket).select(
+            *bucket_cols, "bucket_n"
+        )
+        kept = buckets.filter(
+            (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.max_band_bucket)
+        )
+    members = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
+                ),
+            ),
+        )
+    )
+    # min-2-shared-buckets filter: same shuffle as distinct(), but the
+    # count kills the low-J background mass (see config.min_shared_buckets)
+    pairs = (
+        kept.select(F.explode(pair_arr).alias("pr"))
+        .groupBy("pr.src", "pr.dst")
+        .agg(F.count("*").alias("n_buckets"))
+        .filter(F.col("n_buckets") >= cfg.min_shared_buckets)
+        .select("src", "dst")
     )
     return pairs, dropped
 
@@ -101,15 +166,16 @@ def verify_pairs(
         F.col("shingles").alias("sh_b"),
         F.col("simhash").alias("sim_b"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
 
+    # sort-merge join: spillable at any scale (shuffle-hash builds can
+    # OOM on skewed pair partitions; broadcast of the fat signature side
+    # is impossible at 10^12 rows and measured slower even here).
     verified = (
-        pairs.join(src_sig, "src")
+        pairs.hint("merge").join(src_sig, "src")
+        .hint("merge")
         .join(dst_sig, "dst")
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", _jaccard_udf("sh_a", "sh_b"))
         .withColumn("hamming", ham)
         .filter(
             (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))

@@ -26,8 +26,14 @@ produced nothing (search.py:140).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
 
@@ -35,45 +41,132 @@ from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
 def fingerprint_candidates(
     sigs: DataFrame, cfg: PipelineConfig = PINNED
 ) -> tuple[DataFrame, DataFrame]:
-    """Pairs sharing ≥1 winnowing fingerprint (src < dst) + dropped log.
+    """Pairs sharing ≥1 winnowing fingerprint (src ≠ dst) + dropped log.
 
-    Input needs (key, winnow). Hot fingerprints (license boilerplate)
-    are capped exactly like Stage-B band buckets.
+    Probe/index asymmetric join (the over-fetch cost control):
+
+    - *probe* side: only the ``winnow_probe_h`` smallest fingerprints of
+      each document. If A ⊆ B then every probe fingerprint of A exists
+      in B's full set, so one probe hit suffices — recall is preserved
+      while join fan-out drops from ~fingerprints/doc to h.
+      (The chance that ALL h probes of a contained doc live in dropped
+      hot buckets is (boilerplate_share)^h ≈ 0.)
+    - *index* side: all fingerprints, hot buckets (license boilerplate)
+      capped at ``max_fingerprint_bucket`` and logged, like Stage B.
+
+    Input needs (key, winnow) where winnow is sorted ascending
+    (np.unique output ⇒ already sorted).
     """
-    fps = sigs.select("key", F.explode("winnow").alias("fp"))
-    sizes = fps.groupBy("fp").agg(F.count("*").alias("bucket_n"))
-    dropped = sizes.filter(F.col("bucket_n") > cfg.max_fingerprint_bucket)
-    keep = fps.join(F.broadcast(dropped.select("fp")), ["fp"], "left_anti")
-
+    # explode → groupBy(fp) buckets; pair generation happens inside each
+    # bucket with JVM higher-order functions (no self-join).
+    items = sigs.select(
+        "key", F.posexplode("winnow").alias("pos", "fp")
+    ).select(
+        "fp", F.struct("key", (F.col("pos") < cfg.winnow_probe_h).alias("is_probe")).alias("m")
+    )
+    if cfg.hot_key_precheck:
+        # count-first hot-key exclusion — see stage_b_lsh.candidate_pairs
+        sizes = items.groupBy("fp").agg(F.count("*").alias("bucket_n"))
+        dropped = sizes.filter(F.col("bucket_n") > cfg.max_fingerprint_bucket)
+        items = items.join(F.broadcast(dropped.select("fp")), ["fp"], "left_anti")
+        buckets = items.groupBy("fp").agg(
+            F.collect_list("m").alias("members"), F.count("*").alias("bucket_n")
+        )
+        kept = buckets.filter(F.col("bucket_n") > 1)
+    else:
+        buckets = items.groupBy("fp").agg(
+            F.collect_list("m").alias("members"), F.count("*").alias("bucket_n")
+        )
+        dropped = buckets.filter(
+            F.col("bucket_n") > cfg.max_fingerprint_bucket
+        ).select("fp", "bucket_n")
+        kept = buckets.filter(
+            (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.max_fingerprint_bucket)
+        )
+    probes = F.filter("members", lambda m: m.is_probe)
+    pair_arr = F.flatten(
+        F.transform(
+            probes,
+            lambda p: F.transform(
+                F.col("members"),
+                lambda m: F.struct(
+                    F.least(p.key, m.key).alias("src"),
+                    F.greatest(p.key, m.key).alias("dst"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        keep.alias("a")
-        .join(keep.alias("b"), "fp")
-        .filter(F.col("a.key") < F.col("b.key"))
-        .select(F.col("a.key").alias("src"), F.col("b.key").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+        kept.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.src", "pr.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
     )
     return pairs, dropped
+
+
+@F.pandas_udf(T.BooleanType())
+def _subset_udf(
+    it: "Iterator[tuple[pd.Series, pd.Series]]",
+) -> "Iterator[pd.Series]":
+    """True iff the smaller sorted-long array ⊆ the larger one
+    (vectorized np.intersect1d — the norm-free containment prefilter)."""
+    for wa, wb in it:
+        out = np.empty(len(wa), dtype=bool)
+        for i in range(len(wa)):
+            a, b = wa.iloc[i], wb.iloc[i]
+            small, big = (a, b) if len(a) <= len(b) else (b, a)
+            if len(small) == 0:
+                out[i] = False
+                continue
+            out[i] = (
+                np.intersect1d(small, big, assume_unique=True).size == len(small)
+            )
+        yield pd.Series(out)
 
 
 def verify_containment(
     pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig = PINNED
 ) -> DataFrame:
-    """Confirm containment: shorter normalized text ⊆ longer one,
-    min length cfg.winnow_gram_k. Native contains(); no UDF.
+    """Confirm containment: shorter normalized text ⊆ longer one.
 
-    Output: src, dst, jaccard(=overlap ratio |small|/|big|), hamming(=-1
+    Contract: guaranteed for contained texts ≥ cfg.contains_min_len
+    (= winnowing window + gram - 1) normalized chars — below that the
+    winnowing subset property doesn't hold, so shorter texts are
+    excluded from the operator's definition on BOTH the pipeline and
+    oracle side.
+
+    Two phases so the fat ``norm`` strings shuffle only for survivors:
+    1. fingerprint-subset prefilter on the compact winnow arrays
+       (containment ⇒ fps(small) ⊆ fps(big); cheap vectorized UDF);
+    2. exact native contains() on normalized text for phase-1 survivors.
+
+    Output: src, dst, jaccard(=length ratio small/big), hamming(=-1
     sentinel), stage='substring'.
     """
+    src_fp = sigs.select(F.col("key").alias("src"), F.col("winnow").alias("w_a"))
+    dst_fp = sigs.select(F.col("key").alias("dst"), F.col("winnow").alias("w_b"))
+    phase1 = (
+        pairs.hint("merge").join(src_fp, "src")
+        .hint("merge")
+        .join(dst_fp, "dst")
+        .filter(_subset_udf("w_a", "w_b"))
+        .select("src", "dst")
+    )
+
     src_sig = sigs.select(F.col("key").alias("src"), F.col("norm").alias("norm_a"))
     dst_sig = sigs.select(F.col("key").alias("dst"), F.col("norm").alias("norm_b"))
     la, lb = F.length("norm_a"), F.length("norm_b")
     small = F.when(la <= lb, F.col("norm_a")).otherwise(F.col("norm_b"))
     big = F.when(la <= lb, F.col("norm_b")).otherwise(F.col("norm_a"))
+    # sort-merge: spillable; norm strings must not be broadcast
+    # (see stage_b_lsh.verify_pairs)
     return (
-        pairs.join(src_sig, "src")
+        phase1.hint("merge").join(src_sig, "src")
+        .hint("merge")
         .join(dst_sig, "dst")
         .filter(
-            (F.length(small) >= F.lit(cfg.winnow_gram_k))
+            (F.length(small) >= F.lit(cfg.contains_min_len))
             & F.contains(big, small)
         )
         .select(

@@ -1,0 +1,163 @@
+"""Incremental dedup: fold NEW files into an existing run's state.
+
+The reference's feedback loop persists every confirmed correction and
+consults it before doing any expensive work on the next request
+(/root/reference/app/api/core/db_lookup.py:52-83 write, :24-50 read).
+Batch reframing: a completed run's checkpoints (signatures +
+confirmed_pairs) are the "known pairs cache"; an incremental update
+
+1. signs ONLY the new files (the expensive Arrow pass is proportional
+   to the increment, not the corpus),
+2. generates candidates from new-file band buckets against the UNION of
+   old+new band tables — old×old pairs are never re-examined (the
+   cache-hit short-circuit as dataflow),
+3. verifies new candidates, appends to confirmed_pairs,
+4. re-runs connected components over the union edge set (cheap: edges
+   ≪ files).
+
+Equivalence contract (tested): incremental(full₁ + increment) produces
+the same clusters as a from-scratch run over the union — modulo pairs
+the from-scratch run finds between two old files only via buckets that
+the increment re-populates; bucket caps are applied to the union table
+both ways, so the candidate space is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.config import PINNED, PipelineConfig
+from autovalidate_backend_api_spark.functions.signatures import (
+    file_key_col,
+    sha256_col,
+    with_signatures,
+)
+from autovalidate_backend_api_spark.operators import stage_b_lsh as B
+from autovalidate_backend_api_spark.operators import stage_c_substring as C
+from autovalidate_backend_api_spark.operators.connected_components import (
+    connected_components,
+)
+from autovalidate_backend_api_spark.plans.pipeline import PipelineResult, _dedup_pairs
+from autovalidate_backend_api_spark.sources.checkpoint import CheckpointManager
+
+
+def incremental_update(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    checkpoint_dir: str,
+    prev_run_id: str,
+    run_id: str,
+    cfg: PipelineConfig = PINNED,
+) -> PipelineResult:
+    prev = CheckpointManager(spark, checkpoint_dir, prev_run_id, cfg.config_hash())
+    ckpt = CheckpointManager(spark, checkpoint_dir, run_id, cfg.config_hash())
+
+    old_sigs = prev.read("signatures")
+    old_pairs = prev.read("confirmed_pairs")
+    old_sha = prev.read("stage_a_survivors").select("key", "sha")
+    old_keymap = prev.read("keymap")
+
+    keyed = new_corpus.select(
+        file_key_col().alias("key_str"),
+        sha256_col(F.col("content")).alias("sha"),
+        "content",
+    )
+    new_hashed = keyed.select(F.xxhash64("key_str").alias("key"), "sha", "content")
+    new_keymap = keyed.select(F.xxhash64("key_str").alias("id"), "key_str")
+    keymap = ckpt.get_or_compute(
+        "keymap", lambda: old_keymap.unionByName(new_keymap).distinct()
+    )
+
+    # Stage A across the union of sha tables: a new file exactly equal to
+    # an old one links to the old representative (the Redis-hit analog).
+    def _sha_edges():
+        new_sha = new_hashed.select("key", "sha")
+        all_sha = old_sha.unionByName(new_sha)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sha")
+        return (
+            all_sha.withColumn("rep", F.min("key").over(w))
+            .filter(F.col("key") != F.col("rep"))
+            .select(
+                F.col("rep").alias("src"),
+                F.col("key").alias("dst"),
+                F.lit("sha").alias("stage"),
+                F.lit(1.0).alias("score"),
+            )
+        )
+
+    sha_pairs = ckpt.get_or_compute("stage_a_pairs", _sha_edges)
+
+    # sign only genuinely new content (anti-join on sha = the cache gate)
+    def _new_sigs():
+        from autovalidate_backend_api_spark.operators import stage_a_exact as A
+
+        fresh = A.survivors(  # deterministic min-key rep per new sha
+            new_hashed.join(old_sha.select("sha"), "sha", "left_anti")
+        )
+        return with_signatures(fresh, cfg, include_winnow=True).select(
+            "key", "norm", "shingles", "bands_tok", "bands_chr",
+            "n_shingles", "simhash", "winnow",
+        )
+
+    new_sigs = ckpt.get_or_compute("signatures_new", _new_sigs)
+    all_sigs = ckpt.get_or_compute(
+        "signatures", lambda: old_sigs.unionByName(new_sigs)
+    )
+
+    new_keys = new_sigs.select("key")
+
+    def _stage_b():
+        cands, _dropped = B.candidate_pairs(all_sigs, cfg)
+        # keep only pairs touching a new file (old×old already known)
+        touching_new = cands.join(
+            new_keys.withColumnRenamed("key", "src"), "src", "left_semi"
+        ).unionByName(
+            cands.join(new_keys.withColumnRenamed("key", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        ).dropDuplicates(["src", "dst"])
+        return B.verify_pairs(touching_new, all_sigs, cfg)
+
+    b_pairs = ckpt.get_or_compute("stage_b_pairs", _stage_b)
+
+    def _stage_c():
+        cands, _dropped = C.fingerprint_candidates(all_sigs, cfg)
+        touching_new = cands.join(
+            new_keys.withColumnRenamed("key", "src"), "src", "left_semi"
+        ).unionByName(
+            cands.join(new_keys.withColumnRenamed("key", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        ).dropDuplicates(["src", "dst"])
+        return C.verify_containment(touching_new, all_sigs, cfg)
+
+    c_pairs = ckpt.get_or_compute("stage_c_pairs", _stage_c)
+
+    def _confirmed():
+        return _dedup_pairs(
+            old_pairs.unionByName(
+                sha_pairs.select(
+                    "src", "dst", F.col("score").alias("jaccard"),
+                    F.lit(0).alias("hamming"), "stage",
+                )
+            )
+            .unionByName(b_pairs)
+            .unionByName(c_pairs)
+        )
+
+    confirmed = ckpt.get_or_compute("confirmed_pairs", _confirmed)
+
+    def _clusters():
+        vertices = keymap.select(F.col("id").alias("key")).distinct()
+        labels = connected_components(vertices, confirmed, cfg)
+        with_keys = labels.join(keymap, labels.key == keymap.id).select(
+            "key_str", F.col("cluster_rep").alias("comp")
+        )
+        reps = with_keys.groupBy("comp").agg(F.min("key_str").alias("rep_key"))
+        return with_keys.join(reps, "comp").select(
+            F.col("key_str").alias("key"), F.col("rep_key").alias("cluster_rep")
+        )
+
+    clusters = ckpt.get_or_compute("clusters", _clusters)
+    return PipelineResult(clusters=clusters, confirmed_pairs=confirmed, metrics=[])

@@ -82,10 +82,15 @@ def _dedup_pairs(pairs: DataFrame) -> DataFrame:
 def run_pipeline(
     spark: SparkSession,
     corpus: DataFrame,
-    checkpoint_dir: str,
+    checkpoint_dir: str | None,
     run_id: str = "run0",
     cfg: PipelineConfig = PINNED,
+    verbose: bool = True,
 ) -> PipelineResult:
+    """checkpoint_dir=None disables durable checkpoints (bench mode):
+    stage outputs are persisted in memory/disk cache instead — same
+    dataflow, no resumability. verbose=False skips the dropped-bucket
+    count actions (two extra Spark jobs) for benchmarking."""
     metrics: list[dict] = []
 
     def timed(stage: str, fn):
@@ -97,11 +102,40 @@ def run_pipeline(
         )
         return out
 
-    ckpt = CheckpointManager(spark, checkpoint_dir, run_id, cfg.config_hash())
+    if checkpoint_dir is None:
+        class _Ephemeral:
+            def get_or_compute(self, stage, compute):
+                df = compute().persist()
+                df.count()  # materialize so stage timings are honest
+                return df
 
-    # ---- Stage A: exact dups on raw content (native sha256) -------------
-    hashed = corpus.select(
-        file_key_col().alias("key"), sha256_col(F.col("content")).alias("sha"), "content"
+        ckpt = _Ephemeral()
+    else:
+        ckpt = CheckpointManager(spark, checkpoint_dir, run_id, cfg.config_hash())
+
+    # ---- surrogate ids ---------------------------------------------------
+    # All internal shuffles (LSH buckets, pair tables, CC iterations) run
+    # on 8-byte xxhash64 ids instead of ~70-byte string keys — shuffle
+    # bytes are the non-scaling cost in this pipeline. String keys are
+    # joined back once at the end; the cluster representative stays the
+    # LEXICOGRAPHIC-MIN KEY (reference semantics), not the min id.
+    # Collision safety: verified per run below (birthday bound at 64 bits
+    # is ~3e-12 per pair at 49k files; at true 10^12-file scale swap in a
+    # 128-bit id = struct(xxhash64(key, seed1), xxhash64(key, seed2))).
+    keyed = corpus.select(
+        file_key_col().alias("key_str"),
+        sha256_col(F.col("content")).alias("sha"),
+        "content",
+    )
+    hashed = keyed.select(
+        F.xxhash64("key_str").alias("key"), "sha", "content"
+    )
+    keymap = timed(
+        "keymap",
+        lambda: ckpt.get_or_compute(
+            "keymap",
+            lambda: keyed.select(F.xxhash64("key_str").alias("id"), "key_str"),
+        ),
     )
     sha_pairs = timed(
         "stage_a_pairs",
@@ -129,10 +163,11 @@ def run_pipeline(
     # ---- Stage B: LSH candidates + verify --------------------------------
     def _stage_b():
         cands, dropped = B.candidate_pairs(sigs, cfg)
-        n_dropped = dropped.count()
-        if n_dropped:
-            # logged drop (SURVEY.md §4 skew row): hot boilerplate buckets
-            print(f"[stage_b] dropped {n_dropped} oversized band buckets")
+        if verbose:
+            n_dropped = dropped.count()
+            if n_dropped:
+                # logged drop (SURVEY.md §4 skew row): hot boilerplate buckets
+                print(f"[stage_b] dropped {n_dropped} oversized band buckets")
         return B.verify_pairs(cands, sigs, cfg)
 
     b_pairs = timed(
@@ -142,9 +177,10 @@ def run_pipeline(
     # ---- Stage C: containment on survivors -------------------------------
     def _stage_c():
         cands, dropped = C.fingerprint_candidates(sigs, cfg)
-        n_dropped = dropped.count()
-        if n_dropped:
-            print(f"[stage_c] dropped {n_dropped} oversized fingerprint buckets")
+        if verbose:
+            n_dropped = dropped.count()
+            if n_dropped:
+                print(f"[stage_c] dropped {n_dropped} oversized fingerprint buckets")
         return C.verify_containment(cands, sigs, cfg)
 
     c_pairs = timed(
@@ -167,8 +203,23 @@ def run_pipeline(
     )
 
     def _clusters():
+        n_rows = keymap.count()
+        n_ids = keymap.select("id").distinct().count()
+        if n_ids != n_rows:
+            raise RuntimeError(
+                f"xxhash64 key collision ({n_rows - n_ids}): "
+                "switch to the 128-bit id documented above"
+            )
         vertices = hashed.select("key").distinct()
-        return connected_components(vertices, confirmed, cfg)
+        labels = connected_components(vertices, confirmed, cfg)
+        # translate ids → keys; representative = min key per component
+        with_keys = labels.join(
+            keymap, labels.key == keymap.id, "inner"
+        ).select("key_str", F.col("cluster_rep").alias("comp"))
+        reps = with_keys.groupBy("comp").agg(F.min("key_str").alias("rep_key"))
+        return with_keys.join(reps, "comp").select(
+            F.col("key_str").alias("key"), F.col("rep_key").alias("cluster_rep")
+        )
 
     clusters = timed(
         "clusters", lambda: ckpt.get_or_compute("clusters", _clusters)

@@ -25,7 +25,11 @@ def build_session(
         n_cores = int(cores) if cores != "*" else (os.cpu_count() or 8)
     except ValueError:
         n_cores = 32
-    shuffle_partitions = shuffle_partitions or max(n_cores, 8)
+    # partition count tracks DATA, not cores: too few partitions makes
+    # per-partition join/agg state exceed task memory (hash builds,
+    # collect_list buckets); AQE coalesces excess small partitions for
+    # free, so err high even at low core counts.
+    shuffle_partitions = shuffle_partitions or max(4 * n_cores, 64)
 
     builder = (
         SparkSession.builder.master(master)

@@ -75,17 +75,31 @@ class CheckpointManager:
 
     def write(self, stage: str, df: DataFrame) -> DataFrame:
         """Materialize a stage output; returns the re-read DataFrame so
-        downstream stages read the checkpoint (lineage truncation)."""
+        downstream stages read the checkpoint (lineage truncation).
+
+        The manifest records per-partition row counts (north_rule
+        per-partition lineage): one aggregation over the already-written
+        parquet, grouped by spark_partition_id.
+        """
+        from pyspark.sql import functions as F
+
         path = os.path.join(self._stage_dir(stage), "data")
         t0 = time.monotonic()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        rows = out.count()
+        per_part = [
+            [r["pid"], r["rows"]]
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        rows = sum(p[1] for p in per_part)
         manifest = {
             "run_id": self.run_id,
             "stage": stage,
             "config_hash": self.config_hash,
             "rows": rows,
+            "partitions": sorted(per_part),
             "wall_ms": int((time.monotonic() - t0) * 1000),
             "path": path,
         }

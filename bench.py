@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set:
+- dedup_pipeline: the flagship Stage A→D near-dup pipeline over a
+  deterministic ~49k-file synthetic code corpus (files/sec reported in
+  the "extra" block — the north-rule throughput number).
+- gate queries (minhash LSH join, containment join, relational aggs,
+  window top-k, cosine top-k, hourly events) at the sf dir.
+
+A small warmup pipeline run executes first so JIT/codegen warmup isn't
+billed to the timed run (single-JVM local mode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+from autovalidate_backend_api_spark import corpus as corpus_gen  # noqa: E402
+from autovalidate_backend_api_spark import entrypoints  # noqa: E402
+from autovalidate_backend_api_spark.plans.pipeline import run_pipeline  # noqa: E402
+from autovalidate_backend_api_spark.session import build_session  # noqa: E402
+
+BENCH_N_BASE = int(os.environ.get("BENCH_N_BASE", "20000"))
+WARMUP_N_BASE = int(os.environ.get("BENCH_WARMUP_N_BASE", "1500"))
+
+GATE_QUERIES = [
+    "minhash_lsh_dedup_pairs",
+    "containment_pairs",
+    "lineitem_agg",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "cosine_topk",
+    "events_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    # Arrow-UDF stages co-schedule a JVM task thread AND a Python worker
+    # per task: at local[32] on a 32-vCPU host that's 2× oversubscription
+    # and the pipeline anti-scales. task.cpus=2 halves concurrent tasks
+    # so (JVM + Python) pairs fit the cores — the standard sizing for
+    # Python-UDF-heavy stages on real clusters too.
+    extra = {"spark.task.cpus": "2"} if int(cpus) >= 16 else {}
+    spark = build_session(app_name="bench", master=f"local[{cpus}]", extra_conf=extra)
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {"cpus": int(cpus), "n_base": BENCH_N_BASE}
+
+    # ---- warmup (not billed): JIT/codegen + python workers --------------
+    wcorpus = corpus_gen.corpus_spark(spark, WARMUP_N_BASE).persist()
+    wcorpus.count()
+    run_pipeline(spark, wcorpus, None, "warmup").clusters.count()
+    wcorpus.unpersist()
+
+    # ---- flagship: dedup pipeline throughput -----------------------------
+    corpus = corpus_gen.corpus_spark(spark, BENCH_N_BASE, num_partitions=128).persist()
+    n_files = corpus.count()
+    t0 = time.monotonic()
+    res = run_pipeline(spark, corpus, None, "bench")
+    n_clusters = res.clusters.select("cluster_rep").distinct().count()
+    wall = time.monotonic() - t0
+    timings["dedup_pipeline"] = round(wall, 3)
+    extra["n_files"] = n_files
+    extra["n_clusters"] = n_clusters
+    extra["files_per_sec"] = round(n_files / wall, 1)
+    extra["pipeline_stages_ms"] = {m["stage"]: m["wall_ms"] for m in res.metrics}
+
+    # ---- gate queries at sf_dir ------------------------------------------
+    queries = entrypoints.queries()
+    for name in GATE_QUERIES:
+        t0 = time.monotonic()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

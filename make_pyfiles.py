@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""Package the engine as a --py-files zip for spark-submit."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+PKG = "autovalidate_backend_api_spark"
+OUT = os.path.join(ROOT, "dist", "autovalidate_spark.zip")
+
+
+def main() -> None:
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with zipfile.ZipFile(OUT, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(os.path.join(ROOT, PKG)):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, ROOT))
+    print(OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the dedup pipeline (north-rule run mode).
+
+Packaging + launch:
+
+    python make_pyfiles.py                       # → dist/autovalidate_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/autovalidate_spark.zip \\
+        spark_submit_job.py \\
+        --corpus /path/to/corpus_parquet \\
+        --checkpoint-dir /path/to/ckpt --run-id run1 \\
+        [--synthetic-n-base 20000]
+
+On a real cluster pass --master spark://... / yarn / k8s; in this
+sandbox use --master 'local[N]'. The job reads the corpus table
+(repo,path,commit,lang,content), runs Stage A→D with durable
+checkpoints, and writes clusters + confirmed pairs + per-stage metrics
+under --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# --py-files puts the zip on sys.path automatically; this fallback makes
+# the script also runnable directly from the repo root.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", help="parquet path of the corpus table")
+    ap.add_argument("--synthetic-n-base", type=int, default=0,
+                    help="generate a deterministic synthetic corpus instead")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    from autovalidate_backend_api_spark import corpus as corpus_gen
+    from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+    if args.synthetic_n_base:
+        corpus = corpus_gen.corpus_spark(spark, args.synthetic_n_base)
+    elif args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+    else:
+        ap.error("need --corpus or --synthetic-n-base")
+
+    n_files = corpus.count()
+    t0 = time.monotonic()
+    res = run_pipeline(spark, corpus, args.checkpoint_dir, args.run_id)
+    n_clusters = res.clusters.select("cluster_rep").distinct().count()
+    wall = time.monotonic() - t0
+
+    if args.output:
+        res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+        res.confirmed_pairs.write.mode("overwrite").parquet(f"{args.output}/confirmed_pairs")
+
+    print(json.dumps({
+        "run_id": args.run_id, "files": n_files, "clusters": n_clusters,
+        "wall_sec": round(wall, 2), "files_per_sec": round(n_files / wall, 1),
+        "stages": {m["stage"]: m["wall_ms"] for m in res.metrics},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

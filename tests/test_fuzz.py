@@ -11,24 +11,7 @@ from autovalidate_backend_api_spark.functions.fuzz import (
 )
 
 # the 50 (query, expected) cases verbatim from the eval notebook cell 0
-EVAL_CASES = [
-    ("bezxa", "Bezza"), ("bizza", "Bezza"), ("axla", "Axia"), ("aksia", "Axia"),
-    ("myvee", "Myvi"), ("sagha", "Saga"), ("alzza", "Alza"), ("attiva", "Ativa"),
-    ("vi0s", "Vios"), ("ciity", "City"), ("x-5o", "X50"), ("hilax", "Hilux"),
-    ("hiluks", "Hilux"), ("perodue", "Perodua"), ("perjdia", "Perodua"),
-    ("[roton", "Proton"), ("protoon", "Proton"), ("toyouta", "Toyota"),
-    ("hinda", "Honda"), ("neesun", "Nissan"), ("merc benz", "Mercedes-Benz"),
-    ("benz", "Mercedes-Benz"), ("bmww", "BMW"), ("bydd", "BYD"),
-    ("wolkswagen", "Volkswagen"), ("p495on", "Proton"), ("p4tons", "Proton"),
-    ("jpnda", "Honda"), ("protin", "Proton"), ("e-mas seven", "E-Mas 7"),
-    ("xseventy", "X70"), ("cx thirty", "CX-30"), ("x-7o", "X70"),
-    (",yvi", "Myvi"), ("sivic", "Civic"), ("t0y0ta", "Toyota"),
-    ("h0nda", "Honda"), ("v1os", "Vios"), ("nisan", "Nissan"),
-    ("merz", "Mercedes-Benz"), ("bemer", "BMW"), ("civik", "Civic"),
-    ("mercedesbenz", "Mercedes-Benz"), ("perod u a", "Perodua"),
-    ("hondacity", "City"), ("x fifty", "X50"), ("c x thirty", "CX-30"),
-    ("aqia", "Axia"), ("citu", "City"), ("hilud", "Hilux"),
-]
+from autovalidate_backend_api_spark.functions.fuzz import EVAL_CASES  # noqa: E501
 
 
 def test_ratio_basics():

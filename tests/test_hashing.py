@@ -85,7 +85,9 @@ def test_winnow_containment_guarantee():
 
 def test_winnow_guarantee_on_long_shared_run():
     w, k = PINNED.winnow_window, PINNED.winnow_gram_k
-    shared = "s" * 0 + "the quick brown fox jumps over lazy dogs"  # > w+k-1
+    # guarantee holds for shared runs of length ≥ w + k - 1
+    shared = "the quick brown fox jumps over lazy dogs and then runs away " * 3
+    assert len(shared) >= w + k - 1
     a = "AAAA " + shared + " BBBB"
     b = "CCCCCC " + shared + " DD"
     fa = set(H.winnow_fingerprints(a).tolist())

@@ -1,0 +1,69 @@
+"""Incremental dedup equivalence: base run + increment == from-scratch
+run over the union (the reference's confirmed-corrections reuse loop,
+db_lookup.py:52-83, as batch dataflow)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from autovalidate_backend_api_spark import corpus as C
+from autovalidate_backend_api_spark.plans.incremental import incremental_update
+from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+N_BASE = 120
+
+
+@pytest.fixture(scope="module")
+def split_corpora(spark):
+    full = C.corpus_pandas(N_BASE, with_meta=True)
+    # split by base_id: first 80 bases = initial corpus, rest = increment
+    cols = ["repo", "path", "commit", "lang", "content"]
+    old = full[full.base_id < 80][cols]
+    new = full[full.base_id >= 80][cols]
+    return (
+        spark.createDataFrame(full[cols]),
+        spark.createDataFrame(old),
+        spark.createDataFrame(new),
+    )
+
+
+def test_incremental_matches_scratch(spark, split_corpora):
+    union_df, old_df, new_df = split_corpora
+    tmp = tempfile.mkdtemp(prefix="av_incr_")
+    try:
+        scratch = run_pipeline(spark, union_df, f"{tmp}/scratch", "full")
+        expected = {
+            r["key"]: r["cluster_rep"] for r in scratch.clusters.collect()
+        }
+        run_pipeline(spark, old_df, f"{tmp}/incr", "base")
+        incr = incremental_update(
+            spark, new_df, f"{tmp}/incr", prev_run_id="base", run_id="upd"
+        )
+        got = {r["key"]: r["cluster_rep"] for r in incr.clusters.collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_increment_signs_only_new_content(spark, split_corpora):
+    """The expensive signature pass must be proportional to the
+    increment (cache-gate semantics)."""
+    _, old_df, new_df = split_corpora
+    tmp = tempfile.mkdtemp(prefix="av_incr2_")
+    try:
+        run_pipeline(spark, old_df, tmp, "base")
+        incremental_update(spark, new_df, tmp, prev_run_id="base", run_id="upd")
+        from autovalidate_backend_api_spark.sources.checkpoint import (
+            CheckpointManager,
+        )
+        from autovalidate_backend_api_spark.config import PINNED
+
+        mgr = CheckpointManager(spark, tmp, "upd", PINNED.config_hash())
+        n_new_sigs = mgr.manifest("signatures_new")["rows"]
+        assert n_new_sigs <= new_df.count()
+        assert n_new_sigs > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,62 @@
+"""Multimodal plumbing: binary payload columns through mapInPandas —
+schema, determinism, batch iteration, and the real-decoder stub gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.multimodal.binary_ops import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+
+def test_media_schema_and_determinism(spark):
+    m1 = synthetic_media(spark, 32).collect()
+    m2 = synthetic_media(spark, 32).collect()
+    assert sorted(r["media_id"] for r in m1) == list(range(32))
+    by_id1 = {r["media_id"]: bytes(r["payload"]) for r in m1}
+    by_id2 = {r["media_id"]: bytes(r["payload"]) for r in m2}
+    assert by_id1 == by_id2, "payload generation must be deterministic"
+
+
+def test_feature_extraction_fake_decode(spark):
+    media = synthetic_media(spark, 32)
+    feats = extract_features(media, decode="fake", dim=16)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert r["decode_ok"] is True
+        assert len(r["sha"]) == 64
+        assert r["n_bytes"] > 0
+    # deterministic features
+    again = {r["media_id"]: list(r["feature"]) for r in extract_features(
+        synthetic_media(spark, 32), decode="fake", dim=16).collect()}
+    assert {r["media_id"]: list(r["feature"]) for r in rows} == again
+
+
+def test_real_decode_is_gated(spark):
+    media = synthetic_media(spark, 4)
+    with pytest.raises(Exception) as exc:
+        extract_features(media, decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, 30)
+    frames = frame_sample_plan(media, every_ms=250)
+    rows = frames.collect()
+    vids = {r["media_id"]: r["duration_ms"] for r in media.filter(F.col("kind") == "video").collect()}
+    assert rows, "expected video rows"
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    for mid, ts in by_id.items():
+        assert ts == sorted(ts)
+        assert ts[0] == 0 and ts[-1] <= vids[mid]

@@ -98,6 +98,18 @@ def test_checkpoint_resume(spark, pipeline_run):
     assert clusters2 == clusters
 
 
+def test_manifest_has_per_partition_lineage(spark, pipeline_run):
+    from autovalidate_backend_api_spark.config import PINNED
+    from autovalidate_backend_api_spark.sources.checkpoint import CheckpointManager
+
+    _, _, _, tmp = pipeline_run
+    mgr = CheckpointManager(spark, tmp, "pytest", PINNED.config_hash())
+    man = mgr.manifest("confirmed_pairs")
+    assert man["rows"] == sum(p[1] for p in man["partitions"])
+    assert len(man["partitions"]) >= 1
+    assert man["config_hash"] == PINNED.config_hash()
+
+
 def test_config_change_invalidates_checkpoints(spark, pipeline_run):
     import dataclasses
 

@@ -1,0 +1,43 @@
+"""Structured Streaming: the windowed agg runs as a real stream and
+matches its batch twin (unified-model invariant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.streaming.events import (
+    build_window_agg,
+    run_streaming_window_agg,
+    sessionize_batch,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in build_window_agg(batch).collect()
+    }
+    # FileStreamSource requires a directory of files
+    import shutil
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+    got_df = run_streaming_window_agg(spark, str(src))
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in got_df.collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_counts(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_batch(events)
+    rows = out.collect()
+    assert len(rows) == events.select("user_id").distinct().count()
+    assert all(r["n_sessions"] >= 1 for r in rows)
+    total_events = events.count()
+    assert sum(r["n_sessions"] for r in rows) <= total_events
