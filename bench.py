@@ -62,14 +62,14 @@ def main() -> None:
     # ---- warmup (not billed): JIT/codegen + python workers --------------
     wcorpus = corpus_gen.corpus_spark(spark, WARMUP_N_BASE).persist()
     wcorpus.count()
-    run_pipeline(spark, wcorpus, None, "warmup").clusters.count()
+    run_pipeline(spark, wcorpus, None, "warmup", verbose=False).clusters.count()
     wcorpus.unpersist()
 
     # ---- flagship: dedup pipeline throughput -----------------------------
     corpus = corpus_gen.corpus_spark(spark, BENCH_N_BASE, num_partitions=128).persist()
     n_files = corpus.count()
     t0 = time.monotonic()
-    res = run_pipeline(spark, corpus, None, "bench")
+    res = run_pipeline(spark, corpus, None, "bench", verbose=False)
     n_clusters = res.clusters.select("cluster_rep").distinct().count()
     wall = time.monotonic() - t0
     timings["dedup_pipeline"] = round(wall, 3)
