@@ -1,0 +1,32 @@
+"""Relational utility operators without engine-extension dependencies.
+
+The reference's row-upsert sink (Supabase ``upsert on_conflict=[key]``,
+/root/reference/app/api/app.py:193) maps to MERGE INTO on Iceberg/Delta;
+neither runtime jar is in this sandbox, so ``merge_upsert`` provides the
+standard anti-join + union emulation (last-writer-wins SCD1) that works
+on any DataFrame pair — and is exactly what MERGE compiles to for this
+pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, updates win.
+
+    Updates are deduplicated on the key first (deterministic: keep the
+    max over remaining columns — callers with a version column should
+    pre-rank instead).
+    """
+    others = [c for c in updates.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in others])
+    dedup_updates = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = target.join(dedup_updates.select(*key_cols), key_cols, "left_anti")
+    return kept.unionByName(dedup_updates)

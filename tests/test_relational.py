@@ -1,0 +1,28 @@
+"""merge_upsert: MERGE INTO emulation (S7 upsert sink)."""
+
+from __future__ import annotations
+
+from autovalidate_backend_api_spark.operators.relational import merge_upsert
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0), (2, "b3", 22.0)], "id long, name string, v double"
+    )
+    out = {r["id"]: (r["name"], r["v"]) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out[1] == ("a", 10.0)          # untouched
+    assert out[3] == ("c", 30.0)
+    assert out[4] == ("d", 40.0)          # inserted
+    assert out[2] == ("b3", 22.0)         # updated, deterministic winner
+    assert len(out) == 4
+
+
+def test_merge_upsert_idempotent(spark):
+    target = spark.createDataFrame([(1, "a")], "id long, name string")
+    updates = spark.createDataFrame([(1, "a2")], "id long, name string")
+    once = merge_upsert(target, updates, ["id"])
+    twice = merge_upsert(once, updates, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
