@@ -7,41 +7,55 @@ the cascade" behavior (app.py:340-347) becomes dataflow — only one
 representative per sha group continues to the (much more expensive)
 signature stages.
 
-Scale: groupBy(sha) is a single hash-shuffle on a high-cardinality,
-uniformly-distributed key — no skew by construction (sha256 of distinct
-contents is uniform; identical contents are exactly what we're grouping).
-Map-side partial aggregation applies. At 10^12 rows this stage removes
-the (often dominant) exact-copy mass before any shingling happens.
+Skew: sha256 of DISTINCT contents is uniform, but identical contents
+all share one digest — at web scale a single pathological content
+(empty file, license stub) can have 10^9 copies, which would pin one
+task under a window/unsalted-aggregate formulation. Representative
+selection therefore runs as a SALTED two-phase aggregation
+(min per (sha, salt) → min per sha; both phases map-side combinable),
+and group membership is recovered with an equi-join on sha — every
+operator here handles a degenerate sha group with bounded task state.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+SALT_BUCKETS = 16
+
+
+def exact_reps(hashed: DataFrame, salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+    """sha → (rep_key = min key, n = group size), salted two-phase.
+
+    Input needs columns (key, sha).
+    """
+    salt = (F.xxhash64("key") % salt_buckets).alias("_salt")
+    partial = hashed.groupBy("sha", salt).agg(
+        F.min("key").alias("_pmin"), F.count("*").alias("_pn")
+    )
+    return partial.groupBy("sha").agg(
+        F.min("_pmin").alias("rep_key"), F.sum("_pn").alias("n")
+    )
 
 
 def exact_groups(hashed: DataFrame) -> DataFrame:
-    """sha → group size + lexicographic-min representative key.
-
-    Input needs columns (key, sha). Output: FIXTURES.md `sha_groups`.
-    """
-    return hashed.groupBy("sha").agg(
-        F.count("*").alias("n"), F.min("key").alias("rep_key")
-    )
+    """sha → group size + lexicographic-min representative key
+    (FIXTURES.md `sha_groups`)."""
+    return exact_reps(hashed).select("sha", "n", "rep_key")
 
 
 def exact_pairs(hashed: DataFrame) -> DataFrame:
     """Star edges (rep_key → member) for every sha group with n > 1.
 
-    Emitting member↔representative (not all O(n²) member pairs) keeps the
-    edge count linear in group size; connected components restores the
-    full cluster. Columns: src, dst, stage, score.
+    Emitting member↔representative (not all O(n²) member pairs) keeps
+    the edge count linear in group size; connected components restores
+    the full cluster. Columns: src, dst, stage, score.
     """
-    w = Window.partitionBy("sha")
+    reps = exact_reps(hashed).filter(F.col("n") > 1)
     return (
-        hashed.withColumn("rep_key", F.min("key").over(w))
-        .withColumn("n", F.count("*").over(w))
-        .filter((F.col("n") > 1) & (F.col("key") != F.col("rep_key")))
+        hashed.join(reps, "sha")
+        .filter(F.col("key") != F.col("rep_key"))
         .select(
             F.col("rep_key").alias("src"),
             F.col("key").alias("dst"),
@@ -54,12 +68,12 @@ def exact_pairs(hashed: DataFrame) -> DataFrame:
 def survivors(hashed: DataFrame) -> DataFrame:
     """One representative row per distinct sha (the cascade gate P8).
 
-    Uses min(key)-per-sha so the choice is deterministic under any input
+    min(key)-per-sha keeps the choice deterministic under any input
     order — never rely on dropDuplicates' arbitrary pick (SURVEY.md A2).
     """
-    w = Window.partitionBy("sha").orderBy("key")
+    reps = exact_reps(hashed).select("sha", "rep_key")
     return (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        hashed.join(reps, "sha")
+        .filter(F.col("key") == F.col("rep_key"))
+        .drop("rep_key")
     )

@@ -72,16 +72,16 @@ def incremental_update(
     # Stage A across the union of sha tables: a new file exactly equal to
     # an old one links to the old representative (the Redis-hit analog).
     def _sha_edges():
+        from autovalidate_backend_api_spark.operators import stage_a_exact as A
+
         new_sha = new_hashed.select("key", "sha")
         all_sha = old_sha.unionByName(new_sha)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("sha")
+        reps = A.exact_reps(all_sha).filter(F.col("n") > 1)
         return (
-            all_sha.withColumn("rep", F.min("key").over(w))
-            .filter(F.col("key") != F.col("rep"))
+            all_sha.join(reps, "sha")
+            .filter(F.col("key") != F.col("rep_key"))
             .select(
-                F.col("rep").alias("src"),
+                F.col("rep_key").alias("src"),
                 F.col("key").alias("dst"),
                 F.lit("sha").alias("stage"),
                 F.lit(1.0).alias("score"),
