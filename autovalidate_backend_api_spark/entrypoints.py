@@ -21,8 +21,13 @@ from pyspark.sql import functions as F
 
 from autovalidate_backend_api_spark.config import PINNED
 from autovalidate_backend_api_spark.functions.normalize import (
+    _WS as _WS_CLASS,
+    clean_text_col,
+    clean_text_sql,
+    normalize_case_col,
     normalize_text_col,
     normalize_text_sql,
+    title_case_sql,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -204,14 +209,51 @@ def ocr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F2 normalize_case — Python str.title() parity (app.py:44-48), NOT initcap:
+# .title() uppercases any cased char following an UNCASED char (digits,
+# apostrophes, underscores all reset): "don's 3rd x_y" → "Don'S 3Rd X_Y".
+# Shared impls in functions/normalize.py; Python parity pinned in
+# tests/test_normalize.py (ASCII contract; corpus is all-ASCII).
+_STRIPPED_TEXT_SQL = f"regexp_replace(text, '^{_WS_CLASS}+|{_WS_CLASS}+$', '', 'g')"
+
+
+@_register(
+    "normalize_case_docs",
+    f"SELECT doc_id, {title_case_sql(_STRIPPED_TEXT_SQL)} AS title_norm FROM documents",
+)
+def normalize_case_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_case_col(F.col("text")).alias("title_norm"))
+
+
+# F3 clean_text — OCR validator variant (ocr/main.py:345-353):
+# strip → collapse whitespace → drop chars outside [\w\s.-] → upper.
+# The reference does NOT re-collapse after char removal, so "a , b" →
+# "A  B" (double space) — reproduced byte-exactly.
+@_register(
+    "clean_text_docs",
+    f"SELECT doc_id, {clean_text_sql('text')} AS clean FROM documents",
+)
+def clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text_col(F.col("text")).alias("clean"))
+
+
 # ---------------------------------------------------------------------------
 # §2.3 similarity joins over `documents` (the core operator family)
 # ---------------------------------------------------------------------------
 
+# Shared shingle contract (matches functions/hashing.py:token_shingle_hashes):
+# ≥3 tokens → distinct 3-token shingles; 1-2 tokens → distinct single
+# tokens (short-doc fallback); empty normalized text → NO shingles (such
+# docs are exact dups of each other — Stage A territory, excluded here).
 _SHINGLES_SQL = f"""
   WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
   sh AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
-         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i)),
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i)
+         WHERE len(t) >= 3
+         UNION ALL
+         SELECT doc_id, unnest(t) AS s FROM toks WHERE len(t) < 3 AND t != ['']),
   d AS (SELECT DISTINCT doc_id, s FROM sh),
   cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
   inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS ni
@@ -220,30 +262,31 @@ _SHINGLES_SQL = f"""
 
 
 def _shingle_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst, jaccard) for all doc pairs sharing ≥1 3-token shingle.
+    """(src, dst, jaccard) for all doc pairs sharing ≥1 shingle.
 
     Inverted-index similarity join (J2 reframing): explode distinct
     shingles → equi-join on shingle → per-pair intersection counts →
-    Jaccard = ni / (na + nb - ni). Never a cross join.
+    Jaccard = ni / (na + nb - ni). Never a cross join. Shingle contract
+    identical to _SHINGLES_SQL (3-grams, single-token fallback for
+    sub-3-token docs, empty docs excluded).
     """
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(normalize_text_col(F.col("text")), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1)))
-    sh = (
-        docs.select("doc_id", toks.alias("t"), idx.alias("idx"))
-        .select("doc_id", "t", F.explode("idx").alias("i"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("t", F.col("i") + 1),
-                F.element_at("t", F.col("i") + 2),
-                F.element_at("t", F.col("i") + 3),
-            ).alias("s"),
-        )
-        .distinct()
+    norm = normalize_text_col(F.col("text"))
+    base = docs.select("doc_id", F.split(norm, " ").alias("t"), F.length(norm).alias("nlen"))
+    t = F.col("t")
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + F.lit(1)), F.element_at(t, i + F.lit(2))
+        ),
     )
+    sh_arr = (
+        F.when(n >= 3, grams)
+        .when(F.col("nlen") > 0, t)
+        .otherwise(F.array().cast("array<string>"))
+    )
+    sh = base.select("doc_id", F.explode(sh_arr).alias("s")).distinct()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -702,9 +745,9 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "order_priority_pivot",
     """SELECT o_orderstatus AS status,
-              sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-              sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_other
+              CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+              CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
        FROM orders GROUP BY o_orderstatus""",
 )
 def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,3 +60,77 @@ def normalize_text_py(s: str) -> str:
 def normalize_case_py(s: str) -> str:
     """Reference normalize_case (/root/reference/app/api/app.py:44-48)."""
     return s.strip().title() if isinstance(s, str) else s
+
+
+# --- F2: Python str.title() parity (NOT initcap) ---------------------------
+# .title() uppercases any cased char following an UNCASED char — digits,
+# apostrophes and underscores all reset capitalization ("don's 3rd x_y" →
+# "Don'S 3Rd X_Y"), where initcap only splits on whitespace. Char-wise
+# indexed transform; ASCII contract (cased = [a-zA-Z]); parity with
+# Python pinned in tests/test_normalize.py.
+
+_STRIP = f"^{_WS}+|{_WS}+$"
+
+
+def title_case_col(col: Column) -> Column:
+    """Spark-native Python-title() of an (already stripped) string col."""
+    cs = F.split(col, "")
+
+    def is_alpha(p):
+        return ((p >= F.lit("a")) & (p <= F.lit("z"))) | (
+            (p >= F.lit("A")) & (p <= F.lit("Z"))
+        )
+
+    titled = F.transform(
+        cs,
+        lambda x, i: F.when(
+            (i == F.lit(0)) | ~is_alpha(F.element_at(cs, i)), F.upper(x)
+        ).otherwise(F.lower(x)),
+    )
+    return F.array_join(titled, "")
+
+
+def title_case_sql(expr: str) -> str:
+    """DuckDB SQL computing Python-title() of a string expression."""
+    return (
+        f"array_to_string(list_transform(string_split({expr}, ''), (x, i) -> "
+        "CASE WHEN i = 1 OR NOT ((string_split(" + expr + ", '')[i-1] BETWEEN 'a' AND 'z') "
+        "OR (string_split(" + expr + ", '')[i-1] BETWEEN 'A' AND 'Z')) "
+        "THEN upper(x) ELSE lower(x) END), '')"
+    )
+
+
+def normalize_case_col(col: Column) -> Column:
+    """F2 normalize_case: strip → title (app.py:44-48 parity)."""
+    return title_case_col(F.regexp_replace(col, _STRIP, ""))
+
+
+# --- F3: clean_text, OCR validator variant (ocr/main.py:345-353) -----------
+# strip → collapse whitespace → drop chars outside [\w\s.-] → upper.
+# The reference does NOT re-collapse after char removal, so "a , b" →
+# "A  B" (double space) — reproduced byte-exactly.
+
+_CLEAN_DROP = "[^a-zA-Z0-9_ .-]"
+
+
+def clean_text_py(s: str) -> str:
+    """Pure-Python reference (ocr/main.py:345-353, ASCII classes)."""
+    if not s:
+        return ""
+    cleaned = re.sub(r"[ \t\n\r\f\x0b]+", " ", re.sub(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$", "", s))
+    cleaned = re.sub(r"[^a-zA-Z0-9_ .\-]", "", cleaned)
+    return cleaned.upper() if cleaned else ""
+
+
+def clean_text_col(col: Column) -> Column:
+    stripped = F.regexp_replace(col, _STRIP, "")
+    collapsed = F.regexp_replace(stripped, f"{_WS}+", " ")
+    return F.upper(F.regexp_replace(collapsed, _CLEAN_DROP, ""))
+
+
+def clean_text_sql(expr: str) -> str:
+    return (
+        "upper(regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '{_STRIP}', '', 'g'), '{_WS}+', ' ', 'g'), "
+        f"'{_CLEAN_DROP}', '', 'g'))"
+    )

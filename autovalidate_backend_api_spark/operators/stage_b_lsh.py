@@ -62,7 +62,15 @@ def _jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Serie
 
 
 def explode_bands(sigs: DataFrame) -> DataFrame:
-    """(key, family, band_idx, band_hash) — one row per band per family."""
+    """(key, family, band_idx, band_hash) — one row per band per family.
+
+    Zero-shingle docs (empty normalized content) are excluded: their
+    sentinel signatures would LSH-match every other empty doc, but empty
+    docs are byte-identical after normalization — Stage A exact-dedup
+    territory, not near-dup candidates (keeps Spark aligned with the
+    shingle-pair oracles, which generate no shingles for them).
+    """
+    sigs = sigs.filter(F.col("n_shingles") > 0)
     tok = sigs.select(
         "key",
         F.lit("tok").alias("family"),

@@ -203,11 +203,22 @@ def run_pipeline(
     )
 
     def _clusters():
-        n_rows = keymap.count()
-        n_ids = keymap.select("id").distinct().count()
-        if n_ids != n_rows:
+        # One aggregation distinguishes duplicate-input keys from genuine
+        # xxhash64 collisions (a corpus with repeated (repo,path,commit)
+        # rows is an input error, not a hash failure).
+        chk = keymap.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("key_str").alias("n_keys"),
+            F.countDistinct("id").alias("n_ids"),
+        ).collect()[0]
+        if chk["n_keys"] != chk["n_rows"]:
             raise RuntimeError(
-                f"xxhash64 key collision ({n_rows - n_ids}): "
+                f"duplicate corpus keys ({chk['n_rows'] - chk['n_keys']}): "
+                "(repo, path, commit) must be unique per corpus row"
+            )
+        if chk["n_ids"] != chk["n_keys"]:
+            raise RuntimeError(
+                f"xxhash64 key collision ({chk['n_keys'] - chk['n_ids']}): "
                 "switch to the 128-bit id documented above"
             )
         vertices = hashed.select("key").distinct()

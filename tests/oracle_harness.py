@@ -21,6 +21,18 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _dtype_class(dtype) -> str:
+    """int / float / other class of a pandas dtype — the driver's value
+    hash stringifies values, so an int64 3 vs float64 3.0 mismatch is a
+    driver FAIL. The local gate must distinguish the same classes."""
+    kind = getattr(dtype, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    return "other"
+
+
 def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
@@ -40,6 +52,14 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
         return False, f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row counts differ: {len(spark_pdf)} vs {len(duck_pdf)}"
+    # dtype-class strictness BEFORE the float64 canonicalization: the real
+    # driver hashes stringified values, so DuckDB HUGEINT→float64 ('3.0')
+    # vs Spark bigint ('3') fails there — reproduce that failure locally
+    # (VERDICT r1 "What's wrong" #2).
+    for c in sorted(spark_pdf.columns):
+        sc, dc = _dtype_class(spark_pdf[c].dtype), _dtype_class(duck_pdf[c].dtype)
+        if sc != dc:
+            return False, f"dtype class mismatch col={c}: spark={spark_pdf[c].dtype} vs oracle={duck_pdf[c].dtype}"
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
     for c in a.columns:
         if a[c].dtype == "float64":

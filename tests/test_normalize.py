@@ -93,3 +93,106 @@ def test_reference_semantics(s):
 @settings(max_examples=100, deadline=None)
 def test_python_vs_duckdb_property(duck, s):
     assert normalize_text_py(s) == duck_norm(duck, s)
+
+
+# --- F2/F3: title-case + clean_text parity (VERDICT r1 next-round #9) ------
+
+TITLE_CASES = [
+    "don's kitchen",
+    "3rd x_y z",
+    "  leading ws",
+    "ALL CAPS",
+    "a1b2c3",
+    "under_score_case",
+    "dash-separated-words",
+    "dots.and.more",
+    "",
+    "x",
+    "tabs\tseparate\twords",
+    "mIxEd 42nd st. o'brien",
+]
+
+
+@pytest.mark.parametrize("s", TITLE_CASES)
+def test_title_python_vs_duckdb(s, duck):
+    """DuckDB title_case_sql == Python str.title() on stripped ASCII."""
+    from autovalidate_backend_api_spark.functions.normalize import title_case_sql
+
+    v = s.strip()
+    got = duck.execute(f"SELECT {title_case_sql('?')}", [v, v, v]).fetchone()[0]
+    assert got == v.title(), repr(s)
+
+
+@given(ascii_text)
+@settings(max_examples=200, deadline=None)
+def test_title_python_vs_duckdb_property(duck, s):
+    from autovalidate_backend_api_spark.functions.normalize import title_case_sql
+
+    v = s.strip()
+    got = duck.execute(f"SELECT {title_case_sql('?')}", [v, v, v]).fetchone()[0]
+    assert got == v.title(), repr(s)
+
+
+def test_title_python_vs_spark(spark):
+    from pyspark.sql import functions as F
+
+    from autovalidate_backend_api_spark.functions.normalize import (
+        normalize_case_col,
+        normalize_case_py,
+    )
+
+    df = spark.createDataFrame([(s,) for s in TITLE_CASES if s], "text string")
+    got = {
+        r["text"]: r["t"]
+        for r in df.select("text", normalize_case_col(F.col("text")).alias("t")).collect()
+    }
+    for s in TITLE_CASES:
+        if s:
+            assert got[s] == normalize_case_py(s), repr(s)
+
+
+CLEAN_CASES = [
+    "abc-1234 (xyz)",
+    "  Weird,, chars!! here??  ",
+    "dots.kept-dashes_kept",
+    "a , b",
+    "",
+    "#$%^&*",
+    "tabs\tand\nnewlines collapse",
+]
+
+
+@pytest.mark.parametrize("s", CLEAN_CASES)
+def test_clean_python_vs_duckdb(s, duck):
+    from autovalidate_backend_api_spark.functions.normalize import (
+        clean_text_py,
+        clean_text_sql,
+    )
+
+    got = duck.execute(f"SELECT {clean_text_sql('?')}", [s]).fetchone()[0]
+    assert got == clean_text_py(s), repr(s)
+
+
+def test_clean_python_vs_spark(spark):
+    from pyspark.sql import functions as F
+
+    from autovalidate_backend_api_spark.functions.normalize import (
+        clean_text_col,
+        clean_text_py,
+    )
+
+    df = spark.createDataFrame([(s,) for s in CLEAN_CASES if s], "text string")
+    got = {
+        r["text"]: r["c"]
+        for r in df.select("text", clean_text_col(F.col("text")).alias("c")).collect()
+    }
+    for s in CLEAN_CASES:
+        if s:
+            assert got[s] == clean_text_py(s), repr(s)
+
+
+def test_clean_reference_double_space_preserved():
+    """Reference does not re-collapse after char removal: 'a , b' → 'A  B'."""
+    from autovalidate_backend_api_spark.functions.normalize import clean_text_py
+
+    assert clean_text_py("a , b") == "A  B"
