@@ -663,8 +663,44 @@ def events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ANN scale path (approximate by design ⇒ rows-only driver check)
-@_register("ann_cosine_topk")
+# ANN scale path. The algorithm is deterministic given the seeded
+# hyperplanes (similarity.py:_hyperplanes, seed=42), so the oracle
+# REPRODUCES it exactly in SQL — bucket ids from the same plane literals,
+# the same Hamming-1 multiprobe set, exact re-score, window top-k. This
+# gates the LSH plumbing itself (bucketing, probe expansion, dedup,
+# ranking); recall vs brute force is measured separately in
+# tests/test_similarity.py (planted-neighbor fixture).
+def _ann_oracle_sql(k: int = 5, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    from autovalidate_backend_api_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    # repr() round-trips doubles exactly; Spark's F.lit uses the same value
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    probe_masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(n_planes)])
+    return f"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                   ({bucket_terms}) AS bucket
+            FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
+            FROM b WHERE vec_id < 20),
+      probes AS (SELECT qid, qv, qn, xor(qbucket, m) AS bucket
+                 FROM q, (SELECT unnest([{probe_masks}]) AS m)),
+      cands AS (SELECT DISTINCT p.qid, bb.vec_id AS nid,
+                       round(list_dot_product(p.qv, bb.v) / (p.qn * bb.nrm), 6) AS cos
+                FROM probes p JOIN b bb USING (bucket)
+                WHERE bb.vec_id != p.qid)
+      SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM cands) WHERE rnk <= {k}"""
+
+
+@_register("ann_cosine_topk", _ann_oracle_sql())
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autovalidate_backend_api_spark.operators.similarity import ann_lsh_topk
 
@@ -691,9 +727,60 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-# SimHash fingerprints (pandas-UDF signature ⇒ rows-only driver check)
-@_register("simhash_docs")
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# SimHash gate (VERDICT r1 next-round #4). SimHash values aren't
+# SQL-reproducible (blake2b/splitmix64 hash family), but their defining
+# INVARIANTS are: (a) the fingerprint is a pure function of normalized
+# content — byte-identical docs get bit-identical simhash, i.e. hamming 0;
+# (b) shingle counts are SQL-derivable. The query doubles the corpus with
+# re-keyed copies (forced into different Arrow batches by repartition) so
+# every norm group has ≥2 rows, then counts determinism violations —
+# oracle-checkable constants. Near-dup hamming ≤ 12 behavior is pinned on
+# fixture variants in tests/test_pipeline_recall.py.
+@_register(
+    "simhash_selfcheck",
+    f"""WITH n AS (SELECT {_NORM_SQL} AS norm FROM documents),
+        g AS (SELECT norm, 2 * count(*) AS c FROM n GROUP BY norm)
+        SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_exact_pairs,
+               CAST(0 AS BIGINT) AS n_simhash_mismatch_groups
+        FROM g""",
+)
+def simhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.signatures import with_signatures
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
+    )
+    doubled = docs.unionByName(
+        docs.select(
+            F.concat(F.lit("copy_"), F.col("key")).alias("key"), "content"
+        )
+    ).repartition(16, "key")
+    sigs = with_signatures(doubled, PINNED, include_winnow=False)
+    g = sigs.groupBy("norm").agg(
+        F.count("*").alias("c"), F.countDistinct("simhash").alias("nsim")
+    )
+    return g.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias("n_exact_pairs"),
+        F.sum((F.col("nsim") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_simhash_mismatch_groups"),
+    )
+
+
+# signature UDF shingle-set cardinality vs the SQL shingle contract —
+# gates the Arrow-side shingle computation (hash-set size == distinct
+# string-shingle count, modulo 64-bit collisions) including the
+# single-token fallback and the empty-doc zero case.
+@_register(
+    "signature_shingle_counts",
+    _SHINGLES_SQL
+    + """
+    SELECT doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_shingles
+    FROM documents LEFT JOIN cnt USING (doc_id)""",
+)
+def signature_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autovalidate_backend_api_spark.functions.signatures import with_signatures
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -701,7 +788,8 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = with_signatures(docs, PINNED, include_winnow=False)
     return sigs.select(
-        F.col("key").cast("bigint").alias("doc_id"), "simhash", "n_shingles"
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
     )
 
 

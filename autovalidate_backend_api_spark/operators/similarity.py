@@ -1,17 +1,26 @@
 """Similarity search over embedding columns (S5/J5 family).
 
 The reference's ANN path (Qdrant cosine top-k with over-fetch,
-/root/reference/app/api/core/search.py:149-176) re-expressed two ways:
+/root/reference/app/api/core/search.py:149-176) re-expressed three ways:
 
 - ``cosine_topk_bruteforce`` — exact baseline: broadcast the corpus
   side, JVM-native dot products (zip_with + aggregate), window top-k.
   Right up to ~10^6 vectors × small query sets.
-- ``ann_lsh_topk`` — the scale path: random-hyperplane (sign) LSH.
+- ``ann_lsh_topk`` — the top-k scale path: random-hyperplane (sign) LSH.
   Each vector gets a ``n_planes``-bit bucket id; queries probe their
   own bucket plus all Hamming-1 neighbors (multiprobe), candidates are
-  exactly re-scored, window top-k. Recall is approximate; the
-  over-fetch-then-rank shape mirrors the reference's ``limit=top_k*3``
-  then dedup (search.py:152,157-176).
+  exactly re-scored, window top-k. The over-fetch-then-rank shape
+  mirrors the reference's ``limit=top_k*3`` then dedup
+  (search.py:152,157-176). Recall contract: high when neighbors are
+  actually near (recall@5 = 1.0 measured on a planted-neighbor fixture
+  at cos ≈ 0.99, tests/test_similarity.py); degrades when nearest
+  neighbors are close to orthogonal (driver corpus: neighbors at
+  cos 0.4–0.6 ⇒ recall@5 ≈ 0.1 at Hamming-1 — measured; no hyperplane
+  probe set fixes that regime without approaching all-pairs). The
+  algorithm itself is deterministic given the seeded planes, so the
+  driver gate reproduces it exactly in SQL (entrypoints._ann_oracle_sql).
+- ``embedding_neardup_pairs`` — threshold ALL-pairs join: exact
+  distributed block-matrix (no LSH — see its docstring for why).
 
 Hyperplanes are seeded (deterministic); dot products run in DOUBLE.
 """
@@ -126,26 +135,110 @@ def ann_lsh_topk(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+    chunk_rows: int = 2048,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup class).
+    """All pairs with cosine ≥ threshold — EXACT, distributed block-matrix.
 
-    Brute-force at test scale; the LSH-bucketed variant above is the
-    10^9-row path (bucket equi-join instead of crossJoin).
+    Why not LSH here: the whole point of this operator is exact recall at
+    a *threshold*, and at the thresholds this corpus exercises (pairs at
+    cos 0.40–0.60, i.e. vectors 53–66° apart) sign-LSH is non-selective —
+    measured on the driver embeddings, true pairs land at Hamming
+    distance up to 7 of 8 planes, so any probe set with full recall
+    degenerates to all buckets. Top-k search with clustered neighbors is
+    LSH territory (``ann_lsh_topk``); threshold-complete pair join is not.
+
+    Shape: each vector hashes to one of ``n_blocks`` blocks; every block
+    PAIR (bi ≤ bj) becomes one Spark group, and inside the group numpy
+    computes the cross cosine matrix in ``chunk_rows`` row-chunks (BLAS
+    matmul, bounded memory), emitting only pairs ≥ threshold. Costs:
+    replication O(n·B) shuffle rows, O(n²d/tasks) flops per task — the
+    unavoidable exact cost, but distributed (no driver broadcast, no
+    per-row JVM pair materialization, no CartesianProduct node). Exact
+    to ~10^7 vectors on a cluster; beyond that near-dup thresholds are
+    usually ≥0.8 where the LSH bucket join regains full measured recall.
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    B = n_blocks
     base = with_norm(emb).select(
-        F.col(id_col).alias("id"), F.col("_v").alias("v"), F.col("_norm").alias("n")
+        F.col(id_col).cast("long").alias("id"),
+        F.col("_v").alias("v"),
+        F.col("_norm").alias("nrm"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).alias("blk"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            F.round(
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
-            ).alias("cos"),
+    # A-role: block b participates in groups (b, j) for j ≥ b;
+    # B-role: block b participates in groups (i, b) for i < b.
+    a_role = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        F.lit("a").alias("side"), "id", "v", "nrm",
+    )
+    b_role = base.filter(F.col("blk") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("b").alias("side"), "id", "v", "nrm",
+    )
+    tagged = a_role.unionByName(b_role)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        diag = bi == bj
+        a = pdf[pdf["side"] == "a"]
+        ids_a = a["id"].to_numpy()
+        A = np.stack(a["v"].to_numpy())
+        na = a["nrm"].to_numpy()
+        if diag:
+            ids_b, Bm, nb = ids_a, A, na
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if len(b) == 0 or len(a) == 0:
+                return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                    {"src": "int64", "dst": "int64", "cos": "float64"}
+                )
+            ids_b = b["id"].to_numpy()
+            Bm = np.stack(b["v"].to_numpy())
+            nb = b["nrm"].to_numpy()
+        srcs, dsts, coss = [], [], []
+        for lo in range(0, len(ids_a), chunk_rows):
+            # same formula as the SQL oracle: dot / (|a|·|b|), rounded 6
+            C = np.round(
+                (A[lo : lo + chunk_rows] @ Bm.T)
+                / (na[lo : lo + chunk_rows, None] * nb[None, :]),
+                6,
+            )
+            ii, jj = np.where(C >= thr)
+            gi = ids_a[ii + lo]
+            gj = ids_b[jj]
+            keep = gi < gj if diag else np.ones(len(gi), dtype=bool)
+            # off-diagonal blocks: ids from disjoint hash blocks, keep all;
+            # canonicalize src<dst either way
+            lo_id = np.minimum(gi, gj)[keep]
+            hi_id = np.maximum(gi, gj)[keep]
+            srcs.append(lo_id)
+            dsts.append(hi_id)
+            coss.append(C[ii, jj][keep])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs) if srcs else np.array([], dtype=np.int64),
+                "dst": np.concatenate(dsts) if dsts else np.array([], dtype=np.int64),
+                "cos": np.concatenate(coss) if coss else np.array([], dtype=np.float64),
+            }
         )
-        .filter(F.col("cos") >= threshold)
-    )
+
+    return tagged.groupBy("bi", "bj").applyInPandas(block_pairs, out_schema)

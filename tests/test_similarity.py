@@ -1,0 +1,120 @@
+"""Similarity-search operators: ANN recall contract + exact blocked
+near-dup join (VERDICT r1 next-round #2/#3).
+
+The ANN recall assertion runs on a CLUSTERED fixture (planted neighbors
+at cos ≈ 0.99) — the regime hyperplane LSH is built for. The driver's
+`embeddings` table is the adversarial regime (nearest neighbors at
+cos 0.4–0.6 = 53–66° apart) where ANY probe set with high recall
+approaches all-pairs; there the ANN query is gated by an exact
+algorithm-reproducing DuckDB oracle instead (entrypoints._ann_oracle_sql).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from autovalidate_backend_api_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk_bruteforce,
+    embedding_neardup_pairs,
+)
+
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _clustered_fixture(spark, n_base=80, per=6, d=64, seed=7):
+    """per-cluster planted neighbors at cos ≈ 0.996 (base ±4σ, noise 0.25σ)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, d)) * 4
+    rows = []
+    vid = 0
+    for b in range(n_base):
+        for _ in range(per):
+            v = base[b] + rng.standard_normal(d) * 0.25
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, _EMB_SCHEMA)
+
+
+def _random_fixture(spark, n=300, d=32, seed=3):
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, d))
+    # plant some genuinely-near pairs so threshold 0.9 is non-vacuous
+    for i in range(0, 40, 2):
+        V[i + 1] = V[i] + rng.standard_normal(d) * 0.1
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, _EMB_SCHEMA), V
+
+
+def test_ann_recall_on_clustered_corpus(spark):
+    """recall@5 ≥ 0.9 vs brute force where neighbors are actually near
+    (the reference's 'approximate search still finds the answer'
+    semantics, search.py:149-176)."""
+    emb = _clustered_fixture(spark).cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {(r["qid"], r["nid"]) for r in ann_lsh_topk(emb, queries, k=5).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"ANN recall@5 = {recall}"
+    emb.unpersist()
+
+
+def _brute_pairs(V, threshold):
+    U = V / np.linalg.norm(V, axis=1)[:, None]
+    C = np.round(U @ U.T, 6)
+    out = set()
+    n = len(V)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if C[i, j] >= threshold:
+                out.add((i, j, C[i, j]))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.9, 0.4])
+def test_neardup_blocked_matches_bruteforce(spark, threshold):
+    """Exact block-matrix join == numpy brute force at any threshold
+    (this operator is exact by design — LSH is NOT involved)."""
+    emb, V = _random_fixture(spark)
+    got = {
+        (r["src"], r["dst"], round(r["cos"], 6))
+        for r in embedding_neardup_pairs(emb, threshold=threshold, n_blocks=5).collect()
+    }
+    want = {(i, j, round(c, 6)) for i, j, c in _brute_pairs(V, threshold)}
+    assert got == want
+
+
+def test_neardup_plan_has_no_cartesian(spark):
+    """VERDICT r1 'Done' criterion for #3: no CartesianProduct /
+    BroadcastNestedLoopJoin node anywhere in the physical plan."""
+    emb = _clustered_fixture(spark, n_base=10, per=4)
+    df = embedding_neardup_pairs(emb, threshold=0.8, n_blocks=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_block_count_invariance(spark):
+    """Partitioning into blocks must not change the result."""
+    emb, V = _random_fixture(spark, n=120, d=16, seed=11)
+    ref = None
+    for nb in (1, 3, 8):
+        got = sorted(
+            (r["src"], r["dst"], round(r["cos"], 6))
+            for r in embedding_neardup_pairs(emb, threshold=0.5, n_blocks=nb).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, f"n_blocks={nb} changed the pair set"
