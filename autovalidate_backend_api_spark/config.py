@@ -27,9 +27,14 @@ class PipelineConfig:
     token_shingle_k: int = 3          # k tokens per MinHash shingle
     char_gram_k: int = 4              # chars per SimHash gram
     # --- MinHash / LSH ---------------------------------------------------
-    num_perm: int = 128               # MinHash permutations
+    num_perm: int = 128               # MinHash permutations / OPH buckets
     lsh_bands: int = 32               # bands
     lsh_rows: int = 4                 # rows per band (bands*rows == num_perm)
+    # "oph" = one-permutation hashing + rotation densification (one hash
+    # pass; ~num_perm× less signature compute); "classic" = per-permutation
+    # multiply-shift MinHash. Participates in config_hash, so changing the
+    # scheme invalidates prior checkpoints automatically.
+    minhash_scheme: str = "oph"
     minhash_seed: int = 42
     char_minhash_seed: int = 1337     # char-gram MinHash family (dual scorer)
     # S-curve threshold (1/bands)^(1/rows) ≈ 0.66 < 0.75 verify threshold

@@ -94,6 +94,70 @@ def char_gram_hashes(text: str, k: int = PINNED.char_gram_k) -> np.ndarray:
     return mix64(acc)
 
 
+# Modular inverse of _POLY mod 2**64 (odd ⇒ invertible): lets the prefix
+# polynomial hash be computed with cumsum/cumprod instead of a sequential
+# recurrence (see norm_shingle_hashes).
+_IPOLY = _U64(pow(0x100000001B3, -1, 2**64))
+
+
+def _prefix_hashes(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(prefix, pow) arrays for O(1) polynomial span hashes over bytes.
+
+    prefix[i] = b[0]·POLY^(i-1) + … + b[i-1]  (mod 2^64), so the hash of
+    span [a, e) is prefix[e] − prefix[a]·POLY^(e−a) — identical to the
+    k-gram hash char_gram_hashes computes for the same bytes. The
+    sequential recurrence prefix[i] = prefix[i-1]·POLY + b[i-1] is
+    de-sequentialized via the inverse: prefix[i] = POLY^i · Σ_{j<i}
+    b[j]·IPOLY^(j+1), all cumsum/cumprod (wraparound uint64).
+    """
+    n = b.shape[0]
+    with np.errstate(**_ERRSTATE):
+        pow_ = np.empty(n + 1, dtype=_U64)
+        pow_[0] = _U64(1)
+        if n:
+            np.cumprod(np.full(n, _POLY, dtype=_U64), out=pow_[1:])
+        ipow = np.empty(n, dtype=_U64)
+        if n:
+            np.cumprod(np.full(n, _IPOLY, dtype=_U64), out=ipow)
+        c = np.empty(n + 1, dtype=_U64)
+        c[0] = _U64(0)
+        if n:
+            np.cumsum(b * ipow, out=c[1:])
+        prefix = c * pow_
+    return prefix, pow_
+
+
+def norm_shingle_hashes(norm: str, k: int = PINNED.token_shingle_k) -> np.ndarray:
+    """Distinct k-token shingle hashes of a NORMALIZED string, fully
+    vectorized (no per-token Python hashing).
+
+    Because normalized text is single-space separated, every k-token
+    shingle is a contiguous byte span of ``norm`` — its hash comes from
+    the prefix polynomial hash in O(1) per shingle. Same shingle-SET
+    semantics as token_shingle_hashes (distinct k-grams; single-token
+    fallback below k tokens; empty → no shingles), different 64-bit
+    values (property-tested set-cardinality-equal in tests). Replaces a
+    per-token blake2b call (~1 µs/token of Python) with three cum-ops
+    over the byte array — the signature stage's dominant cost at scale.
+    """
+    b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(_U64)
+    n = b.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    prefix, pow_ = _prefix_hashes(b)
+    sp = np.flatnonzero(b == _U64(32))
+    starts = np.concatenate(([0], sp + 1))
+    ends = np.concatenate((sp, [n]))
+    t = starts.shape[0]
+    if t < k:
+        a, e = starts, ends
+    else:
+        a, e = starts[: t - k + 1], ends[k - 1 :]
+    with np.errstate(**_ERRSTATE):
+        h = prefix[e] - prefix[a] * pow_[e - a]
+    return np.unique(mix64(h))
+
+
 def minhash_params(cfg: PipelineConfig = PINNED) -> tuple[np.ndarray, np.ndarray]:
     """Seeded (a, b) multiply-shift parameters; a forced odd."""
     rng = np.random.default_rng(cfg.minhash_seed)
@@ -127,6 +191,57 @@ def minhash_signature(
                 a[c : c + _chunk, None] * shingles[None, :] + b[c : c + _chunk, None]
             ).min(axis=1)
     return out
+
+
+def oph_signature(shingles: np.ndarray, num_perm: int = PINNED.num_perm) -> np.ndarray:
+    """One-permutation-hashing MinHash signature (Li, Owen & Zhang
+    NeurIPS'12) with OPTIMAL densification (Shrivastava ICML'17).
+
+    One pass instead of num_perm passes: the hash's top log2(num_perm)
+    bits pick a bucket; the signature slot is the min hash in that
+    bucket. Empty slots are filled by hash-probing the ORIGINALLY
+    occupied slots with a probe sequence that is a pure function of
+    (slot, attempt) — identical across documents, so two similar sets
+    borrow from the same source slot with high probability and slot
+    collisions stay ≈ Jaccard AND independent across slots. (Rotation
+    densification — borrow the cyclically-next non-empty slot — was
+    measured here to create BURSTY correlated slots on sparse
+    signatures: runs of consecutive borrowed slots match together,
+    inflating LSH band collisions ~30% and costing ~0.5% verify recall.)
+    Same LSH banding behavior as classic per-permutation MinHash at
+    ~1/num_perm the compute; recall gate re-validated in
+    tests/test_pipeline_recall.py.
+
+    Known residual (measured at the 20k-file bench corpus): documents
+    with far fewer elements than num_perm densify most slots from few
+    sources, so their band collisions correlate — ~20-25% more LOW-J
+    candidate pairs than classic (exact verify kills them; per-J≥0.7
+    candidate counts are identical between schemes). Acceptable trade
+    for the ~11×-per-doc signature speedup; if sparse-doc candidate
+    mass ever dominates, route docs with < num_perm elements through
+    minhash_signature within a size-bucketed join.
+    """
+    p = num_perm
+    log2p = p.bit_length() - 1
+    assert (1 << log2p) == p, "num_perm must be a power of two for OPH"
+    if shingles.size == 0:
+        return np.full(p, EMPTY_SLOT, dtype=_U64)
+    buckets = (shingles >> _U64(64 - log2p)).astype(np.intp)
+    sig = np.full(p, EMPTY_SLOT, dtype=_U64)
+    np.minimum.at(sig, buckets, shingles)
+    occupied = sig != EMPTY_SLOT
+    idx = np.flatnonzero(~occupied)
+    attempt = _U64(1)
+    with np.errstate(**_ERRSTATE):
+        while idx.size:
+            j = (mix64(idx.astype(_U64) + attempt * _GOLDEN) >> _U64(64 - log2p)).astype(
+                np.intp
+            )
+            hit = occupied[j]
+            sig[idx[hit]] = sig[j[hit]]
+            idx = idx[~hit]
+            attempt += _U64(1)
+    return sig
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:

@@ -66,6 +66,7 @@ def make_signature_udf(cfg: PipelineConfig = PINNED, include_winnow: bool = True
     k_tok, k_chr = cfg.token_shingle_k, cfg.char_gram_k
     bands, rows = cfg.lsh_bands, cfg.lsh_rows
     wk, ww = cfg.winnow_gram_k, cfg.winnow_window
+    oph, num_perm = cfg.minhash_scheme == "oph", cfg.num_perm
 
     @F.pandas_udf(_sig_schema(include_winnow))
     def signature(content_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -82,10 +83,17 @@ def make_signature_udf(cfg: PipelineConfig = PINNED, include_winnow: bool = True
             for i, raw in enumerate(content):
                 s = normalize_text_py(raw) if isinstance(raw, str) else ""
                 norm_out[i] = s
-                sh = H.token_shingle_hashes(H.tokens_of(s), k_tok)
-                sig_t = H.minhash_signature(sh, a_tok, b_tok)
                 grams = H.char_gram_hashes(s, k_chr)
-                sig_c = H.minhash_signature(np.unique(grams), a_chr, b_chr)
+                if oph:
+                    # one-pass shingle hashing (prefix polynomial spans)
+                    # + one-permutation MinHash — see hashing.py
+                    sh = H.norm_shingle_hashes(s, k_tok)
+                    sig_t = H.oph_signature(sh, num_perm)
+                    sig_c = H.oph_signature(np.unique(grams), num_perm)
+                else:
+                    sh = H.token_shingle_hashes(H.tokens_of(s), k_tok)
+                    sig_t = H.minhash_signature(sh, a_tok, b_tok)
+                    sig_c = H.minhash_signature(np.unique(grams), a_chr, b_chr)
                 sh_out[i] = H.to_int64(sh)
                 bt_out[i] = H.to_int64(H.band_hashes(sig_t, bands, rows))
                 bc_out[i] = H.to_int64(H.band_hashes(sig_c, bands, rows))

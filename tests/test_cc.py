@@ -44,3 +44,28 @@ def test_input_order_invariance(spark):
     got1 = _run(spark, list("abcd"), edges)
     got2 = _run(spark, list("dcba"), list(reversed(edges)))
     assert got1 == got2
+
+
+def test_empty_edges_all_singletons(spark):
+    vdf = spark.createDataFrame([(v,) for v in "abc"], "key string")
+    edf = spark.createDataFrame([], "src string, dst string")
+    out = connected_components(vdf, edf)
+    got = {r["key"]: r["cluster_rep"] for r in out.collect()}
+    assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_nonconvergence_raises(spark):
+    """ADVICE r1: exhausting cc_max_iterations must be LOUD, not a
+    silently-split component."""
+    import dataclasses
+
+    import pytest
+
+    from autovalidate_backend_api_spark.config import PINNED
+
+    cfg = dataclasses.replace(PINNED, cc_max_iterations=2)
+    vdf = spark.createDataFrame([(v,) for v in "abcdefgh"], "key string")
+    chain = [(chr(c), chr(c + 1)) for c in range(ord("a"), ord("h"))]
+    edf = spark.createDataFrame(chain, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vdf, edf, cfg).collect()

@@ -111,3 +111,87 @@ def test_determinism_across_processes():
     assert (a2 == A).all() and (b2 == B).all()
     assert H.hash_token("hello") == H.hash_token("hello")
     assert (a2 % 2 == 1).all(), "multiply-shift multipliers must be odd"
+
+
+# --- OPH + vectorized norm-span shingle hashing (VERDICT r1 #7) -------------
+
+token_lists = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=40
+)
+
+
+@given(token_lists)
+@settings(max_examples=200, deadline=None)
+def test_norm_shingles_cardinality_matches_token_scheme(toks):
+    """Same distinct-shingle-SET semantics as the blake2b token scheme
+    (values differ; cardinality must not, modulo 2^-64 collisions)."""
+    norm = " ".join(toks)
+    fast = H.norm_shingle_hashes(norm)
+    slow = H.token_shingle_hashes(H.tokens_of(norm))
+    assert fast.size == slow.size
+
+
+def test_norm_shingles_cross_doc_consistency():
+    """The same shingle string hashes identically regardless of which
+    document (byte offset) it appears in — required for Jaccard."""
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "zzz yyy alpha beta gamma delta qqq"
+    ha = set(H.norm_shingle_hashes(a).tolist())
+    hb = set(H.norm_shingle_hashes(b).tolist())
+    # shared 3-gram shingles: 'alpha beta gamma', 'beta gamma delta'
+    assert len(ha & hb) == 2
+
+
+def test_norm_shingles_matches_standalone_span_hash():
+    """Prefix-hash span extraction == hashing the shingle substring
+    standalone (the O(1) span formula is exact, not approximate)."""
+    norm = "one two three four five"
+    got = set(H.norm_shingle_hashes(norm, k=3).tolist())
+    want = set()
+    toks = norm.split(" ")
+    for i in range(len(toks) - 2):
+        s = " ".join(toks[i : i + 3])
+        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            acc = np.uint64(0)
+            for x in b:
+                acc = acc * H._POLY + x
+        want.add(int(H.mix64(np.array([acc], dtype=np.uint64))[0]))
+    assert got == want
+
+
+def test_norm_shingles_fallback_and_empty():
+    assert H.norm_shingle_hashes("").size == 0
+    assert H.norm_shingle_hashes("one two").size == 2  # single-token fallback
+    assert H.norm_shingle_hashes("one").size == 1
+
+
+def test_oph_identical_sets_identical_sigs():
+    sh = H.norm_shingle_hashes(" ".join(_tokens(50)))
+    assert np.array_equal(H.oph_signature(sh), H.oph_signature(sh.copy()))
+
+
+def test_oph_empty_is_sentinel():
+    assert (H.oph_signature(np.empty(0, dtype=np.uint64)) == H.EMPTY_SLOT).all()
+
+
+def test_oph_jaccard_estimate():
+    """Slot-collision fraction ≈ Jaccard (the OPH estimator property);
+    sets sized well above num_perm so densification is rare."""
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2**63, size=3000, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    a = np.unique(H.mix64(u[:2000]))
+    b = np.unique(H.mix64(u[1000:3000]))  # J = 1000/3000 ≈ 0.333
+    sa, sb = H.oph_signature(a), H.oph_signature(b)
+    est = (sa == sb).mean()
+    assert abs(est - 1 / 3) < 0.15
+
+
+def test_oph_densification_sparse_sets():
+    """Sets far smaller than num_perm still produce full signatures with
+    the estimator roughly tracking J (rotation densification)."""
+    base = H.norm_shingle_hashes(" ".join(_tokens(30)))  # 28 shingles < 128
+    sa = H.oph_signature(base)
+    assert (sa != H.EMPTY_SLOT).all() or base.size == 0
+    # identical sparse sets still collide on every slot
+    assert (H.oph_signature(base.copy()) == sa).all()
