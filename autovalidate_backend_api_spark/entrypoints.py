@@ -115,6 +115,37 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish token counting: the GPT-2 pre-tokenizer pattern recast without
+# lookaheads or unicode classes so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte — contractions, space-prefixed word/number/punct
+# runs, whitespace runs. The real byte-pair merge step needs a trained
+# vocab (out of scope); this is the deterministic pre-tokenization count
+# used for corpus sizing.
+_BPE_WS = " \\t\\n\\r\\f"
+_BPE_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[a-zA-Z]+| ?[0-9]+"
+    f"| ?[^a-zA-Z0-9{_BPE_WS}]+|[{_BPE_WS}]+"
+)
+
+
+@_register(
+    "bpe_token_counts",
+    f"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents""",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN)).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 # quality scoring: alpha/digit/space character ratios (P7 analog)
 @_register(
     "doc_quality",
@@ -706,6 +737,46 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# IVF-flat ANN (deterministic sampled centroids ⇒ the whole path —
+# assignment, probe selection, re-score, ranking — is SQL-reproducible).
+_IVF_ORACLE_SQL = """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+  c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM b WHERE vec_id < 32),
+  assign AS (
+    SELECT nid, nv, nn, cell FROM (
+      SELECT bb.vec_id AS nid, bb.v AS nv, bb.nrm AS nn, c.cid AS cell,
+             row_number() OVER (PARTITION BY bb.vec_id
+               ORDER BY round(list_dot_product(bb.v, c.cv) / (bb.nrm * c.cn), 9) DESC,
+                        c.cid) AS r
+      FROM b bb CROSS JOIN c) WHERE r = 1),
+  probes AS (
+    SELECT qid, qv, qn, cell FROM (
+      SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, c.cid AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cn), 9) DESC,
+                        c.cid) AS r
+      FROM b q CROSS JOIN c WHERE q.vec_id < 20) WHERE r <= 4),
+  cands AS (
+    SELECT DISTINCT p.qid, a.nid,
+           round(list_dot_product(p.qv, a.nv) / (p.qn * a.nn), 6) AS cos
+    FROM probes p JOIN assign a USING (cell) WHERE a.nid != p.qid)
+  SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
+    SELECT qid, nid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+    FROM cands) WHERE rnk <= 5"""
+
+
+@_register("ivf_cosine_topk", _IVF_ORACLE_SQL)
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=32, n_probe=4
+    )
 
 
 # embedding near-dup pairs (cosine threshold — Stage-B analog in vector space)

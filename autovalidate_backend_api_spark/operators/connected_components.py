@@ -115,3 +115,108 @@ def connected_components(
     return labels.select("key", F.col("comp").alias("cluster_rep")).unionByName(
         singletons
     )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    cfg: PipelineConfig = PINNED,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """Alternating large-star / small-star CC (Kiveris et al., SoCC'14).
+
+    Converges in O(log n) ROUNDS regardless of component diameter —
+    the deep-chain alternative to min-label propagation (which needs
+    O(diameter) rounds; containment chains at web scale can exceed any
+    fixed iteration bound). Same contract as connected_components:
+    (key) vertices + (src, dst) edges → (key, cluster_rep); untouched
+    vertices stay their own representative.
+
+    large-star: every node hangs its LARGER neighbors under the min of
+    its closed neighborhood; small-star: every node re-hangs its
+    smaller-or-equal neighbors under that min. At fixpoint the edge set
+    is a star forest rooted at each component's minimum. Convergence is
+    detected by an (edge-count, xxhash64-checksum) fingerprint — one
+    aggregation job per half-round, which also materializes the lazy
+    checkpoint.
+    """
+
+    def ckpt_lazy(df: DataFrame) -> DataFrame:
+        if use_local_checkpoint:
+            return df.localCheckpoint(eager=False)
+        return df.checkpoint(eager=False)
+
+    E = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    E = ckpt_lazy(E)
+    touched = (
+        E.select(F.col("src").alias("key"))
+        .union(E.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    touched = ckpt_lazy(touched)
+
+    def fingerprint(e: DataFrame) -> tuple:
+        # bit_xor: order-independent, overflow-free under ANSI mode
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("chk"),
+        ).collect()[0]
+        return (row["n"], row["chk"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        nm = sym.groupBy("src").agg(F.min("dst").alias("md"))
+        m = F.least(F.col("md"), F.col("src"))
+        return (
+            sym.join(nm, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        nm = directed.groupBy("u").agg(F.min("v").alias("m"))
+        hang_neighbors = (
+            directed.join(nm, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        )
+        hang_center = nm.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+        return (
+            hang_neighbors.unionByName(hang_center)
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    prev = None
+    for _ in range(cfg.cc_max_iterations):
+        E = ckpt_lazy(small_star(large_star(E)))
+        fp = fingerprint(E)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{cfg.cc_max_iterations} rounds — raise cc_max_iterations"
+        )
+
+    # fixpoint: E is a star forest (child → root). Roots and untouched
+    # vertices label themselves.
+    children = E.select(F.col("src").alias("key"), F.col("dst").alias("cluster_rep"))
+    roots = (
+        touched.join(E.select(F.col("src").alias("key")), "key", "left_anti")
+        .select("key", F.col("key").alias("cluster_rep"))
+    )
+    singletons = vertices.join(touched, "key", "left_anti").select(
+        "key", F.col("key").alias("cluster_rep")
+    )
+    return children.unionByName(roots).unionByName(singletons)

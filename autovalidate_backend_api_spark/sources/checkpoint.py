@@ -47,6 +47,17 @@ ICEBERG_DDL = {
 }
 
 
+def export_clusters_json(df: DataFrame, path: str) -> None:
+    """S10 — distributed Spark JSON sink for the cluster map.
+
+    One JSON object per line per file (the batch analog of the
+    reference's per-query JSON response, app.py:307-380); written by
+    executors, never collected to the driver. Driver-side ``json.dump``
+    remains only for the tiny per-stage manifests below.
+    """
+    df.write.mode("overwrite").json(path)
+
+
 class CheckpointManager:
     """Parquet-backed stage checkpoints under ``base_dir/run_id/stage``."""
 

@@ -67,6 +67,52 @@ def run_streaming_window_agg(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def build_stream_dedup(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup: first-arrival wins per content digest.
+
+    The streaming face of Stage A (stage_a_exact.py): as documents
+    arrive, only the first row per sha256(content) survives.
+    ``dropDuplicates`` on a streaming DataFrame is Spark's built-in
+    stateful dedup operator; the event-time watermark bounds the state
+    store — a sha not seen for ``watermark`` of event time is evicted,
+    which is the right contract for commit streams (exact re-pushes
+    arrive close together; long-range dedup belongs to the batch
+    backfill, plans/incremental.py). Batch DataFrames run the same
+    expression without state.
+    """
+    keyed = docs.withColumn("sha", F.sha2(F.col("content"), 256))
+    if docs.isStreaming:
+        return keyed.withWatermark("ts", watermark).dropDuplicates(["sha"])
+    return keyed.dropDuplicates(["sha"])
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Drive build_stream_dedup as a real streaming query (parquet source
+    → append-mode memory sink), to completion."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    deduped = build_stream_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization via lag + cumulative sum (batch window form).
 

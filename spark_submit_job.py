@@ -49,6 +49,7 @@ def main() -> None:
 
     from autovalidate_backend_api_spark import corpus as corpus_gen
     from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+    from autovalidate_backend_api_spark.sources.checkpoint import export_clusters_json
 
     if args.synthetic_n_base:
         corpus = corpus_gen.corpus_spark(spark, args.synthetic_n_base)
@@ -66,6 +67,10 @@ def main() -> None:
     if args.output:
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
         res.confirmed_pairs.write.mode("overwrite").parquet(f"{args.output}/confirmed_pairs")
+        # S10: distributed JSON export of the cluster map — the batch
+        # analog of the reference's JSON response payload (app.py:307-380
+        # returns correction JSON per query; here one JSON line per file).
+        export_clusters_json(res.clusters, f"{args.output}/clusters_json")
 
     print(json.dumps({
         "run_id": args.run_id, "files": n_files, "clusters": n_clusters,

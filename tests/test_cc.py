@@ -69,3 +69,67 @@ def test_nonconvergence_raises(spark):
     edf = spark.createDataFrame(chain, "src string, dst string")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(vdf, edf, cfg).collect()
+
+
+# --- large-star/small-star (deep-chain alternative, O(log n) rounds) --------
+
+
+def _run_star(spark, vertices, edges):
+    from autovalidate_backend_api_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    vdf = spark.createDataFrame([(v,) for v in vertices], "key string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    out = connected_components_star(vdf, edf)
+    return {r["key"]: r["cluster_rep"] for r in out.collect()}
+
+
+def test_star_algorithm_known_graphs(spark):
+    assert _run_star(spark, list("abcd"), [("a", "b"), ("a", "c"), ("a", "d")]) == {
+        "a": "a", "b": "a", "c": "a", "d": "a"
+    }
+    got = _run_star(
+        spark, list("abcdefg"), [("a", "b"), ("b", "c"), ("e", "f")]
+    )
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["e"] == got["f"] == "e"
+    assert got["d"] == "d" and got["g"] == "g"
+
+
+def test_star_handles_long_chain_in_log_rounds(spark):
+    """A 40-node chain (diameter 39) converges within the 25-round bound
+    — the case min-label propagation would RAISE on."""
+    import dataclasses
+
+    from autovalidate_backend_api_spark.config import PINNED
+    from autovalidate_backend_api_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    n = 40
+    keys = [f"v{i:03d}" for i in range(n)]
+    chain = [(keys[i], keys[i + 1]) for i in range(n - 1)]
+    cfg = dataclasses.replace(PINNED, cc_max_iterations=10)  # ⌈log⌉ + slack
+    vdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    edf = spark.createDataFrame(chain, "src string, dst string")
+    out = connected_components_star(vdf, edf, cfg)
+    got = {r["key"]: r["cluster_rep"] for r in out.collect()}
+    assert set(got.values()) == {"v000"} and len(got) == n
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    """Cross-check the two CC algorithms on seeded random graphs."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        keys = [f"k{i:02d}" for i in range(n)]
+        edges = [
+            (keys[rng.randrange(n)], keys[rng.randrange(n)]) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got_min = _run(spark, keys, edges)
+        got_star = _run_star(spark, keys, edges)
+        assert got_min == got_star, f"seed={seed}"

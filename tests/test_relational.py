@@ -26,3 +26,20 @@ def test_merge_upsert_idempotent(spark):
     once = merge_upsert(target, updates, ["id"])
     twice = merge_upsert(once, updates, ["id"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_export_clusters_json_roundtrip(spark, tmp_path):
+    """S10: distributed JSON sink — executor-written, read-back-equal."""
+    from autovalidate_backend_api_spark.sources.checkpoint import (
+        export_clusters_json,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "key string, cluster_rep string"
+    )
+    out = str(tmp_path / "clusters_json")
+    export_clusters_json(df, out)
+    back = spark.read.json(out)
+    assert {(r["key"], r["cluster_rep"]) for r in back.collect()} == {
+        ("a", "a"), ("b", "a"), ("c", "c")
+    }

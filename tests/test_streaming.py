@@ -41,3 +41,47 @@ def test_sessionize_counts(spark, sf_dir):
     assert all(r["n_sessions"] >= 1 for r in rows)
     total_events = events.count()
     assert sum(r["n_sessions"] for r in rows) <= total_events
+
+
+def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
+    """Stateful streaming exact-dedup (Stage A's streaming face): across
+    micro-batches, only the first row per content digest survives."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from autovalidate_backend_api_spark.streaming.events import run_streaming_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "docs_stream")
+    # two files → two micro-batches (maxFilesPerTrigger=1); dup content
+    # appears in both batches and within a batch
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "alpha"), (2, "2024-01-01 00:01:00", "alpha"),
+         (3, "2024-01-01 00:02:00", "beta")],
+        "doc_id long, ts string, content string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch2 = spark.createDataFrame(
+        [(4, "2024-01-01 00:03:00", "beta"), (5, "2024-01-01 00:04:00", "gamma")],
+        "doc_id long, ts string, content string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch1.coalesce(1).write.parquet(src + "/b1")
+    batch2.coalesce(1).write.parquet(src + "/b2")
+    # flatten into one source dir (streaming reads files in order)
+    import glob
+    import shutil
+
+    os_files = sorted(glob.glob(src + "/b*/part-*.parquet"))
+    for i, f in enumerate(os_files):
+        shutil.copy(f, f"{src}/file_{i}.parquet")
+    shutil.rmtree(src + "/b1")
+    shutil.rmtree(src + "/b2")
+
+    out = run_streaming_dedup(spark, src, schema, query_name="dedup_t1")
+    contents = sorted(r["content"] for r in out.collect())
+    assert contents == ["alpha", "beta", "gamma"]
