@@ -127,6 +127,43 @@ def _prefix_hashes(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return prefix, pow_
 
 
+def shingle_hashes_from_prefix(
+    b: np.ndarray, prefix: np.ndarray, pow_: np.ndarray, k: int
+) -> np.ndarray:
+    """Token-shingle hashes from precomputed prefix arrays (see
+    norm_shingle_hashes for the contract)."""
+    n = b.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    sp = np.flatnonzero(b == _U64(32))
+    starts = np.concatenate(([0], sp + 1))
+    ends = np.concatenate((sp, [n]))
+    t = starts.shape[0]
+    if t < k:
+        a, e = starts, ends
+    else:
+        a, e = starts[: t - k + 1], ends[k - 1 :]
+    with np.errstate(**_ERRSTATE):
+        h = prefix[e] - prefix[a] * pow_[e - a]
+    return np.unique(mix64(h))
+
+
+def gram_hashes_from_prefix(
+    prefix: np.ndarray, pow_: np.ndarray, n: int, k: int
+) -> np.ndarray:
+    """All k-char-gram hashes (with multiplicity) from prefix arrays —
+    bit-identical to char_gram_hashes (same polynomial; exact-parity
+    tested) in O(n) regardless of k, vs the k-pass accumulation loop."""
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    if n < k:
+        return mix64(prefix[n : n + 1].copy())
+    m = n - k + 1
+    with np.errstate(**_ERRSTATE):
+        h = prefix[k:] - prefix[:m] * pow_[k]
+    return mix64(h)
+
+
 def norm_shingle_hashes(norm: str, k: int = PINNED.token_shingle_k) -> np.ndarray:
     """Distinct k-token shingle hashes of a NORMALIZED string, fully
     vectorized (no per-token Python hashing).
@@ -141,21 +178,10 @@ def norm_shingle_hashes(norm: str, k: int = PINNED.token_shingle_k) -> np.ndarra
     over the byte array — the signature stage's dominant cost at scale.
     """
     b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(_U64)
-    n = b.shape[0]
-    if n == 0:
+    if b.shape[0] == 0:
         return np.empty(0, dtype=_U64)
     prefix, pow_ = _prefix_hashes(b)
-    sp = np.flatnonzero(b == _U64(32))
-    starts = np.concatenate(([0], sp + 1))
-    ends = np.concatenate((sp, [n]))
-    t = starts.shape[0]
-    if t < k:
-        a, e = starts, ends
-    else:
-        a, e = starts[: t - k + 1], ends[k - 1 :]
-    with np.errstate(**_ERRSTATE):
-        h = prefix[e] - prefix[a] * pow_[e - a]
-    return np.unique(mix64(h))
+    return shingle_hashes_from_prefix(b, prefix, pow_, k)
 
 
 def minhash_params(cfg: PipelineConfig = PINNED) -> tuple[np.ndarray, np.ndarray]:
@@ -256,23 +282,58 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return mix64(acc)
 
 
+# (256, 8) little-endian bit table: _BIT_LUT[v, j] = bit j of byte v.
+_BIT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+).astype(np.int64)
+
+
 def simhash64(gram_hashes: np.ndarray) -> int:
-    """64-bit SimHash fingerprint from char-gram hashes (with multiplicity)."""
-    if gram_hashes.size == 0:
+    """64-bit SimHash fingerprint from char-gram hashes (with multiplicity).
+
+    Bit votes via one 256-bin bincount per byte position + a (256, 8)
+    LUT matmul — same output as unpacking an (m, 64) bit matrix at a
+    fraction of the memory traffic (~8× faster on multi-KB docs).
+    """
+    m = gram_hashes.size
+    if m == 0:
         return 0
-    # bits: (m, 64) little-endian view of each uint64
-    bits = np.unpackbits(
-        gram_hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    )
-    votes = bits.sum(axis=0, dtype=np.int64) * 2 - gram_hashes.size
-    fp_bits = (votes > 0).astype(np.uint8)
+    bytes_view = gram_hashes.view(np.uint8).reshape(-1, 8)
+    votes = np.empty(64, dtype=np.int64)
+    for bp in range(8):
+        counts = np.bincount(bytes_view[:, bp], minlength=256)
+        votes[bp * 8 : (bp + 1) * 8] = counts @ _BIT_LUT
+    fp_bits = (votes * 2 - m > 0).astype(np.uint8)
     return int(np.packbits(fp_bits, bitorder="little").view(np.uint64)[0])
+
+
+def _sliding_min(g: np.ndarray, w: int) -> np.ndarray:
+    """O(n) sliding-window minimum (van Herk / Gil-Werman).
+
+    Per block of ``w``: prefix-min left→right and suffix-min right→left
+    (both one ``np.minimum.accumulate`` pass); window [i, i+w) then spans
+    at most two blocks, so its min is min(suffix[i], prefix[i+w-1]).
+    Replaces the O(n·w) ``sliding_window_view(...).min(axis=1)`` — at
+    w=128 that was ~100× more memory traffic and the signature stage's
+    dominant cost on long documents.
+    """
+    n = g.size
+    m = n - w + 1
+    nb = -(-n // w)
+    padded = np.full(nb * w, EMPTY_SLOT, dtype=_U64)
+    padded[:n] = g
+    blocks = padded.reshape(nb, w)
+    prefix = np.minimum.accumulate(blocks, axis=1).ravel()
+    suffix = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    idx = np.arange(m)
+    return np.minimum(suffix[idx], prefix[idx + w - 1])
 
 
 def winnow_fingerprints(
     text: str,
     k: int = PINNED.winnow_gram_k,
     w: int = PINNED.winnow_window,
+    grams: np.ndarray | None = None,
 ) -> np.ndarray:
     """Winnowing (Schleimer et al., SIGMOD'03) fingerprints of ``text``.
 
@@ -282,13 +343,12 @@ def winnow_fingerprints(
     (selection depends only on window content) — full recall for
     containment candidates ≥ k chars.
     """
-    g = char_gram_hashes(text, k)
+    g = grams if grams is not None else char_gram_hashes(text, k)
     if g.size == 0:
         return np.empty(0, dtype=_U64)
     if g.size <= w:
         return np.unique(g.min(keepdims=True))
-    windows = np.lib.stride_tricks.sliding_window_view(g, w)
-    return np.unique(windows.min(axis=1))
+    return np.unique(_sliding_min(g, w))
 
 
 def to_int64(arr: np.ndarray) -> np.ndarray:

@@ -38,7 +38,6 @@ from autovalidate_backend_api_spark.functions import hashing as H
 
 def _sig_schema(include_winnow: bool) -> T.StructType:
     fields = [
-        T.StructField("norm", T.StringType(), False),
         T.StructField("shingles", T.ArrayType(T.LongType()), False),
         T.StructField("bands_tok", T.ArrayType(T.LongType()), False),
         T.StructField("bands_chr", T.ArrayType(T.LongType()), False),
@@ -69,28 +68,40 @@ def make_signature_udf(cfg: PipelineConfig = PINNED, include_winnow: bool = True
     oph, num_perm = cfg.minhash_scheme == "oph", cfg.num_perm
 
     @F.pandas_udf(_sig_schema(include_winnow))
-    def signature(content_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        from autovalidate_backend_api_spark.functions.normalize import (
-            normalize_text_py,
-        )
-
-        for content in content_iter:
+    def signature(norm_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # Input is the ALREADY-NORMALIZED text: normalization runs
+        # JVM-side in whole-stage codegen (functions/normalize.py native
+        # chain — byte-parity with the Python reference is
+        # property-tested), so the Arrow round trip carries hashing only.
+        for content in norm_iter:
             m = len(content)
-            norm_out = [""] * m
             sh_out, bt_out, bc_out, wn_out = [None] * m, [None] * m, [None] * m, [None] * m
             n_out = np.empty(m, dtype=np.int32)
             sim_out = np.empty(m, dtype=np.uint64)
             for i, raw in enumerate(content):
-                s = normalize_text_py(raw) if isinstance(raw, str) else ""
-                norm_out[i] = s
-                grams = H.char_gram_hashes(s, k_chr)
+                s = raw if isinstance(raw, str) else ""
                 if oph:
-                    # one-pass shingle hashing (prefix polynomial spans)
-                    # + one-permutation MinHash — see hashing.py
-                    sh = H.norm_shingle_hashes(s, k_tok)
+                    # ONE prefix-hash pass per doc feeds every gram
+                    # family: token shingles (variable spans), char
+                    # 4-grams (MinHash + SimHash), winnow 16-grams —
+                    # see hashing.py (values identical to the per-family
+                    # loops; exact-parity tested).
+                    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(
+                        np.uint64
+                    )
+                    n = b.shape[0]
+                    if n:
+                        prefix, pow_ = H._prefix_hashes(b)
+                        sh = H.shingle_hashes_from_prefix(b, prefix, pow_, k_tok)
+                        grams = H.gram_hashes_from_prefix(prefix, pow_, n, k_chr)
+                        grams_w = H.gram_hashes_from_prefix(prefix, pow_, n, wk)
+                    else:
+                        sh = grams = grams_w = np.empty(0, dtype=np.uint64)
                     sig_t = H.oph_signature(sh, num_perm)
                     sig_c = H.oph_signature(np.unique(grams), num_perm)
                 else:
+                    grams = H.char_gram_hashes(s, k_chr)
+                    grams_w = None
                     sh = H.token_shingle_hashes(H.tokens_of(s), k_tok)
                     sig_t = H.minhash_signature(sh, a_tok, b_tok)
                     sig_c = H.minhash_signature(np.unique(grams), a_chr, b_chr)
@@ -100,9 +111,10 @@ def make_signature_udf(cfg: PipelineConfig = PINNED, include_winnow: bool = True
                 n_out[i] = len(sh)
                 sim_out[i] = H.simhash64(grams)
                 if include_winnow:
-                    wn_out[i] = H.to_int64(H.winnow_fingerprints(s, wk, ww))
+                    wn_out[i] = H.to_int64(
+                        H.winnow_fingerprints(s, wk, ww, grams=grams_w)
+                    )
             data = {
-                "norm": norm_out,
                 "shingles": sh_out,
                 "bands_tok": bt_out,
                 "bands_chr": bc_out,
@@ -135,16 +147,23 @@ def with_signatures(
 ) -> DataFrame:
     """Attach key/sha/norm/signature columns to a corpus DataFrame.
 
-    One pass over content; all Python work Arrow-batched.
+    Normalization is JVM-native (whole-stage codegen, byte-parity with
+    the Python reference property-tested in tests/test_normalize.py);
+    the single Arrow round trip carries only the hashing work.
     """
+    from autovalidate_backend_api_spark.functions.normalize import (
+        normalize_text_col,
+    )
+
     df = corpus
     if "key" not in df.columns:
         df = df.withColumn("key", file_key_col())
     if "sha" not in df.columns:
         df = df.withColumn("sha", sha256_col(F.col(content_col)))
+    df = df.withColumn("norm", normalize_text_col(F.col(content_col)))
     sig = make_signature_udf(cfg, include_winnow=include_winnow)
-    df = df.withColumn("_sig", sig(F.col(content_col)))
-    out_fields = ["norm", "shingles", "bands_tok", "bands_chr", "n_shingles", "simhash"]
+    df = df.withColumn("_sig", sig(F.col("norm")))
+    out_fields = ["shingles", "bands_tok", "bands_chr", "n_shingles", "simhash"]
     if include_winnow:
         out_fields.append("winnow")
     df = df.select(

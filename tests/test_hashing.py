@@ -195,3 +195,30 @@ def test_oph_densification_sparse_sets():
     assert (sa != H.EMPTY_SLOT).all() or base.size == 0
     # identical sparse sets still collide on every slot
     assert (H.oph_signature(base.copy()) == sa).all()
+
+
+@given(st.text(alphabet="abc defg", min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_gram_hashes_from_prefix_exact_parity(s):
+    """Prefix-span gram hashing must be BIT-identical to the k-pass
+    accumulation loop (char_gram_hashes) for every k in use."""
+    b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
+    n = b.shape[0]
+    if n == 0:
+        return
+    prefix, pow_ = H._prefix_hashes(b)
+    for k in (4, 16):
+        fast = H.gram_hashes_from_prefix(prefix, pow_, n, k)
+        slow = H.char_gram_hashes(s, k)
+        assert np.array_equal(fast, slow), (s, k)
+
+
+def test_simhash_bincount_matches_unpackbits():
+    """The LUT/bincount simhash must equal the naive bit-matrix version."""
+    rng = np.random.default_rng(9)
+    for m in (1, 2, 7, 100, 5000):
+        g = rng.integers(0, 2**63, size=m, dtype=np.uint64)
+        bits = np.unpackbits(g.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - m
+        want = int(np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0])
+        assert H.simhash64(g) == want, m
