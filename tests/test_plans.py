@@ -1,0 +1,71 @@
+"""Physical-plan audit over EVERY registered driver query.
+
+The 100 TB contract is about plan shape as much as results: no
+accidental cartesian products, filters reaching the parquet scan,
+Python staying out of the JVM hot path unless Arrow-batched. This test
+pins those properties for the whole queries() surface so a regression
+shows up as a named failure, not a slow benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from autovalidate_backend_api_spark import entrypoints
+
+QUERIES = entrypoints.queries()
+
+# Intentional tiny-side nested-loop broadcasts (documented in each op):
+# - cosine_topk / embedding brute force: ≤20-query side vs broadcast corpus
+#   (the EXACT baseline; the scale paths are ann_/ivf_/blocked variants)
+# - ivf_cosine_topk: every vector scores against a broadcast 32-row
+#   centroid table — the IVF assignment shape, O(n·32), not O(n²)
+_NL_WHITELIST = {"cosine_topk", "ivf_cosine_topk", "ann_cosine_topk"}
+
+
+def _plan_of(name, spark, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _NL_WHITELIST))
+def test_no_cartesian_nodes(name, spark, sf_dir):
+    plan = _plan_of(name, spark, sf_dir)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", sorted(_NL_WHITELIST))
+def test_whitelisted_broadcasts_are_broadcast_not_cartesian(name, spark, sf_dir):
+    """The whitelisted ops may nested-loop ONLY as a broadcast of the
+    bounded side — a plain CartesianProduct (shuffle both sides) is
+    still a bug."""
+    plan = _plan_of(name, spark, sf_dir)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_range_predicate_reaches_parquet_scan(spark, sf_dir):
+    """P6: the BETWEEN + >= predicates must appear as PushedFilters on
+    the parquet scan (Catalyst pushdown, not a post-scan filter only)."""
+    plan = _plan_of("mid_price_parts", spark, sf_dir)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "p_retailprice" in pushed and "p_size" in pushed, pushed
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """P1: a two-column projection must not read the whole documents
+    schema (ReadSchema shows only what's needed)."""
+    plan = _plan_of("normalized_docs", spark, sf_dir)
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema, read_schema
+
+
+def test_no_row_at_a_time_python_udf(spark, sf_dir):
+    """§2.9: Python in plans only as Arrow-batched (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas); BatchEvalPython (row-at-a-time
+    pickling) must never appear."""
+    for name in sorted(QUERIES):
+        plan = _plan_of(name, spark, sf_dir)
+        assert "BatchEvalPython" not in plan, name
