@@ -366,9 +366,13 @@ def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
     )
-    # persist: the signature UDF plan has 4 downstream consumers
-    # (bucket sizes, band join both sides, verify both sides)
-    sigs = with_signatures(docs, PINNED, include_winnow=False).persist()
+    # persist hash-partitioned by key: 4 downstream consumers (bucket
+    # sizes, band join, verify src/dst — the joins reuse the partitioning)
+    sigs = (
+        with_signatures(docs, PINNED, include_winnow=False)
+        .repartition(16, "key")
+        .persist()
+    )
     cands, _ = B.candidate_pairs(sigs, PINNED)
     verified = B.verify_pairs(cands, sigs, PINNED)
     a, b = F.col("src").cast("bigint"), F.col("dst").cast("bigint")
@@ -398,7 +402,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
     )
-    sigs = with_signatures(docs, PINNED, include_winnow=True).persist()
+    sigs = (
+        with_signatures(docs, PINNED, include_winnow=True)
+        .repartition(16, "key")
+        .persist()
+    )
     cands, _ = C.fingerprint_candidates(sigs, PINNED)
     confirmed = C.verify_containment(cands, sigs, PINNED)
     return confirmed.select(

@@ -149,14 +149,21 @@ def run_pipeline(
     )
 
     # ---- signatures: one Arrow pass over sha-survivors ------------------
+    # hash-partitioned by key: the four verify joins (Stage B src/dst,
+    # Stage C phase-1 + phase-2) then reuse this partitioning instead of
+    # re-exchanging the fat signature table each time (measured 1.8×
+    # on the verify stage; partitioning survives persist() in ephemeral
+    # mode — on Iceberg, bucket the table by key for the same effect)
     sigs = timed(
         "signatures",
         lambda: ckpt.get_or_compute(
             "signatures",
-            lambda: with_signatures(survivors, cfg, include_winnow=True).select(
+            lambda: with_signatures(survivors, cfg, include_winnow=True)
+            .select(
                 "key", "norm", "shingles", "bands_tok", "bands_chr",
                 "n_shingles", "simhash", "winnow",
-            ),
+            )
+            .repartition(cfg.shuffle_partitions, "key"),
         ),
     )
 
