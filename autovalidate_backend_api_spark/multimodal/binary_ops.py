@@ -111,6 +111,60 @@ def extract_features(media: DataFrame, decode: str = "fake", dim: int = 16) -> D
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def _fake_decode_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic stand-in for an image codec: hash-seeded (h, w) pixels."""
+    hsh = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(hsh, "little"))
+    return rng.uniform(0.0, 255.0, size=(h, w)).astype(np.float32)
+
+
+def resize_images(
+    media: DataFrame, target: tuple[int, int] = (8, 8), decode: str = "fake"
+) -> DataFrame:
+    """mapInPandas image resize: decode → area-average downsample.
+
+    The RESIZE math is real (block-mean pooling in numpy — what a
+    training pipeline does before feature extraction); only the codec is
+    the documented stub (``decode='real'`` raises at the exact call site
+    PIL would occupy). Source dimensions come from the typed metadata
+    columns; output rows carry the flattened target pixel block.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+    tw, th = target
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if decode == "real":
+                    raise NotImplementedError(
+                        "image codecs (PIL) unavailable in this environment "
+                        "— plug the real decoder here"
+                    )
+                w, h = int(row["width"]), int(row["height"])
+                px = _fake_decode_pixels(bytes(row["payload"]), w, h)
+                # area-average (block-mean) downsample; source dims must
+                # be multiples of the target here — a real resampler
+                # interpolates, the PLAN is identical
+                py = px[: (h // th) * th, : (w // tw) * tw]
+                pooled = py.reshape(th, h // th, tw, w // tw).mean(axis=(1, 3))
+                out.append(
+                    {
+                        "media_id": int(row["media_id"]),
+                        "out_w": tw,
+                        "out_h": th,
+                        "pixels": pooled.ravel().astype(np.float32),
+                        "mean_px": float(px.mean()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        op, schema="media_id long, out_w int, out_h int, pixels array<float>, mean_px double"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """Video frame-sampling plumbing: expands each video row into frame
     timestamps (native sequence — the decode of each frame is the

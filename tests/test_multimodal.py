@@ -60,3 +60,36 @@ def test_frame_sample_plan(spark):
     for mid, ts in by_id.items():
         assert ts == sorted(ts)
         assert ts[0] == 0 and ts[-1] <= vids[mid]
+
+
+def test_resize_images_block_mean(spark):
+    """Resize plumbing: (32,32) fake-decoded pixels → 8×8 block means;
+    pooled mean must equal source mean (area-average invariant), and the
+    whole op stays distributed (mapInPandas, no driver bytes)."""
+    import numpy as np
+
+    from autovalidate_backend_api_spark.multimodal.binary_ops import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 24)
+    out = resize_images(media, target=(8, 8)).collect()
+    assert len(out) == len([r for r in media.collect() if r["kind"] == "image"])
+    for r in out:
+        assert r["out_w"] == 8 and r["out_h"] == 8
+        assert len(r["pixels"]) == 64
+        assert abs(float(np.mean(r["pixels"])) - r["mean_px"]) < 1e-3
+
+
+def test_resize_images_real_decode_raises(spark):
+    import pytest
+
+    from autovalidate_backend_api_spark.multimodal.binary_ops import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_images(media, decode="real").collect()
