@@ -1,0 +1,58 @@
+"""Degenerate-input behavior of the full pipeline: empty corpus, one
+file, all-identical corpus. These are the inputs a 100 TB backfill WILL
+contain somewhere; none may crash or mis-cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _run(spark, rows):
+    corpus = spark.createDataFrame(rows, _SCHEMA)
+    res = run_pipeline(spark, corpus, None, run_id="degen", verbose=False)
+    return {r["key"]: r["cluster_rep"] for r in res.clusters.collect()}
+
+
+def test_single_file(spark):
+    got = _run(spark, [("r", "a.py", "c1", "py", "just one file here")])
+    assert len(got) == 1
+    (k, v), = got.items()
+    assert k == v
+
+
+def test_all_identical_contents(spark):
+    rows = [("r", f"f{i}.py", "c1", "py", "same bytes everywhere") for i in range(20)]
+    got = _run(spark, rows)
+    assert len(got) == 20
+    assert len(set(got.values())) == 1  # one cluster, Stage A star edges
+
+
+def test_empty_and_whitespace_contents(spark):
+    """Empty/whitespace docs are exact dups of each other (Stage A), and
+    must never near-dup-match non-empty docs (zero-shingle exclusion)."""
+    rows = [
+        ("r", "e1.py", "c1", "py", ""),
+        ("r", "e2.py", "c1", "py", ""),
+        ("r", "w1.py", "c1", "py", "   \n\t "),
+        ("r", "n1.py", "c1", "py", "real content with several tokens in it"),
+    ]
+    got = _run(spark, rows)
+    assert len(got) == 4
+    # the two byte-identical empties cluster together
+    e1 = got["r\x01e1.py\x01c1"]
+    assert got["r\x01e2.py\x01c1"] == e1
+    # the non-empty doc stays alone
+    n1_key = "r\x01n1.py\x01c1"
+    assert got[n1_key] == n1_key
+    assert sum(1 for v in got.values() if v == got[n1_key]) == 1
+
+
+def test_empty_corpus(spark):
+    got = _run(spark, [])
+    assert got == {}

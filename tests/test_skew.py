@@ -1,0 +1,49 @@
+"""Skew robustness: boilerplate-heavy corpora must not explode candidate
+generation, and true dup pairs must survive hot-bucket drops via their
+other bands (SURVEY.md §4 — the web-scale skew contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.config import PINNED
+from autovalidate_backend_api_spark.functions.signatures import with_signatures
+from autovalidate_backend_api_spark.operators import stage_b_lsh as B
+
+BOILER = " ".join(f"license clause {i} all rights reserved" for i in range(40))
+
+
+def _skewed_corpus(spark, n=600, planted=25):
+    """Every doc shares a large identical boilerplate block (≈50% of its
+    tokens); `planted` docs get a near-identical twin (one token edit)."""
+    rows = []
+    for i in range(n):
+        unique = " ".join(f"body{i}tok{j}" for j in range(160))
+        rows.append((f"doc{i:04d}", f"{BOILER} {unique}"))
+        if i < planted:
+            twin = unique.replace(f"body{i}tok5", f"body{i}tokX")
+            rows.append((f"twin{i:04d}", f"{BOILER} {twin}"))
+    return spark.createDataFrame(rows, "key string, content string")
+
+
+def test_hot_buckets_dropped_and_recall_survives(spark):
+    corpus = _skewed_corpus(spark)
+    n_docs = corpus.count()
+    sigs = with_signatures(corpus, PINNED, include_winnow=False).persist()
+    cands, dropped = B.candidate_pairs(sigs, PINNED)
+    n_cands = cands.count()
+    # the boilerplate bands bucket half the corpus together — they MUST
+    # be dropped, and candidates must stay far below all-pairs
+    assert dropped.count() > 0, "expected boilerplate band buckets above the cap"
+    assert n_cands < n_docs * 40, f"candidate explosion: {n_cands} pairs for {n_docs} docs"
+    # every planted twin still reaches verify via its non-boilerplate
+    # bands and passes the exact-Jaccard threshold
+    verified = B.verify_pairs(cands, sigs, PINNED)
+    twins = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in verified.filter(F.col("jaccard") >= PINNED.jaccard_threshold).collect()
+    }
+    expected = {(f"doc{i:04d}", f"twin{i:04d}") for i in range(25)}
+    missing = expected - twins
+    assert not missing, f"hot-bucket drops lost planted pairs: {sorted(missing)[:5]}"
+    sigs.unpersist()
