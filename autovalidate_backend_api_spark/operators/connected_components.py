@@ -36,6 +36,7 @@ def connected_components(
     edges: DataFrame,
     cfg: PipelineConfig = PINNED,
     use_local_checkpoint: bool = True,
+    on_exhaustion: str = "raise",
 ) -> DataFrame:
     """(key) vertices + (src, dst) edges → (key, cluster_rep).
 
@@ -53,12 +54,17 @@ def connected_components(
     aggregates the changed-label count (previously checkpoint + count
     were two jobs).
 
-    Raises RuntimeError if the label propagation has not converged
-    after ``cfg.cc_max_iterations`` — a silently-split component is a
-    wrong cluster assignment (component diameter > iterations; raise
-    the config bound, or switch to large-star/small-star which
-    converges in O(log n) rounds).
+    If label propagation has not converged after
+    ``cfg.cc_max_iterations`` (component diameter > iterations), the
+    result would be silently-split components — wrong cluster
+    assignments. ``on_exhaustion`` picks the reaction: ``"raise"``
+    (default — loud failure) or ``"star"`` (re-run with alternating
+    large-star/small-star, which converges in O(log n) rounds
+    regardless of diameter — the self-healing choice for long
+    containment chains in unattended backfills; the pipeline uses it).
     """
+    if on_exhaustion not in ("raise", "star"):
+        raise ValueError(on_exhaustion)
 
     def ckpt_lazy(df: DataFrame) -> DataFrame:
         if use_local_checkpoint:
@@ -102,11 +108,18 @@ def connected_components(
         if changed == 0:
             break
     if changed > 0:
+        if on_exhaustion == "star":
+            print(
+                f"[cc] min-label propagation hit the {cfg.cc_max_iterations}-"
+                f"iteration bound ({changed} labels still changing) — "
+                "falling back to large-star/small-star"
+            )
+            return connected_components_star(vertices, edges, cfg, use_local_checkpoint)
         raise RuntimeError(
             f"connected_components did not converge in "
             f"{cfg.cc_max_iterations} iterations ({changed} labels still "
             "changing) — component diameter exceeds the bound; raise "
-            "cc_max_iterations or use large-star/small-star"
+            "cc_max_iterations or pass on_exhaustion='star'"
         )
 
     singletons = vertices.join(touched, "key", "left_anti").select(
@@ -122,6 +135,7 @@ def connected_components_star(
     edges: DataFrame,
     cfg: PipelineConfig = PINNED,
     use_local_checkpoint: bool = True,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star CC (Kiveris et al., SoCC'14).
 
@@ -196,8 +210,11 @@ def connected_components_star(
             .dropDuplicates(["src", "dst"])
         )
 
+    # O(log n) rounds suffice for ANY component shape; 64 covers 2^64
+    # vertices, so the default bound is never the binding constraint
+    bound = max_rounds if max_rounds is not None else max(cfg.cc_max_iterations, 64)
     prev = None
-    for _ in range(cfg.cc_max_iterations):
+    for _ in range(bound):
         E = ckpt_lazy(small_star(large_star(E)))
         fp = fingerprint(E)
         if fp == prev:
@@ -205,8 +222,7 @@ def connected_components_star(
         prev = fp
     else:
         raise RuntimeError(
-            f"connected_components_star did not converge in "
-            f"{cfg.cc_max_iterations} rounds — raise cc_max_iterations"
+            f"connected_components_star did not converge in {bound} rounds"
         )
 
     # fixpoint: E is a star forest (child → root). Roots and untouched

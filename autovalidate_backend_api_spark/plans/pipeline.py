@@ -229,7 +229,10 @@ def run_pipeline(
                 "switch to the 128-bit id documented above"
             )
         vertices = hashed.select("key").distinct()
-        labels = connected_components(vertices, confirmed, cfg)
+        # star fallback: an unattended 10^12-file backfill must not die
+        # on one deep containment chain — large-star/small-star finishes
+        # any diameter in O(log n) rounds
+        labels = connected_components(vertices, confirmed, cfg, on_exhaustion="star")
         # translate ids → keys; representative = min key per component
         with_keys = labels.join(
             keymap, labels.key == keymap.id, "inner"

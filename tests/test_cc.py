@@ -133,3 +133,21 @@ def test_star_matches_minlabel_on_random_graphs(spark):
         got_min = _run(spark, keys, edges)
         got_star = _run_star(spark, keys, edges)
         assert got_min == got_star, f"seed={seed}"
+
+
+def test_exhaustion_star_fallback(spark):
+    """on_exhaustion='star': a chain deeper than the iteration bound is
+    still clustered correctly (the pipeline's self-healing mode)."""
+    import dataclasses
+
+    from autovalidate_backend_api_spark.config import PINNED
+
+    cfg = dataclasses.replace(PINNED, cc_max_iterations=2)
+    n = 12
+    keys = [f"v{i:02d}" for i in range(n)]
+    chain = [(keys[i], keys[i + 1]) for i in range(n - 1)]
+    vdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    edf = spark.createDataFrame(chain, "src string, dst string")
+    out = connected_components(vdf, edf, cfg, on_exhaustion="star")
+    got = {r["key"]: r["cluster_rep"] for r in out.collect()}
+    assert set(got.values()) == {"v00"} and len(got) == n
