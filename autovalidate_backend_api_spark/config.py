@@ -73,6 +73,11 @@ class PipelineConfig:
     # needs ONE of them to live in a surviving bucket — common-phrase
     # buckets (keyword runs) carry almost no containment signal.
     max_fingerprint_bucket: int = 32
+    # Fingerprint-poor rescue bound (stage_c_substring.py): hot buckets
+    # up to this size still serve probes from docs with ≤ winnow_probe_h
+    # fingerprints (short docs whose ENTIRE fp set may be boilerplate-
+    # hot); beyond it the bucket is dropped outright and logged.
+    hot_fp_hard_cap: int = 4096
     shuffle_partitions: int = 32
     # Count-first hot-key exclusion before collect_list (Stage B/C).
     # Required at web scale: a degenerate bucket must be dropped from

@@ -49,26 +49,59 @@ def fingerprint_candidates(
       each document. If A ⊆ B then every probe fingerprint of A exists
       in B's full set, so one probe hit suffices — recall is preserved
       while join fan-out drops from ~fingerprints/doc to h.
-      (The chance that ALL h probes of a contained doc live in dropped
-      hot buckets is (boilerplate_share)^h ≈ 0.)
     - *index* side: all fingerprints, hot buckets (license boilerplate)
       capped at ``max_fingerprint_bucket`` and logged, like Stage B.
+
+    FINGERPRINT-POOR RESCUE: a short document (≈ a few hundred norm
+    chars) may have only 1-4 fingerprints, and common-vocabulary corpora
+    concentrate short docs' minimum grams into hot buckets — the cap
+    alone would then orphan such a doc entirely (measured: a 158-char
+    contained doc at sf0.1 whose single fingerprint sat in a 169-doc
+    bucket). Docs with ≤ ``winnow_probe_h`` fingerprints therefore keep
+    probing INSIDE hot buckets through a skew-safe equi-join (poor
+    probes × full bucket membership — never a giant collect_list),
+    bounded by ``hot_fp_hard_cap``. Residual miss risk is confined to
+    rich-vs-rich pairs whose EVERY shared fingerprint is hot
+    ((boilerplate_share)^(h+1) — negligible) and to buckets above the
+    hard cap (logged).
 
     Input needs (key, winnow) where winnow is sorted ascending
     (np.unique output ⇒ already sorted).
     """
     # explode → groupBy(fp) buckets; pair generation happens inside each
     # bucket with JVM higher-order functions (no self-join).
+    poor = F.size("winnow") <= cfg.winnow_probe_h
     items = sigs.select(
-        "key", F.posexplode("winnow").alias("pos", "fp")
+        "key", poor.alias("is_poor"), F.posexplode("winnow").alias("pos", "fp")
     ).select(
-        "fp", F.struct("key", (F.col("pos") < cfg.winnow_probe_h).alias("is_probe")).alias("m")
+        "fp",
+        "is_poor",
+        F.struct("key", (F.col("pos") < cfg.winnow_probe_h).alias("is_probe")).alias("m"),
     )
+    hot_pairs = None
     if cfg.hot_key_precheck:
         # count-first hot-key exclusion — see stage_b_lsh.candidate_pairs
         sizes = items.groupBy("fp").agg(F.count("*").alias("bucket_n"))
-        dropped = sizes.filter(F.col("bucket_n") > cfg.max_fingerprint_bucket)
-        items = items.join(F.broadcast(dropped.select("fp")), ["fp"], "left_anti")
+        hot = sizes.filter(F.col("bucket_n") > cfg.max_fingerprint_bucket)
+        # buckets beyond the hard cap are dropped outright (logged);
+        # between the caps they stay alive for fingerprint-poor probes
+        dropped = hot.filter(F.col("bucket_n") > cfg.hot_fp_hard_cap)
+        rescue_fps = hot.filter(F.col("bucket_n") <= cfg.hot_fp_hard_cap).select("fp")
+        hot_items = items.join(rescue_fps, ["fp"], "left_semi")
+        poor_probes = hot_items.filter(F.col("is_poor")).select(
+            "fp", F.col("m.key").alias("pkey")
+        )
+        # skew-safe: the poor side is small (short docs only); AQE splits
+        # the hot fp partitions
+        hot_pairs = (
+            poor_probes.join(hot_items.select("fp", F.col("m.key").alias("ikey")), "fp")
+            .filter(F.col("pkey") != F.col("ikey"))
+            .select(
+                F.least("pkey", "ikey").alias("src"),
+                F.greatest("pkey", "ikey").alias("dst"),
+            )
+        )
+        items = items.join(F.broadcast(hot.select("fp")), ["fp"], "left_anti")
         buckets = items.groupBy("fp").agg(
             F.collect_list("m").alias("members"), F.count("*").alias("bucket_n")
         )
@@ -100,9 +133,10 @@ def fingerprint_candidates(
         kept.select(F.explode(pair_arr).alias("pr"))
         .select("pr.src", "pr.dst")
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
-    return pairs, dropped
+    if hot_pairs is not None:
+        pairs = pairs.unionByName(hot_pairs)
+    return pairs.distinct(), dropped
 
 
 @F.pandas_udf(T.BooleanType())

@@ -47,3 +47,31 @@ def test_hot_buckets_dropped_and_recall_survives(spark):
     missing = expected - twins
     assert not missing, f"hot-bucket drops lost planted pairs: {sorted(missing)[:5]}"
     sigs.unpersist()
+
+
+def test_fingerprint_poor_doc_in_hot_bucket_still_found(spark):
+    """Stage-C recall contract regression (found via sf0.1 oracle sweep):
+    a short contained doc can have a SINGLE winnow fingerprint, and that
+    fingerprint's bucket can be boilerplate-hot (>max_fingerprint_bucket
+    docs share it). The fingerprint-poor rescue path must still pair it
+    with its container."""
+    from autovalidate_backend_api_spark.operators import stage_c_substring as C
+
+    # one shared short phrase (≥ contains_min_len=143 norm chars) that
+    # appears verbatim inside many longer docs AND as a standalone doc
+    shared = " ".join(f"anchor{i}" for i in range(18))  # ~150 chars
+    assert len(shared) >= PINNED.contains_min_len
+    rows = [("contained", shared)]
+    for i in range(60):  # 60 > max_fingerprint_bucket=32 containers
+        filler = " ".join(f"host{i}w{j}" for j in range(120))
+        rows.append((f"host{i:03d}", f"{filler} {shared}"))
+    corpus = spark.createDataFrame(rows, "key string, content string")
+    sigs = with_signatures(corpus, PINNED, include_winnow=True).persist()
+    cands, dropped = C.fingerprint_candidates(sigs, PINNED)
+    confirmed = C.verify_containment(cands, sigs, PINNED)
+    found = {
+        (r["src"], r["dst"]) for r in confirmed.collect()
+        if "contained" in (r["src"], r["dst"])
+    }
+    assert len(found) == 60, f"contained doc paired with {len(found)}/60 hosts"
+    sigs.unpersist()
