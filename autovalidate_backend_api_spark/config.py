@@ -30,10 +30,12 @@ class PipelineConfig:
     num_perm: int = 128               # MinHash permutations / OPH buckets
     lsh_bands: int = 32               # bands
     lsh_rows: int = 4                 # rows per band (bands*rows == num_perm)
-    # "oph" = one-permutation hashing + rotation densification (one hash
-    # pass; ~num_perm× less signature compute); "classic" = per-permutation
-    # multiply-shift MinHash. Participates in config_hash, so changing the
-    # scheme invalidates prior checkpoints automatically.
+    # "oph" = one-permutation hashing + OPTIMAL (hash-probing)
+    # densification (one hash pass; ~num_perm× less signature compute —
+    # rotation densification was deliberately rejected: it creates bursty
+    # correlated slots on sparse signatures, see hashing.oph_signature);
+    # "classic" = per-permutation multiply-shift MinHash. Participates in
+    # config_hash, so changing the scheme invalidates prior checkpoints.
     minhash_scheme: str = "oph"
     minhash_seed: int = 42
     char_minhash_seed: int = 1337     # char-gram MinHash family (dual scorer)

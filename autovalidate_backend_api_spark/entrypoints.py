@@ -806,6 +806,30 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+# High-threshold variant: exercises the sign-LSH dispatch branch
+# (threshold ≥ 0.8 routes to neardup_lsh_pairs — bucket equi-join + exact
+# verify, no O(n²) flops) against the same exhaustive oracle. The driver
+# embeddings have NO pairs at cos ≥ 0.75 (measured at every sf), so this
+# gate pins the branch's no-false-positive contract; planted-neighbor
+# recall parity vs brute force is pinned in tests/test_similarity.py.
+@_register(
+    "embedding_neardup_pairs_hi",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       SELECT a.vec_id AS src, b.vec_id AS dst,
+              round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9""",
+)
+def embedding_neardup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
 # SimHash gate (VERDICT r1 next-round #4). SimHash values aren't
 # SQL-reproducible (blake2b/splitmix64 hash family), but their defining
 # INVARIANTS are: (a) the fingerprint is a pure function of normalized

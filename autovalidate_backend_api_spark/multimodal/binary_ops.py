@@ -136,22 +136,34 @@ def resize_images(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            # array-wise iteration (no per-row pandas .iterrows overhead)
+            for mid, payload, w, h in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["payload"].to_numpy(),
+                pdf["width"].to_numpy(),
+                pdf["height"].to_numpy(),
+            ):
                 if decode == "real":
                     raise NotImplementedError(
                         "image codecs (PIL) unavailable in this environment "
                         "— plug the real decoder here"
                     )
-                w, h = int(row["width"]), int(row["height"])
-                px = _fake_decode_pixels(bytes(row["payload"]), w, h)
-                # area-average (block-mean) downsample; source dims must
-                # be multiples of the target here — a real resampler
-                # interpolates, the PLAN is identical
-                py = px[: (h // th) * th, : (w // tw) * tw]
-                pooled = py.reshape(th, h // th, tw, w // tw).mean(axis=(1, 3))
+                w, h = int(w), int(h)
+                # block-mean pooling requires source dims to be exact
+                # multiples of the target — an undersized or ragged
+                # source would reshape through a zero-length axis and
+                # silently emit NaN pixels. Fail loudly instead; a real
+                # resampler interpolates, the PLAN is identical.
+                if w < tw or h < th or w % tw or h % th:
+                    raise ValueError(
+                        f"resize_images(media_id={int(mid)}): source {w}x{h} "
+                        f"is not an exact multiple of target {tw}x{th}"
+                    )
+                px = _fake_decode_pixels(bytes(payload), w, h)
+                pooled = px.reshape(th, h // th, tw, w // tw).mean(axis=(1, 3))
                 out.append(
                     {
-                        "media_id": int(row["media_id"]),
+                        "media_id": int(mid),
                         "out_w": tw,
                         "out_h": th,
                         "pixels": pooled.ravel().astype(np.float32),

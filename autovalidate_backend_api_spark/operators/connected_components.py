@@ -214,12 +214,22 @@ def connected_components_star(
     # vertices, so the default bound is never the binding constraint
     bound = max_rounds if max_rounds is not None else max(cfg.cc_max_iterations, 64)
     prev = None
+    prev_E = None
     for _ in range(bound):
-        E = ckpt_lazy(small_star(large_star(E)))
-        fp = fingerprint(E)
+        new_E = ckpt_lazy(small_star(large_star(E)))
+        fp = fingerprint(new_E)
         if fp == prev:
-            break
-        prev = fp
+            # fingerprint equality is probabilistic (~2^-64 collision) —
+            # a collision here would SILENTLY emit split components, so
+            # confirm set equality exactly before trusting it. Counts
+            # already match (the fingerprint includes n), so one-sided
+            # exceptAll suffices; costs one job only at convergence. A
+            # collision thus degrades to one extra round, never to
+            # wrong output.
+            if new_E.exceptAll(prev_E).isEmpty():
+                E = new_E
+                break
+        prev, prev_E, E = fp, new_E, new_E
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {bound} rounds"

@@ -27,7 +27,10 @@ Hyperplanes are seeded (deterministic); dot products run in DOUBLE.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -205,33 +208,120 @@ def ivf_topk(
     )
 
 
+def neardup_lsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    n_tables: int = 32,
+    bits: int = 8,
+    seed: int = 97,
+) -> DataFrame:
+    """High-threshold near-dup pair join: sign-LSH tables + exact verify.
+
+    The scale path for cosine thresholds ≥ ~0.8 (VERDICT r2 next-round
+    #2): ``n_tables`` independent sign-LSH tables of ``bits`` hyperplanes
+    each; two vectors are candidates iff they share a bucket in ANY
+    table; candidates are verified with an exact JVM-native cosine.
+    Costs O(n · n_tables) shuffle rows + an equi-self-join per bucket —
+    never O(n²) flops (contrast the block-matrix branch below).
+
+    Recall: a pair at angle θ collides per plane with p = 1 − θ/π, per
+    table with p^bits, and is MISSED with (1 − p^bits)^n_tables. At the
+    defaults (32 × 8):  cos 0.80 → 3.7e-3, 0.85 → 4.5e-4, 0.90 →
+    1.8e-5, 0.95 → 1.9e-8 per pair. False positives are impossible
+    (exact verify), so the approximation is one-sided. Bucketing is one
+    Arrow pass (all 256 projections in a single BLAS matmul — 256
+    JVM aggregate expressions would blow the codegen budget);
+    hyperplanes are seeded and derived from the observed vector dim, so
+    the operator is deterministic for a given corpus.
+    """
+    from pyspark.sql import types as T
+
+    n_planes = n_tables * bits
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+    offsets = (np.arange(n_tables, dtype=np.uint64) << np.uint64(bits))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for v in it:
+            if len(v) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            M = np.stack(v.to_numpy())
+            # planes are a pure function of (seed, dim) — deterministic
+            P = np.random.default_rng(seed).standard_normal((n_planes, M.shape[1]))
+            S = ((M @ P.T) > 0).reshape(len(M), n_tables, bits).astype(np.uint64)
+            B = ((S * weights[None, None, :]).sum(axis=2) + offsets[None, :]).astype(
+                np.int64
+            )
+            yield pd.Series(list(B))
+
+    base = with_norm(emb).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col("_v").alias("v"),
+        F.col("_norm").alias("nrm"),
+        _buckets(F.col("_v")).alias("buckets"),
+    )
+    exploded = base.select("id", F.explode("buckets").alias("bucket"))
+    cands = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
+    )
+    vec = base.select("id", "v", "nrm")
+    src_v = vec.select(F.col("id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    dst_v = vec.select(F.col("id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cands.join(src_v, "src")
+        .join(dst_v, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     n_blocks: int = 8,
     chunk_rows: int = 2048,
+    lsh_dispatch_at: float = 0.8,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold — EXACT, distributed block-matrix.
+    """All pairs with cosine ≥ threshold. Threshold-conditional dispatch:
 
-    Why not LSH here: the whole point of this operator is exact recall at
-    a *threshold*, and at the thresholds this corpus exercises (pairs at
-    cos 0.40–0.60, i.e. vectors 53–66° apart) sign-LSH is non-selective —
-    measured on the driver embeddings, true pairs land at Hamming
-    distance up to 7 of 8 planes, so any probe set with full recall
-    degenerates to all buckets. Top-k search with clustered neighbors is
-    LSH territory (``ann_lsh_topk``); threshold-complete pair join is not.
+    - ``threshold ≥ lsh_dispatch_at`` (default 0.8) → sign-LSH bucket
+      equi-join + exact-cosine verify (``neardup_lsh_pairs``): per-pair
+      miss probability ≤ 3.7e-3 at cos 0.80, falling to 1.8e-5 at 0.90
+      (formula in its docstring), never a false positive, and never
+      O(n²) flops — the branch that survives 10^9 vectors.
+    - below → EXACT distributed block-matrix (this function's body).
 
-    Shape: each vector hashes to one of ``n_blocks`` blocks; every block
-    PAIR (bi ≤ bj) becomes one Spark group, and inside the group numpy
-    computes the cross cosine matrix in ``chunk_rows`` row-chunks (BLAS
-    matmul, bounded memory), emitting only pairs ≥ threshold. Costs:
-    replication O(n·B) shuffle rows, O(n²d/tasks) flops per task — the
-    unavoidable exact cost, but distributed (no driver broadcast, no
-    per-row JVM pair materialization, no CartesianProduct node). Exact
-    to ~10^7 vectors on a cluster; beyond that near-dup thresholds are
-    usually ≥0.8 where the LSH bucket join regains full measured recall.
+    Why LSH can't serve the LOW-threshold regime: at the thresholds the
+    driver corpus exercises (pairs at cos 0.40–0.60, i.e. vectors 53–66°
+    apart) sign-LSH is non-selective — measured on the driver
+    embeddings, true pairs land at Hamming distance up to 7 of 8 planes,
+    so any probe set with full recall degenerates to all buckets.
+    Threshold-complete pair join at low thresholds is inherently
+    quadratic.
+
+    Block-matrix shape: each vector hashes to one of ``n_blocks``
+    blocks; every block PAIR (bi ≤ bj) becomes one Spark group, and
+    inside the group numpy computes the cross cosine matrix in
+    ``chunk_rows`` row-chunks (BLAS matmul, bounded memory), emitting
+    only pairs ≥ threshold. Costs: replication O(n·B) shuffle rows,
+    O(n²d/tasks) flops per task — the unavoidable exact cost, but
+    distributed (no driver broadcast, no per-row JVM pair
+    materialization, no CartesianProduct node). Exact to ~10^7 vectors
+    on a cluster.
     """
+    if threshold >= lsh_dispatch_at:
+        return neardup_lsh_pairs(emb, threshold, id_col=id_col)
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -271,17 +361,20 @@ def embedding_neardup_pairs(
         bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
         diag = bi == bj
         a = pdf[pdf["side"] == "a"]
+        b = a if diag else pdf[pdf["side"] == "b"]
+        # empty-side guard BEFORE any np.stack: an off-diagonal group
+        # (bi, bj) exists whenever block bj is nonempty (b_role explodes
+        # all i < blk), so block bi being empty is routine at small n
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                {"src": "int64", "dst": "int64", "cos": "float64"}
+            )
         ids_a = a["id"].to_numpy()
         A = np.stack(a["v"].to_numpy())
         na = a["nrm"].to_numpy()
         if diag:
             ids_b, Bm, nb = ids_a, A, na
         else:
-            b = pdf[pdf["side"] == "b"]
-            if len(b) == 0 or len(a) == 0:
-                return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
-                    {"src": "int64", "dst": "int64", "cos": "float64"}
-                )
             ids_b = b["id"].to_numpy()
             Bm = np.stack(b["v"].to_numpy())
             nb = b["nrm"].to_numpy()

@@ -72,17 +72,22 @@ def build_stream_dedup(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
     The streaming face of Stage A (stage_a_exact.py): as documents
     arrive, only the first row per sha256(content) survives.
-    ``dropDuplicates`` on a streaming DataFrame is Spark's built-in
-    stateful dedup operator; the event-time watermark bounds the state
-    store — a sha not seen for ``watermark`` of event time is evicted,
-    which is the right contract for commit streams (exact re-pushes
-    arrive close together; long-range dedup belongs to the batch
-    backfill, plans/incremental.py). Batch DataFrames run the same
-    expression without state.
+    ``dropDuplicatesWithinWatermark`` is the operator that actually
+    delivers the documented state contract: a sha not seen for
+    ``watermark`` of event time is EVICTED from the state store. Plain
+    ``dropDuplicates(["sha"])`` would keep every sha forever even under
+    a watermark (eviction only happens when the event-time column is
+    part of the dedup subset) — unbounded state on a long-running
+    commit stream. Evict-after-watermark is the right contract here:
+    exact re-pushes arrive close together; long-range dedup belongs to
+    the batch backfill (plans/incremental.py). Batch DataFrames run the
+    same dedup without state.
     """
     keyed = docs.withColumn("sha", F.sha2(F.col("content"), 256))
     if docs.isStreaming:
-        return keyed.withWatermark("ts", watermark).dropDuplicates(["sha"])
+        return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["sha"]
+        )
     return keyed.dropDuplicates(["sha"])
 
 

@@ -93,3 +93,19 @@ def test_resize_images_real_decode_raises(spark):
     media = synthetic_media(spark, 6)
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         resize_images(media, decode="real").collect()
+
+
+def test_resize_images_undersized_source_raises(spark):
+    """ADVICE r2 #4: a source smaller than (or ragged against) the target
+    must fail loudly, not silently emit NaN pixels."""
+    import pytest
+
+    from autovalidate_backend_api_spark.multimodal.binary_ops import resize_images
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", b"\x00" * 64, 4, 4, None)],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    with pytest.raises(Exception, match="not an exact multiple|ValueError"):
+        resize_images(media, target=(8, 8)).collect()
