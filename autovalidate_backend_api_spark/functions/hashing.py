@@ -270,15 +270,23 @@ def oph_signature(shingles: np.ndarray, num_perm: int = PINNED.num_perm) -> np.n
     return sig
 
 
-def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
-    """Combine each band's ``rows`` signature slots into one uint64 key."""
+def band_hashes(sig: np.ndarray, bands: int, rows: int, salt: int = 0) -> np.ndarray:
+    """Combine each band's ``rows`` signature slots into one uint64 key.
+
+    ``salt`` namespaces signature FAMILIES into the same key space (tok
+    bands use salt=0, char bands salt=bands), so the LSH bucket key is
+    ONE long instead of (family:string, band_idx:int, band_hash:long) —
+    the exploded band table is the pipeline's biggest shuffle, and the
+    packed key cuts its row to 16 bytes (VERDICT r2 next-round #1a).
+    """
     with np.errstate(**_ERRSTATE):
         banded = sig.reshape(bands, rows)
         acc = banded[:, 0].copy()
         for j in range(1, rows):
             acc = acc * _POLY + banded[:, j]
-        # fold in the band index so band 0 and band 1 never collide
-        acc = acc * _POLY + np.arange(bands, dtype=_U64)
+        # fold in the (salted) band index so band 0 and band 1 — and the
+        # same band across families — never collide
+        acc = acc * _POLY + (np.arange(bands, dtype=_U64) + _U64(salt))
     return mix64(acc)
 
 

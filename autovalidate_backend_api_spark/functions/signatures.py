@@ -106,8 +106,8 @@ def make_signature_udf(cfg: PipelineConfig = PINNED, include_winnow: bool = True
                     sig_t = H.minhash_signature(sh, a_tok, b_tok)
                     sig_c = H.minhash_signature(np.unique(grams), a_chr, b_chr)
                 sh_out[i] = H.to_int64(sh)
-                bt_out[i] = H.to_int64(H.band_hashes(sig_t, bands, rows))
-                bc_out[i] = H.to_int64(H.band_hashes(sig_c, bands, rows))
+                bt_out[i] = H.to_int64(H.band_hashes(sig_t, bands, rows, salt=0))
+                bc_out[i] = H.to_int64(H.band_hashes(sig_c, bands, rows, salt=bands))
                 n_out[i] = len(sh)
                 sim_out[i] = H.simhash64(grams)
                 if include_winnow:

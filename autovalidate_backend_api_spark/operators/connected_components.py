@@ -71,38 +71,55 @@ def connected_components(
             return df.localCheckpoint(eager=False)
         return df.checkpoint(eager=False)
 
-    # symmetric edge list, no self loops
+    # symmetric edge list, no self loops — hash-partitioned on dst (the
+    # join key of every iteration) so the per-iteration join reuses the
+    # checkpointed partitioning instead of re-exchanging the edge table
+    # each round
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .repartition(cfg.shuffle_partitions, "dst")
     )
     sym = ckpt_lazy(sym)
 
     touched = sym.select(F.col("src").alias("key")).distinct()
     labels = ckpt_lazy(touched.select("key", F.col("key").alias("comp")))
 
-    changed = 0
-    for _ in range(cfg.cc_max_iterations):
+    def propagate(lbls: DataFrame) -> DataFrame:
         # neighbor-min: for each vertex, min comp among neighbors
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.key)
+            sym.join(lbls, sym.dst == lbls.key)
             .select(F.col("src").alias("key"), "comp")
             .groupBy("key")
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "key", "left")
-            .select(
-                "key",
-                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
-                (F.coalesce("nmin", "comp") < F.col("comp")).cast("int").alias("_chg"),
-            )
+        return lbls.drop("_chg").join(neighbor_min, "key", "left").select(
+            "key",
+            F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            (F.coalesce("nmin", "comp") < F.col("comp")).cast("int").alias("_chg"),
         )
-        new_labels = ckpt_lazy(new_labels)
+
+    # TWO propagation steps per driver-synchronized job (VERDICT r2
+    # next-round #1b): the shuffles per step are unchanged, but the
+    # driver round-trips — the non-scaling cost on shallow dup clusters
+    # where each step is fast — halve. Convergence is tested on the
+    # SECOND step only: if it changed nothing, its input was already a
+    # fixpoint (the first step of the pair may be the one that finished
+    # the job — one step of overshoot, never a wrong result).
+    changed = 0
+    it = 0
+    while it < cfg.cc_max_iterations:
+        steps = min(2, cfg.cc_max_iterations - it)
+        it += steps
+        lbls = labels
+        for _ in range(steps):
+            lbls = propagate(lbls)
+        new_labels = ckpt_lazy(lbls)
         # this action materializes the lazy checkpoint AND returns the
-        # convergence metric — one job, not two
+        # convergence metric — one job per TWO iterations, not two jobs
+        # per iteration
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = new_labels.drop("_chg")
         if changed == 0:

@@ -16,9 +16,10 @@ Skew & scale (SURVEY.md §4):
   pairs are overwhelmingly non-dups; their true dup pairs are still
   reachable via their other 31+32 bands. This caps worst-case pair
   explosion at O(buckets · cap²).
-- the candidate join shuffles on (family, band_idx, band_hash) — high
-  cardinality; residual skew is handled by AQE skew-join splitting
-  (enabled in session.py).
+- the candidate join shuffles on a single packed long bucket key
+  (family + band index folded into the band hash at signature time) —
+  high cardinality, 16-byte rows; residual skew is handled by AQE
+  skew-join splitting (enabled in session.py).
 - verification: exact token-shingle Jaccard via a vectorized Arrow UDF
   (np.intersect1d on sorted arrays — Spark's native array_intersect
   boxes per element and measured ~150× slower); SimHash Hamming stays
@@ -62,7 +63,14 @@ def _jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Serie
 
 
 def explode_bands(sigs: DataFrame) -> DataFrame:
-    """(key, family, band_idx, band_hash) — one row per band per family.
+    """(bucket, key) — one 16-byte row per band per family.
+
+    The bucket key is ONE long: family and band index are already folded
+    into the band hash at signature time (hashing.band_hashes salts the
+    band-index fold per family), so the biggest shuffle of the pipeline
+    carries two longs per row instead of (family:string, band_idx:int,
+    band_hash:long, key:long) — ~2.5× fewer shuffle bytes (VERDICT r2
+    next-round #1a).
 
     Zero-shingle docs (empty normalized content) are excluded: their
     sentinel signatures would LSH-match every other empty doc, but empty
@@ -71,16 +79,8 @@ def explode_bands(sigs: DataFrame) -> DataFrame:
     shingle-pair oracles, which generate no shingles for them).
     """
     sigs = sigs.filter(F.col("n_shingles") > 0)
-    tok = sigs.select(
-        "key",
-        F.lit("tok").alias("family"),
-        F.posexplode("bands_tok").alias("band_idx", "band_hash"),
-    )
-    chr_ = sigs.select(
-        "key",
-        F.lit("chr").alias("family"),
-        F.posexplode("bands_chr").alias("band_idx", "band_hash"),
-    )
+    tok = sigs.select(F.explode("bands_tok").alias("bucket"), "key")
+    chr_ = sigs.select(F.explode("bands_chr").alias("bucket"), "key")
     return tok.unionByName(chr_)
 
 
@@ -100,7 +100,7 @@ def candidate_pairs(
     Returns (pairs, dropped_buckets). ``pairs`` columns: src, dst.
     """
     bands = explode_bands(sigs)
-    bucket_cols = ["family", "band_idx", "band_hash"]
+    bucket_cols = ["bucket"]
 
     if cfg.hot_key_precheck:
         # scale-correct order: count first (map-side partial agg — a
