@@ -37,6 +37,11 @@ class PipelineConfig:
     # "classic" = per-permutation multiply-shift MinHash. Participates in
     # config_hash, so changing the scheme invalidates prior checkpoints.
     minhash_scheme: str = "oph"
+    # LSH bucket-key encoding version: "packed-v2" folds family + band
+    # index into the 64-bit band hash (one-long bucket keys, 16-byte
+    # band rows). In config_hash so checkpoints written under the old
+    # (family, band_idx, band_hash) encoding are invalidated, not mixed.
+    band_key_encoding: str = "packed-v2"
     minhash_seed: int = 42
     char_minhash_seed: int = 1337     # char-gram MinHash family (dual scorer)
     # S-curve threshold (1/bands)^(1/rows) ≈ 0.66 < 0.75 verify threshold
@@ -88,6 +93,12 @@ class PipelineConfig:
     hot_key_precheck: bool = True
     salt_buckets: int = 8             # salt factor for hot band-hash keys
     cc_max_iterations: int = 25       # connected-components bound
+    # Size dispatch for connected components: an edge set at or below
+    # this count is collected and solved with driver-side union-find
+    # (milliseconds, zero iterative Spark jobs — dup-pair edge sets are
+    # tiny relative to the corpus); above it the distributed iterative
+    # algorithms run. ~32 MB of driver memory at the default.
+    cc_driver_max_edges: int = 2_000_000
 
     def config_hash(self) -> str:
         """Stable hash of the config — keys checkpoint compatibility."""

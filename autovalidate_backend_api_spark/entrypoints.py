@@ -240,6 +240,27 @@ def ocr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F4 FULL parity: the reference's keyword-gated lookaround confusion map
+# (ocr/main.py:374-387) — fixes run per line, only on BUATAN/NAMA/MODEL
+# lines, only between uppercase letters, sequentially per confusion pair,
+# then '/' and ':' spacing normalization. RE2 (DuckDB) has no lookarounds,
+# so the oracle reproduces each pass as an indexed list_transform
+# (functions/normalize.py:ocr_normalize_gated_oracle_sql; the Spark side
+# uses Java lookbehind/lookahead directly).
+from autovalidate_backend_api_spark.functions.normalize import (  # noqa: E402
+    ocr_normalize_gated_col,
+    ocr_normalize_gated_oracle_sql,
+)
+
+
+@_register("ocr_normalize_gated", ocr_normalize_gated_oracle_sql("documents"))
+def ocr_normalize_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ocr_normalize_gated_col(F.col("text")).alias("ocr_gated")
+    )
+
+
 # F2 normalize_case — Python str.title() parity (app.py:44-48), NOT initcap:
 # .title() uppercases any cased char following an UNCASED char (digits,
 # apostrophes, underscores all reset): "don's 3rd x_y" → "Don'S 3Rd X_Y".

@@ -134,3 +134,105 @@ def clean_text_sql(expr: str) -> str:
         f"{expr}, '{_STRIP}', '', 'g'), '{_WS}+', ' ', 'g'), "
         f"'{_CLEAN_DROP}', '', 'g'))"
     )
+
+
+# --- F4 (full parity): keyword-gated OCR confusion map ----------------------
+# Reference normalize_ocr_text (/root/reference/app/api/ocr/main.py:362-387):
+# per LINE, and only on lines containing BUATAN/NAMA/MODEL (upper-cased
+# check), each confusion fix runs as its own re.sub pass with [A-Z]
+# lookbehind+lookahead — a digit survives unless BOTH neighbors are
+# uppercase letters at the time of ITS pass (passes are sequential: an O
+# produced by the 0-pass can enable the later 5-pass). Lines re-join on
+# \n, then \s+ → ' ', '/' and ':' get single-space padding, then strip.
+# Java regex has lookarounds (the Spark path uses them directly); DuckDB's
+# RE2 does not — the oracle reproduces each pass as an indexed
+# list_transform over the line's characters (decisions against the
+# pre-pass string, exactly re.sub's semantics; title_case_sql technique).
+
+OCR_CHAR_FIXES = (("0", "O"), ("1", "I"), ("5", "S"), ("8", "B"), ("@", "A"), ("4", "A"))
+OCR_KEYWORDS = ("BUATAN", "NAMA", "MODEL")
+
+
+def ocr_normalize_gated_py(text: str) -> str:
+    """Pure-Python reference (ocr/main.py:362-387 parity, ASCII \\s)."""
+    if not text:
+        return ""
+    fixed_lines = []
+    for line in text.split("\n"):
+        if any(kw in line.upper() for kw in OCR_KEYWORDS):
+            for wrong, correct in OCR_CHAR_FIXES:
+                line = re.sub(rf"(?<=[A-Z]){re.escape(wrong)}(?=[A-Z])", correct, line)
+        fixed_lines.append(line)
+    out = "\n".join(fixed_lines)
+    out = re.sub(r"[ \t\n\r\f\x0b]+", " ", out)
+    out = re.sub(r"[ \t\n\r\f\x0b]*/[ \t\n\r\f\x0b]*", " / ", out)
+    out = re.sub(r"[ \t\n\r\f\x0b]*:[ \t\n\r\f\x0b]*", " : ", out)
+    return re.sub(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$", "", out)
+
+
+def ocr_normalize_gated_col(col: Column) -> Column:
+    """Spark-native keyword-gated OCR normalization (Java lookarounds)."""
+    lines = F.split(col, "\n")
+
+    def fix_line(line):
+        fixed = line
+        for wrong, correct in OCR_CHAR_FIXES:
+            fixed = F.regexp_replace(
+                fixed, f"(?<=[A-Z]){re.escape(wrong)}(?=[A-Z])", correct
+            )
+        gate = None
+        for kw in OCR_KEYWORDS:
+            term = F.upper(line).contains(kw)
+            gate = term if gate is None else gate | term
+        return F.when(gate, fixed).otherwise(line)
+
+    joined = F.array_join(F.transform(lines, fix_line), "\n")
+    out = F.regexp_replace(joined, f"{_WS}+", " ")
+    out = F.regexp_replace(out, f"{_WS}*/{_WS}*", " / ")
+    out = F.regexp_replace(out, f"{_WS}*:{_WS}*", " : ")
+    return F.regexp_replace(out, _STRIP, "")
+
+
+def _ocr_pass_sql(wrong: str, correct: str) -> str:
+    """One confusion-fix pass over column ``line`` as an indexed
+    list_transform (RE2-safe lookaround emulation; decisions read the
+    pre-pass string, matching re.sub)."""
+    w = wrong.replace("'", "''")
+    c = correct.replace("'", "''")
+    return (
+        "array_to_string(list_transform(string_split(line, ''), (x, i) -> "
+        f"CASE WHEN x = '{w}' AND i > 1 AND i < length(line) "
+        "AND (line[i-1] BETWEEN 'A' AND 'Z') AND (line[i+1] BETWEEN 'A' AND 'Z') "
+        f"THEN '{c}' ELSE x END), '')"
+    )
+
+
+def ocr_normalize_gated_oracle_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ocr_normalize_gated over ``table``(doc_id, text)."""
+    gate = " OR ".join(f"contains(upper(ls[i]), '{kw}')" for kw in OCR_KEYWORDS)
+    ctes = [
+        f"""lines AS (
+        SELECT doc_id, i AS lnum, ls[i] AS line, ({gate}) AS gated
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {table}),
+             LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i))"""
+    ]
+    prev = "lines"
+    for n, (wrong, correct) in enumerate(OCR_CHAR_FIXES):
+        ctes.append(
+            f"""p{n} AS (
+            SELECT doc_id, lnum, gated,
+                   CASE WHEN gated THEN {_ocr_pass_sql(wrong, correct)}
+                        ELSE line END AS line
+            FROM {prev})"""
+        )
+        prev = f"p{n}"
+    ctes.append(
+        f"""joined AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY lnum) AS t
+        FROM {prev} GROUP BY doc_id)"""
+    )
+    chain = f"regexp_replace(t, '{_WS}+', ' ', 'g')"
+    chain = f"regexp_replace({chain}, '{_WS}*/{_WS}*', ' / ', 'g')"
+    chain = f"regexp_replace({chain}, '{_WS}*:{_WS}*', ' : ', 'g')"
+    chain = f"regexp_replace({chain}, '{_STRIP}', '', 'g')"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, {chain} AS ocr_gated FROM joined"

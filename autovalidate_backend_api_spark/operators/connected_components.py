@@ -27,8 +27,66 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
+
+
+def _driver_union_find(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Small-edge-set fast path: collect the edge list and solve CC with
+    union-find (path compression + union by size) on the driver.
+
+    Dup-pair edge sets are tiny relative to the corpus (49k files → ~30k
+    edges at the bench corpus; the ratio only falls at web scale), and
+    the iterative distributed algorithms pay several driver-synchronized
+    shuffle jobs to propagate labels across what is, in absolute terms,
+    a few MB of longs — pure fixed cost. Collecting ≤ cc_driver_max_edges
+    rows (~32 MB) and solving in-process replaces 4-8 Spark jobs with
+    one collect + one createDataFrame. Representative = min member per
+    component (same contract as the distributed paths; verified against
+    them in tests/test_cc.py).
+    """
+    spark = edges.sparkSession
+    rows = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).collect()
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        for v in (r[0], r[1]):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    # min member per component (cluster_rep contract)
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        if root not in comp_min or v < comp_min[root]:
+            comp_min[root] = v
+    labeled = [(v, comp_min[find(v)]) for v in parent]
+    key_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("key", key_type), T.StructField("cluster_rep", key_type)]
+    )
+    labels = spark.createDataFrame(labeled, schema)
+    touched = spark.createDataFrame([(v,) for v in parent], T.StructType([T.StructField("key", key_type)]))
+    singletons = vertices.join(touched, "key", "left_anti").select(
+        "key", F.col("key").alias("cluster_rep")
+    )
+    return labels.unionByName(singletons)
 
 
 def connected_components(
@@ -62,9 +120,18 @@ def connected_components(
     large-star/small-star, which converges in O(log n) rounds
     regardless of diameter — the self-healing choice for long
     containment chains in unattended backfills; the pipeline uses it).
+
+    SIZE DISPATCH: an edge set ≤ ``cfg.cc_driver_max_edges`` is solved
+    with driver-side union-find instead (``_driver_union_find``) — the
+    iterative algorithms' per-round shuffle jobs are pure fixed cost on
+    a few MB of edges, and were the worst-scaling stage of the pipeline
+    (1.5-1.7× at 2→8 cores, measured). Set the knob to 0 to force the
+    distributed path.
     """
     if on_exhaustion not in ("raise", "star"):
         raise ValueError(on_exhaustion)
+    if cfg.cc_driver_max_edges > 0 and edges.count() <= cfg.cc_driver_max_edges:
+        return _driver_union_find(vertices, edges)
 
     def ckpt_lazy(df: DataFrame) -> DataFrame:
         if use_local_checkpoint:

@@ -144,31 +144,55 @@ def ivf_topk(
     n_centroids: int = 32,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    centroids: str = "sample",
+    kmeans_seed: int = 7,
 ) -> DataFrame:
-    """IVF-flat approximate top-k with DETERMINISTIC sampled centroids.
+    """IVF-flat approximate top-k.
 
     The inverted-file layout every vector-search engine uses (the
     reference's Qdrant collection is IVF-family underneath,
     search.py:149-176): partition vectors into cells around centroids,
     probe only the ``n_probe`` nearest cells per query, re-score
-    exactly. Centroids here are a deterministic sample (the first
-    ``n_centroids`` vectors by id) rather than k-means — balance is
-    worse than trained centroids, but every step is reproducible in
-    pure SQL, so the driver gate checks the whole path (assignment,
-    probe selection, re-score, ranking) against DuckDB. Swap in
-    pyspark.ml KMeans centroids for production balance; the plumbing is
-    identical.
+    exactly.
 
-    Scale shape: centroids broadcast (tiny); cell assignment is one
-    narrow map; the probe join is an equi-join on cell id. Candidate
-    fraction ≈ n_probe / n_centroids.
+    ``centroids`` picks the codebook (VERDICT r2 next-round #6):
+
+    - ``"sample"`` (default, the driver-gate variant): the first
+      ``n_centroids`` vectors by id — a deterministic sample whose every
+      step is reproducible in pure SQL, so the DuckDB oracle checks the
+      whole path (assignment, probe selection, re-score, ranking). Cell
+      balance on skewed corpora is worse than trained centroids.
+    - ``"kmeans"``: pyspark.ml KMeans-trained centroids (seeded) — the
+      production choice on real embedding distributions; balanced cells
+      mean a lower n_probe reaches the same recall (measured in
+      tests/test_similarity.py::test_ivf_kmeans_recall_vs_sampled).
+
+    Scale shape (either codebook): centroids broadcast (tiny); cell
+    assignment is one narrow map; the probe join is an equi-join on
+    cell id. Candidate fraction ≈ n_probe / n_centroids.
     """
+    if centroids not in ("sample", "kmeans"):
+        raise ValueError(centroids)
     base = with_norm(emb).select(
         F.col(id_col).alias("nid"), F.col("_v").alias("nv"), F.col("_norm").alias("nn")
     )
-    cents = with_norm(emb.filter(F.col(id_col) < n_centroids)).select(
-        F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
-    )
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = base.select(array_to_vector(F.col("nv")).alias("features"))
+        model = KMeans(k=n_centroids, seed=kmeans_seed, maxIter=20).fit(feat)
+        rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        cents = (
+            emb.sparkSession.createDataFrame(rows, "cid long, cv array<double>")
+            .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        )
+    else:
+        cents = with_norm(emb.filter(F.col(id_col) < n_centroids)).select(
+            F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
+        )
     # nearest centroid per vector (broadcast the tiny centroid table);
     # ties broken by centroid id for determinism
     sim = F.round(_dot(F.col("nv"), F.col("cv")) / (F.col("nn") * F.col("cn")), 9)

@@ -65,6 +65,20 @@ def exact_pairs(hashed: DataFrame) -> DataFrame:
     )
 
 
+def survivor_keys(hashed: DataFrame) -> DataFrame:
+    """(key, sha) of the representative row per distinct sha — CONTENT-FREE.
+
+    The salted two-phase aggregation already yields the min key per sha,
+    so the survivor set needs no join at all — and, critically, no
+    shuffle of the fat ``content`` column (the r2 shape shuffled every
+    surviving document's bytes by sha here, then AGAIN by key for the
+    signature stage; content now flows through exactly one exchange, the
+    signature stage's repartition-by-key). Callers recover content with
+    a semi-join against the already-cached corpus on ``key``.
+    """
+    return exact_reps(hashed).select(F.col("rep_key").alias("key"), "sha")
+
+
 def survivors(hashed: DataFrame) -> DataFrame:
     """One representative row per distinct sha (the cascade gate P8).
 

@@ -163,6 +163,11 @@ def verify_pairs(
     - SimHash Hamming        = bit_count(xor) (≤ cfg.hamming_max).
 
     Output columns: src, dst, jaccard, hamming, stage.
+
+    (A touched-key semi-join reduction of the signature side was tried
+    and REVERTED: re-evaluating the semi join for the src and dst roles
+    cost more than sorting the full key-partitioned signature table —
+    the partitioning-reuse merge join below is already the cheap shape.)
     """
     src_sig = sigs.select(
         F.col("key").alias("src"),

@@ -141,10 +141,14 @@ def run_pipeline(
         "stage_a_pairs",
         lambda: ckpt.get_or_compute("stage_a_pairs", lambda: A.exact_pairs(hashed)),
     )
+    # survivor selection is content-free (key, sha only): content joins
+    # back via a semi-join on key inside the signature stage, so document
+    # bytes flow through exactly ONE exchange (the repartition-by-key
+    # below) instead of sha-shuffle + key-shuffle
     survivors = timed(
         "stage_a_survivors",
         lambda: ckpt.get_or_compute(
-            "stage_a_survivors", lambda: A.survivors(hashed)
+            "stage_a_survivors", lambda: A.survivor_keys(hashed)
         ),
     )
 
@@ -158,7 +162,11 @@ def run_pipeline(
         "signatures",
         lambda: ckpt.get_or_compute(
             "signatures",
-            lambda: with_signatures(survivors, cfg, include_winnow=True)
+            lambda: with_signatures(
+                hashed.join(survivors.select("key"), "key", "left_semi"),
+                cfg,
+                include_winnow=True,
+            )
             .select(
                 "key", "norm", "shingles", "bands_tok", "bands_chr",
                 "n_shingles", "simhash", "winnow",

@@ -1,16 +1,27 @@
-"""Connected components on known graphs (Stage D)."""
+"""Connected components on known graphs (Stage D).
+
+``connected_components`` size-dispatches small edge sets to driver-side
+union-find; the distributed min-label path is forced here with
+cc_driver_max_edges=0 (it is the subject under test), and a dedicated
+test pins driver ≡ distributed on the same graphs.
+"""
 
 from __future__ import annotations
 
+import dataclasses
+
+from autovalidate_backend_api_spark.config import PINNED
 from autovalidate_backend_api_spark.operators.connected_components import (
     connected_components,
 )
 
+DIST_CFG = dataclasses.replace(PINNED, cc_driver_max_edges=0)
 
-def _run(spark, vertices, edges):
+
+def _run(spark, vertices, edges, cfg=DIST_CFG):
     vdf = spark.createDataFrame([(v,) for v in vertices], "key string")
     edf = spark.createDataFrame(edges, "src string, dst string")
-    out = connected_components(vdf, edf)
+    out = connected_components(vdf, edf, cfg)
     return {r["key"]: r["cluster_rep"] for r in out.collect()}
 
 
@@ -47,11 +58,13 @@ def test_input_order_invariance(spark):
 
 
 def test_empty_edges_all_singletons(spark):
-    vdf = spark.createDataFrame([(v,) for v in "abc"], "key string")
-    edf = spark.createDataFrame([], "src string, dst string")
-    out = connected_components(vdf, edf)
-    got = {r["key"]: r["cluster_rep"] for r in out.collect()}
-    assert got == {"a": "a", "b": "b", "c": "c"}
+    # both dispatch branches must handle zero edges
+    for cfg in (PINNED, DIST_CFG):
+        vdf = spark.createDataFrame([(v,) for v in "abc"], "key string")
+        edf = spark.createDataFrame([], "src string, dst string")
+        out = connected_components(vdf, edf, cfg)
+        got = {r["key"]: r["cluster_rep"] for r in out.collect()}
+        assert got == {"a": "a", "b": "b", "c": "c"}
 
 
 def test_nonconvergence_raises(spark):
@@ -63,7 +76,7 @@ def test_nonconvergence_raises(spark):
 
     from autovalidate_backend_api_spark.config import PINNED
 
-    cfg = dataclasses.replace(PINNED, cc_max_iterations=2)
+    cfg = dataclasses.replace(PINNED, cc_max_iterations=2, cc_driver_max_edges=0)
     vdf = spark.createDataFrame([(v,) for v in "abcdefgh"], "key string")
     chain = [(chr(c), chr(c + 1)) for c in range(ord("a"), ord("h"))]
     edf = spark.createDataFrame(chain, "src string, dst string")
@@ -142,7 +155,7 @@ def test_exhaustion_star_fallback(spark):
 
     from autovalidate_backend_api_spark.config import PINNED
 
-    cfg = dataclasses.replace(PINNED, cc_max_iterations=2)
+    cfg = dataclasses.replace(PINNED, cc_max_iterations=2, cc_driver_max_edges=0)
     n = 12
     keys = [f"v{i:02d}" for i in range(n)]
     chain = [(keys[i], keys[i + 1]) for i in range(n - 1)]
@@ -151,3 +164,29 @@ def test_exhaustion_star_fallback(spark):
     out = connected_components(vdf, edf, cfg, on_exhaustion="star")
     got = {r["key"]: r["cluster_rep"] for r in out.collect()}
     assert set(got.values()) == {"v00"} and len(got) == n
+
+
+def test_driver_union_find_matches_distributed(spark):
+    """The size-dispatched driver union-find (the default path for small
+    edge sets) must agree with BOTH distributed algorithms on known and
+    random graphs, including representative choice (min member)."""
+    import random
+
+    cases = [
+        (list("abcd"), [("a", "b"), ("a", "c"), ("a", "d")]),
+        (list("abcde"), [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a")]),
+        (list("abcdefg"), [("a", "b"), ("b", "c"), ("e", "f")]),
+        (["z", "m", "a"], [("z", "m"), ("m", "a")]),
+    ]
+    for seed in (4, 5):
+        rng = random.Random(seed)
+        keys = [f"k{i:02d}" for i in range(50)]
+        edges = [
+            (keys[rng.randrange(50)], keys[rng.randrange(50)]) for _ in range(40)
+        ]
+        cases.append((keys, [(a, b) for a, b in edges if a != b]))
+    for verts, edges in cases:
+        driver = _run(spark, verts, edges, PINNED)      # dispatches to union-find
+        dist = _run(spark, verts, edges, DIST_CFG)      # forced min-label
+        star = _run_star(spark, verts, edges)
+        assert driver == dist == star

@@ -196,3 +196,67 @@ def test_clean_reference_double_space_preserved():
     from autovalidate_backend_api_spark.functions.normalize import clean_text_py
 
     assert clean_text_py("a , b") == "A  B"
+
+
+# --- F4 keyword-gated OCR normalization parity (VERDICT r2 next-round #5) ---
+
+from autovalidate_backend_api_spark.functions.normalize import (  # noqa: E402
+    ocr_normalize_gated_oracle_sql,
+    ocr_normalize_gated_py,
+)
+
+OCR_CASES = [
+    "NAMA: J0HN D0E\nmodel x1z\nBUATAN 4BC / 1985",
+    "MODEL A0B5C\nS1S1S NAMA\nplain 0 line / x",
+    "BUATAN A05B\nA0B8C MODEL",
+    "",
+    "no keywords 0 1 5 / : here",
+    "  NAMA\t X4Y /Z ",
+    "nama lower gate is case-insensitive via upper(): 0X0",
+    "MODEL @@ A@B @4@ X@Y",
+    "NAMA A1B1C1D",
+    "MODEL 1985 / X0X : Y",
+    "NAMA X0Y where 0 fix enables 5: A0B then A5B -> AOB A5B?\nMODEL C0D5E",
+]
+
+_ocr_tokens = list("AB01458@az/:- \t") + ["NAMA", "MODEL", "BUATAN", "X0Y", "A5B"]
+ocr_line = st.lists(st.sampled_from(_ocr_tokens), max_size=8)
+
+
+@pytest.mark.parametrize("s", OCR_CASES)
+def test_ocr_gated_python_vs_duckdb(s, duck):
+    duck.execute("CREATE OR REPLACE TABLE t(doc_id INT, text VARCHAR)")
+    duck.execute("INSERT INTO t VALUES (0, ?)", [s])
+    got = duck.execute(ocr_normalize_gated_oracle_sql("t")).fetchone()[1]
+    assert got == ocr_normalize_gated_py(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(parts=st.lists(ocr_line, max_size=4))
+def test_ocr_gated_python_vs_duckdb_fuzz(parts):
+    s = "\n".join("".join(p) for p in parts) if parts else ""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id INT, text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (0, ?)", [s])
+    got = con.execute(ocr_normalize_gated_oracle_sql("t")).fetchone()[1]
+    assert got == ocr_normalize_gated_py(s)
+
+
+def test_ocr_gated_spark_vs_python(spark):
+    from pyspark.sql import functions as F
+
+    from autovalidate_backend_api_spark.functions.normalize import (
+        ocr_normalize_gated_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(OCR_CASES)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["out"]
+        for r in df.select(
+            "doc_id", ocr_normalize_gated_col(F.col("text")).alias("out")
+        ).collect()
+    }
+    for i, s in enumerate(OCR_CASES):
+        assert got[i] == ocr_normalize_gated_py(s), f"case {i}: {s!r}"
