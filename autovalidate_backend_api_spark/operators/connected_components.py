@@ -32,6 +32,46 @@ from pyspark.sql import types as T
 from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
 
 
+def union_find_labels(rows) -> list[tuple]:
+    """Union-find (path compression + union by size) over collected edge
+    rows; returns [(vertex, min_member_of_its_component), ...] for the
+    edge-TOUCHED vertices only. The in-process core of the small-edge-set
+    CC fast path — callers that know the touched/untouched split (e.g.
+    the pipeline's id→key translation) use it directly to keep untouched
+    vertices out of every subsequent join."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a == b:
+            continue
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        if root not in comp_min or v < comp_min[root]:
+            comp_min[root] = v
+    return [(v, comp_min[find(v)]) for v in parent]
+
+
 def _driver_union_find(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """Small-edge-set fast path: collect the edge list and solve CC with
     union-find (path compression + union by size) on the driver.
@@ -48,41 +88,15 @@ def _driver_union_find(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """
     spark = edges.sparkSession
     rows = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).collect()
-    parent: dict = {}
-    size: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in rows:
-        for v in (r[0], r[1]):
-            if v not in parent:
-                parent[v] = v
-                size[v] = 1
-        ra, rb = find(r[0]), find(r[1])
-        if ra != rb:
-            if size[ra] < size[rb]:
-                ra, rb = rb, ra
-            parent[rb] = ra
-            size[ra] += size[rb]
-    # min member per component (cluster_rep contract)
-    comp_min: dict = {}
-    for v in parent:
-        root = find(v)
-        if root not in comp_min or v < comp_min[root]:
-            comp_min[root] = v
-    labeled = [(v, comp_min[find(v)]) for v in parent]
+    labeled = union_find_labels(rows)
     key_type = edges.schema["src"].dataType
     schema = T.StructType(
         [T.StructField("key", key_type), T.StructField("cluster_rep", key_type)]
     )
     labels = spark.createDataFrame(labeled, schema)
-    touched = spark.createDataFrame([(v,) for v in parent], T.StructType([T.StructField("key", key_type)]))
+    touched = spark.createDataFrame(
+        [(v,) for v, _ in labeled], T.StructType([T.StructField("key", key_type)])
+    )
     singletons = vertices.join(touched, "key", "left_anti").select(
         "key", F.col("key").alias("cluster_rep")
     )

@@ -109,6 +109,15 @@ def candidate_pairs(
         # materializes a giant member array in a single task. This is
         # the explicit skew guard of SURVEY.md §4; AQE skew-join can't
         # help inside an aggregation.
+        #
+        # ONE exchange serves both aggregations: the band table is
+        # explicitly hash-partitioned on the bucket key, so the size
+        # count AND the member collect both group on their child's
+        # partitioning (no second exchange — Spark reuses the shuffle
+        # via ReusedExchange). The hot-bucket anti-join moves
+        # post-shuffle; hot rows ride the one exchange but never reach a
+        # collect_list. Halves the largest shuffle of the pipeline.
+        bands = bands.repartition(cfg.shuffle_partitions, *bucket_cols)
         sizes = bands.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
         dropped = sizes.filter(F.col("bucket_n") > cfg.max_band_bucket)
         bands = bands.join(

@@ -90,6 +90,9 @@ def fingerprint_candidates(
         # rescue costs no extra pass over the exploded fingerprint table
         # (VERDICT r2 "What's wrong" #1: the r2 rescue re-joined the full
         # items table unconditionally — a 23% bench regression).
+        # One explicit exchange on fp serves both the size count and the
+        # member collect (ReusedExchange — see stage_b_lsh).
+        items = items.repartition(cfg.shuffle_partitions, "fp")
         sizes = items.groupBy("fp").agg(
             F.count("*").alias("bucket_n"),
             F.sum(F.col("m.is_poor").cast("int")).alias("poor_n"),

@@ -236,6 +236,43 @@ def run_pipeline(
                 f"xxhash64 key collision ({chk['n_keys'] - chk['n_ids']}): "
                 "switch to the 128-bit id documented above"
             )
+        n_edges = confirmed.count()  # cheap: confirmed is checkpointed/persisted
+        if cfg.cc_driver_max_edges > 0 and n_edges <= cfg.cc_driver_max_edges:
+            # small-edge-set fast path (the overwhelmingly common case —
+            # dup pairs ≪ corpus): solve CC with driver union-find and
+            # translate ids → keys with BROADCAST map-side joins over the
+            # persisted keymap. Only edge-TOUCHED vertices (≤ 2·edges)
+            # enter any join; every untouched file is its own
+            # representative by identity — no wide shuffle of the full
+            # 147k/10^12-row label table just to translate singletons.
+            from autovalidate_backend_api_spark.operators.connected_components import (
+                union_find_labels,
+            )
+
+            labeled = union_find_labels(
+                confirmed.select("src", "dst").collect()
+            )
+            if not labeled:
+                return keymap.select(
+                    F.col("key_str").alias("key"),
+                    F.col("key_str").alias("cluster_rep"),
+                )
+            t_labels = spark.createDataFrame(
+                labeled, "id bigint, comp bigint"
+            )
+            with_keys = keymap.join(F.broadcast(t_labels), "id").select(
+                "key_str", "comp"
+            )
+            reps = with_keys.groupBy("comp").agg(F.min("key_str").alias("rep_key"))
+            multi = with_keys.join(F.broadcast(reps), "comp").select(
+                F.col("key_str").alias("key"), F.col("rep_key").alias("cluster_rep")
+            )
+            singles = keymap.join(
+                F.broadcast(t_labels.select("id")), "id", "left_anti"
+            ).select(
+                F.col("key_str").alias("key"), F.col("key_str").alias("cluster_rep")
+            )
+            return multi.unionByName(singles)
         vertices = hashed.select("key").distinct()
         # star fallback: an unattended 10^12-file backfill must not die
         # on one deep containment chain — large-star/small-star finishes
