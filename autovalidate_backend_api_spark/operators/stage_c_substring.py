@@ -26,14 +26,8 @@ produced nothing (search.py:140).
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
 
@@ -136,44 +130,48 @@ def fingerprint_candidates(
         "members",
         lambda m: F.when(is_rescue, m.is_poor).otherwise(m.is_probe),
     )
+    # DIRECTED pair emission (prober → member) so the subset prefilter
+    # can run HERE, on counts, instead of downstream on fat winnow-array
+    # joins: containment A ⊆ B implies every surviving probe fingerprint
+    # of A is a bucket where A probes and B is a member, so the directed
+    # share count equals A's surviving-probe count exactly. Requiring
+    # shared_n == probe_n is therefore recall-free for true containments
+    # and kills the boilerplate mass (a rich doc sharing 2 of its 40
+    # probe fingerprints is not contained). This replaced a phase-1
+    # subset UDF over every candidate's full fingerprint arrays —
+    # measured 1.64M candidate pairs → ~20k at the 147k-file corpus,
+    # deleting a multi-GB verify shuffle.
     pair_arr = F.flatten(
         F.transform(
             probes,
             lambda p: F.transform(
                 F.col("members"),
-                lambda m: F.struct(
-                    F.least(p.key, m.key).alias("src"),
-                    F.greatest(p.key, m.key).alias("dst"),
-                ),
+                lambda m: F.struct(p.key.alias("pkey"), m.key.alias("okey")),
             ),
         )
     )
-    pairs = (
+    directed = (
         kept.select(F.explode(pair_arr).alias("pr"))
-        .select("pr.src", "pr.dst")
-        .filter(F.col("src") != F.col("dst"))
+        .select("pr.pkey", "pr.okey")
+        .filter(F.col("pkey") != F.col("okey"))
     )
-    return pairs.distinct(), dropped
-
-
-@F.pandas_udf(T.BooleanType())
-def _subset_udf(
-    it: "Iterator[tuple[pd.Series, pd.Series]]",
-) -> "Iterator[pd.Series]":
-    """True iff the smaller sorted-long array ⊆ the larger one
-    (vectorized np.intersect1d — the norm-free containment prefilter)."""
-    for wa, wb in it:
-        out = np.empty(len(wa), dtype=bool)
-        for i in range(len(wa)):
-            a, b = wa.iloc[i], wb.iloc[i]
-            small, big = (a, b) if len(a) <= len(b) else (b, a)
-            if len(small) == 0:
-                out[i] = False
-                continue
-            out[i] = (
-                np.intersect1d(small, big, assume_unique=True).size == len(small)
-            )
-        yield pd.Series(out)
+    # fp is unique per bucket row ⇒ plain counts are distinct-bucket counts
+    shared = directed.groupBy("pkey", "okey").agg(F.count("*").alias("shared_n"))
+    probe_n = (
+        kept.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.key").alias("pkey"))
+        .agg(F.count("*").alias("probe_n"))
+    )
+    pairs = (
+        shared.join(F.broadcast(probe_n), "pkey")
+        .filter(F.col("shared_n") == F.col("probe_n"))
+        .select(
+            F.least("pkey", "okey").alias("src"),
+            F.greatest("pkey", "okey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs, dropped
 
 
 def verify_containment(
@@ -187,23 +185,16 @@ def verify_containment(
     excluded from the operator's definition on BOTH the pipeline and
     oracle side.
 
-    Two phases so the fat ``norm`` strings shuffle only for survivors:
-    1. fingerprint-subset prefilter on the compact winnow arrays
-       (containment ⇒ fps(small) ⊆ fps(big); cheap vectorized UDF);
-    2. exact native contains() on normalized text for phase-1 survivors.
+    The fingerprint-subset prefilter runs inside candidate generation
+    (``fingerprint_candidates`` count-equality — it is the same subset
+    test expressed on shared-bucket counts), so the pairs arriving here
+    are already near-containments and the fat ``norm`` strings join for
+    a small survivor set directly.
 
     Output: src, dst, jaccard(=length ratio small/big), hamming(=-1
     sentinel), stage='substring'.
     """
-    src_fp = sigs.select(F.col("key").alias("src"), F.col("winnow").alias("w_a"))
-    dst_fp = sigs.select(F.col("key").alias("dst"), F.col("winnow").alias("w_b"))
-    phase1 = (
-        pairs.hint("merge").join(src_fp, "src")
-        .hint("merge")
-        .join(dst_fp, "dst")
-        .filter(_subset_udf("w_a", "w_b"))
-        .select("src", "dst")
-    )
+    phase1 = pairs
 
     src_sig = sigs.select(F.col("key").alias("src"), F.col("norm").alias("norm_a"))
     dst_sig = sigs.select(F.col("key").alias("dst"), F.col("norm").alias("norm_b"))
