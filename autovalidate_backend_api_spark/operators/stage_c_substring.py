@@ -162,8 +162,11 @@ def fingerprint_candidates(
         .groupBy(F.col("p.key").alias("pkey"))
         .agg(F.count("*").alias("probe_n"))
     )
+    # NO broadcast hint: probe_n is corpus-sized (one row per probing
+    # doc) — AQE broadcasts it at bench scale and falls back to a
+    # shuffle join at web scale where a forced broadcast would OOM
     pairs = (
-        shared.join(F.broadcast(probe_n), "pkey")
+        shared.join(probe_n, "pkey")
         .filter(F.col("shared_n") == F.col("probe_n"))
         .select(
             F.least("pkey", "okey").alias("src"),
