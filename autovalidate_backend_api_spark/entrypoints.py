@@ -1042,6 +1042,56 @@ def typo_eval_passrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-stats depth (training-data pipeline sizing): EXACT length
+# quantiles per language — Spark's percentile() and DuckDB's
+# quantile_cont share the linear-interpolation definition, so the gate
+# compares exact values (approx_percentile would not be oracle-stable).
+@_register(
+    "doc_length_quantiles",
+    f"""WITH n AS (SELECT lang, CAST(len({_NORM_SQL}) AS BIGINT) AS nlen FROM documents)
+        SELECT lang,
+               round(quantile_cont(nlen, 0.25), 6) AS p25,
+               round(quantile_cont(nlen, 0.50), 6) AS p50,
+               round(quantile_cont(nlen, 0.75), 6) AS p75,
+               round(quantile_cont(nlen, 0.95), 6) AS p95,
+               count(*) AS n_docs
+        FROM n GROUP BY lang""",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    nlen = F.length(normalize_text_col(F.col("text"))).cast("bigint")
+    base = docs.select("lang", nlen.alias("nlen"))
+    return base.groupBy("lang").agg(
+        F.round(F.expr("percentile(nlen, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(nlen, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(nlen, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(nlen, 0.95)"), 6).alias("p95"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# Global top-k terms of the normalized corpus (count desc, term asc
+# tiebreak) — explode → map-side-combinable count → global top-k, the
+# corpus-vocabulary shape every data pipeline reports.
+@_register(
+    "top_terms",
+    f"""WITH t AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents)
+        SELECT term, count(*) AS n FROM t WHERE term != ''
+        GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
