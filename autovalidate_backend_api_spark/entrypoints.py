@@ -1042,6 +1042,83 @@ def typo_eval_passrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Running (cumulative) aggregate window — the W-family beyond ranking:
+# per-customer running order total in order-date order, exact decimal
+# arithmetic, final value cast to DOUBLE on both engines.
+@_register(
+    "customer_running_total",
+    """SELECT o_custkey, o_orderkey,
+              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(18,2)) AS DOUBLE) AS running_total
+       FROM orders""",
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ntile bucketing (quartiles of customer balance within each segment) —
+# deterministic tiebreak on the key so both engines agree row-for-row.
+@_register(
+    "customer_balance_quartiles",
+    """SELECT c_custkey, c_mktsegment AS segment,
+              CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+       FROM customer""",
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# lag/delta window (day-over-day event volume change per type)
+@_register(
+    "event_type_daily_delta",
+    """WITH d AS (SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                         count(*) AS n
+                  FROM events GROUP BY 1, 2)
+       SELECT event_type, day, n,
+              CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY day), 0) AS BIGINT) AS delta
+       FROM d""",
+)
+def event_type_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("delta"),
+    )
+
+
 # Corpus-stats depth (training-data pipeline sizing): EXACT length
 # quantiles per language — Spark's percentile() and DuckDB's
 # quantile_cont share the linear-interpolation definition, so the gate
