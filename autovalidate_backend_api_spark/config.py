@@ -97,7 +97,11 @@ class PipelineConfig:
     # this count is collected and solved with driver-side union-find
     # (milliseconds, zero iterative Spark jobs — dup-pair edge sets are
     # tiny relative to the corpus); above it the distributed iterative
-    # algorithms run. ~32 MB of driver memory at the default.
+    # algorithms run. Driver memory at the 2M cap (revised, ADVICE r3):
+    # the Arrow collect lands two flat int64 columns (~32 MB), but
+    # union-find's parent/size dicts hold up to 4M Python int keys —
+    # ~400-600 MB peak. Fine for the multi-GB driver heaps this targets;
+    # lower it on small drivers (the distributed path is always correct).
     cc_driver_max_edges: int = 2_000_000
 
     def config_hash(self) -> str:

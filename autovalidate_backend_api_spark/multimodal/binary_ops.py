@@ -149,18 +149,24 @@ def resize_images(
                         "— plug the real decoder here"
                     )
                 w, h = int(w), int(h)
-                # block-mean pooling requires source dims to be exact
-                # multiples of the target — an undersized or ragged
-                # source would reshape through a zero-length axis and
-                # silently emit NaN pixels. Fail loudly instead; a real
-                # resampler interpolates, the PLAN is identical.
-                if w < tw or h < th or w % tw or h % th:
+                # block-mean pooling needs exact-multiple dims. An
+                # UNDERSIZED source would reshape through a zero-length
+                # axis and silently emit NaN pixels — fail loudly. An
+                # OVERSIZED ragged source (1080p → 64-multiples) is
+                # routine: center-crop to the largest exact multiple,
+                # like every real resize-to-grid preprocessor (ADVICE
+                # r3 — the blanket raise broke previously-valid inputs).
+                if w < tw or h < th:
                     raise ValueError(
                         f"resize_images(media_id={int(mid)}): source {w}x{h} "
-                        f"is not an exact multiple of target {tw}x{th}"
+                        f"is smaller than target {tw}x{th}"
                     )
                 px = _fake_decode_pixels(bytes(payload), w, h)
-                pooled = px.reshape(th, h // th, tw, w // tw).mean(axis=(1, 3))
+                cw, ch = (w // tw) * tw, (h // th) * th
+                if cw != w or ch != h:
+                    x0, y0 = (w - cw) // 2, (h - ch) // 2
+                    px = px[y0 : y0 + ch, x0 : x0 + cw]
+                pooled = px.reshape(th, ch // th, tw, cw // tw).mean(axis=(1, 3))
                 out.append(
                     {
                         "media_id": int(mid),

@@ -81,14 +81,17 @@ def _driver_union_find(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     the iterative distributed algorithms pay several driver-synchronized
     shuffle jobs to propagate labels across what is, in absolute terms,
     a few MB of longs — pure fixed cost. Collecting ≤ cc_driver_max_edges
-    rows (~32 MB) and solving in-process replaces 4-8 Spark jobs with
-    one collect + one createDataFrame. Representative = min member per
-    component (same contract as the distributed paths; verified against
-    them in tests/test_cc.py).
+    rows and solving in-process replaces 4-8 Spark jobs with one collect
+    + one createDataFrame. The collect goes through Arrow (``toPandas``)
+    — row-collect() materializes one PySpark Row object per edge, which
+    at the 2M-edge cap is hundreds of MB of Python objects before
+    union-find even starts (ADVICE r3); Arrow lands two flat columns.
+    Representative = min member per component (same contract as the
+    distributed paths; verified against them in tests/test_cc.py).
     """
     spark = edges.sparkSession
-    rows = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).collect()
-    labeled = union_find_labels(rows)
+    pdf = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).toPandas()
+    labeled = union_find_labels(list(zip(pdf["src"].tolist(), pdf["dst"].tolist())))
     key_type = edges.schema["src"].dataType
     schema = T.StructType(
         [T.StructField("key", key_type), T.StructField("cluster_rep", key_type)]

@@ -249,8 +249,12 @@ def run_pipeline(
                 union_find_labels,
             )
 
+            # Arrow collect: two flat int64 columns, not 2M Row objects
+            # (ADVICE r3 — the row-collect path was the real memory cost
+            # behind cc_driver_max_edges, not the "~32 MB of longs")
+            _edges_pd = confirmed.select("src", "dst").toPandas()
             labeled = union_find_labels(
-                confirmed.select("src", "dst").collect()
+                list(zip(_edges_pd["src"].tolist(), _edges_pd["dst"].tolist()))
             )
             if not labeled:
                 return keymap.select(
@@ -260,15 +264,21 @@ def run_pipeline(
             t_labels = spark.createDataFrame(
                 labeled, "id bigint, comp bigint"
             )
-            with_keys = keymap.join(F.broadcast(t_labels), "id").select(
+            # broadcast only while the label table is actually small:
+            # near the 2M-edge dispatch cap it can reach ~4M rows
+            # (~64 MB serialized) — force-broadcasting that overrides
+            # autoBroadcastJoinThreshold and serializes through the
+            # driver (ADVICE r3). Past the bound, plain joins + AQE.
+            _bc = F.broadcast if len(labeled) <= 500_000 else (lambda df: df)
+            with_keys = keymap.join(_bc(t_labels), "id").select(
                 "key_str", "comp"
             )
             reps = with_keys.groupBy("comp").agg(F.min("key_str").alias("rep_key"))
-            multi = with_keys.join(F.broadcast(reps), "comp").select(
+            multi = with_keys.join(_bc(reps), "comp").select(
                 F.col("key_str").alias("key"), F.col("rep_key").alias("cluster_rep")
             )
             singles = keymap.join(
-                F.broadcast(t_labels.select("id")), "id", "left_anti"
+                _bc(t_labels.select("id")), "id", "left_anti"
             ).select(
                 F.col("key_str").alias("key"), F.col("key_str").alias("cluster_rep")
             )

@@ -32,6 +32,12 @@ from autovalidate_backend_api_spark.session import build_session  # noqa: E402
 
 BENCH_N_BASE = int(os.environ.get("BENCH_N_BASE", "20000"))
 WARMUP_N_BASE = int(os.environ.get("BENCH_WARMUP_N_BASE", "1500"))
+# Gate queries run min-of-N (VERDICT r3 next-round #1): one draw per
+# query let a single noisy scheduler window decide the round's record
+# (r3: minhash 9.65→11.04 s in the driver artifact while the same
+# operators got faster inside the pipeline). sf0.1 gates cost ~1-10 s
+# each, so 3 trials is cheap; per-trial walls go to extra.gate_trials.
+GATE_TRIALS = int(os.environ.get("BENCH_GATE_TRIALS", "3"))
 
 GATE_QUERIES = [
     "minhash_lsh_dedup_pairs",
@@ -78,12 +84,23 @@ def main() -> None:
     extra["files_per_sec"] = round(n_files / wall, 1)
     extra["pipeline_stages_ms"] = {m["stage"]: m["wall_ms"] for m in res.metrics}
 
-    # ---- gate queries at sf_dir ------------------------------------------
+    # ---- gate queries at sf_dir: min of GATE_TRIALS ----------------------
     queries = entrypoints.queries()
+    gate_trials: dict[str, list[float]] = {}
     for name in GATE_QUERIES:
-        t0 = time.monotonic()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        walls = []
+        for _ in range(GATE_TRIALS):
+            # drop every cached relation first: the similarity gates
+            # persist() their signature table, and Spark's CacheManager
+            # matches canonicalized plans — trial 2 would silently read
+            # trial 1's cache and "measure" a cache hit, not the query
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            walls.append(round(time.monotonic() - t0, 3))
+        gate_trials[name] = walls
+        timings[name] = min(walls)
+    extra["gate_trials"] = gate_trials
 
     total = round(sum(timings.values()), 3)
     print(

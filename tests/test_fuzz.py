@@ -40,3 +40,90 @@ def test_scorer_selection_rule():
     assert reference_scorer("merc benz") is token_sort_ratio
     assert reference_scorer("wolkswagenx") is token_sort_ratio
     assert reference_scorer("benz") is ratio
+
+
+# ---------------------------------------------------------------------------
+# rapidfuzz edge-parity hardening (VERDICT r3 next-round #6): property-test
+# `ratio` against rapidfuzz's PUBLISHED definition — normalized Indel
+# similarity, ratio = 100·(1 − indel/(|a|+|b|)) with indel = |a| + |b| −
+# 2·LCS — using an independent O(nm) DP in the test (no library needed).
+# Adversarial regimes: unicode (incl. astral planes), empty strings,
+# repeated characters, and lengths past 64 (rapidfuzz switches to a
+# blockwise bit-parallel kernel there; our numpy DP has no word boundary,
+# but the boundary is where a port bug would hide).
+#
+# Documented contract DELTA vs rapidfuzz.fuzz.ratio (kept deliberately):
+# no `processor=` hook (the reference passes none) and no `score_cutoff=`
+# short-circuit — score_cutoff only changes the return value to 0.0 when
+# the true score is below the cutoff, never the comparison outcome at the
+# reference's fixed threshold-75 usage (search.py:110,125).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from autovalidate_backend_api_spark.functions.fuzz import lcs_len
+
+
+def _indel_dp(a: str, b: str) -> int:
+    """Textbook O(nm) Indel (Levenshtein w/o substitution) distance."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = prev[j - 1] if ca == cb else 1 + min(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+_uni = st.text(max_size=90)  # hypothesis default excludes lone surrogates
+_rep = st.builds(
+    lambda ch, n, tail: ch * n + tail,
+    st.characters(), st.integers(0, 80), st.text(max_size=6),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(_uni, _rep), st.one_of(_uni, _rep))
+def test_ratio_matches_published_indel_definition(a, b):
+    expected = (
+        100.0
+        if len(a) + len(b) == 0
+        else 100.0 * (1.0 - _indel_dp(a, b) / (len(a) + len(b)))
+    )
+    assert abs(ratio(a, b) - expected) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(_uni, _uni)
+def test_ratio_symmetric_and_bounded(a, b):
+    r = ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == ratio(b, a)
+    # 100 iff equal (indel distance is a metric)
+    assert (r == 100.0) == (a == b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_uni)
+def test_ratio_identity_and_empty(a):
+    assert ratio(a, a) == 100.0
+    assert ratio("", a) == (100.0 if a == "" else 0.0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab é\U0001f600", max_size=40),
+       st.text(alphabet="ab é\U0001f600", max_size=40))
+def test_token_sort_ratio_permutation_invariant(a, b):
+    toks = a.split()
+    import random as _r
+    shuffled = list(toks)
+    _r.Random(7).shuffle(shuffled)
+    assert token_sort_ratio(" ".join(shuffled), b) == token_sort_ratio(a, b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=65, max_size=200), st.text(min_size=65, max_size=200))
+def test_lcs_past_word_boundary(a, b):
+    # cross-check the numpy row-DP LCS against the Indel identity
+    # 2·LCS = |a| + |b| − indel on >64-char inputs
+    assert 2 * lcs_len(a, b) == len(a) + len(b) - _indel_dp(a, b)

@@ -1,0 +1,126 @@
+"""The backend="iceberg" dry-run path (VERDICT r3 next-round #7).
+
+The sandbox has no Iceberg runtime jar, so a real catalog cannot be
+instantiated — but the call SEQUENCE (capability probe → DDL →
+DataFrameWriterV2 append / overwritePartitions / createOrReplace →
+manifest → resume skip) is real code that must have executed at least
+once. A recorder stands in for the writer the Iceberg jar would back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from autovalidate_backend_api_spark.sources.checkpoint import (
+    CheckpointManager,
+    IcebergTableIO,
+    iceberg_available,
+)
+
+CATALOG = "dedup_cat"
+
+
+class RecorderWriterV2:
+    """Stands in for DataFrameWriterV2; records the exact call chain."""
+
+    def __init__(self, calls: list, table: str):
+        self._calls = calls
+        self._table = table
+        self._using = None
+
+    def using(self, fmt: str):
+        self._using = fmt
+        return self
+
+    def append(self):
+        self._calls.append(("append", self._table, self._using))
+
+    def overwritePartitions(self):
+        self._calls.append(("overwritePartitions", self._table, self._using))
+
+    def createOrReplace(self):
+        self._calls.append(("createOrReplace", self._table, self._using))
+
+
+@pytest.fixture()
+def mock_catalog(spark, monkeypatch):
+    """Configure the catalog key (probe passes) + record writeTo chains."""
+    calls: list = []
+    spark.conf.set(f"spark.sql.catalog.{CATALOG}", "mock.SparkCatalog")
+    # patch the CONCRETE DataFrame class: pyspark 4's classic session
+    # subclasses pyspark.sql.DataFrame and overrides writeTo, so
+    # patching the abstract base would leave the real method in place
+    concrete_df_cls = type(spark.range(1))
+    monkeypatch.setattr(
+        concrete_df_cls, "writeTo", lambda self, table: RecorderWriterV2(calls, table)
+    )
+    yield calls
+    spark.conf.unset(f"spark.sql.catalog.{CATALOG}")
+
+
+def test_probe_fails_closed_without_catalog(spark):
+    assert not iceberg_available(spark, "no_such_catalog")
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergTableIO(spark, "no_such_catalog")
+
+
+def test_writer_call_sequences(spark, mock_catalog):
+    calls = mock_catalog
+    io = IcebergTableIO(spark, CATALOG)
+    df = spark.range(3).toDF("id")
+    io.append("confirmed_pairs", df)
+    io.overwrite_partitions("stage_metrics", df)
+    io.create_or_replace("clusters", df)
+    assert calls == [
+        ("append", f"{CATALOG}.dedup.confirmed_pairs", None),
+        ("overwritePartitions", f"{CATALOG}.dedup.stage_metrics", None),
+        ("createOrReplace", f"{CATALOG}.dedup.clusters", "iceberg"),
+    ]
+
+
+def test_ensure_table_issues_ddl(spark, mock_catalog, monkeypatch):
+    issued = []
+    monkeypatch.setattr(
+        type(spark), "sql", lambda self, q, *a, **k: issued.append(q)
+    )
+    io = IcebergTableIO(spark, CATALOG)
+    io.ensure_table("confirmed_pairs")
+    assert len(issued) == 1
+    assert f"{CATALOG}.dedup.confirmed_pairs" in issued[0]
+    assert "USING iceberg" in issued[0]
+
+
+def test_checkpoint_manager_iceberg_write_and_resume(
+    spark, mock_catalog, monkeypatch, tmp_path
+):
+    calls = mock_catalog
+    df = spark.range(5).toDF("id")
+    served: list = []
+    monkeypatch.setattr(
+        type(spark), "table", lambda self, name: (served.append(name), df)[1]
+    )
+    ckpt = CheckpointManager(
+        spark, str(tmp_path), "run-1", "cfg123", backend="iceberg", catalog=CATALOG
+    )
+    out = ckpt.write("signatures", df)
+    assert out is df
+    # run id sanitized for table-name rules, one atomic snapshot swap
+    assert calls == [("createOrReplace", f"{CATALOG}.dedup.run_1_signatures", "iceberg")]
+    with open(os.path.join(str(tmp_path), "run-1", "signatures", "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["backend"] == "iceberg"
+    assert manifest["config_hash"] == "cfg123"
+    assert manifest["table"] == f"{CATALOG}.dedup.run_1_signatures"
+
+    # resume: same config hash → compute skipped, table served from catalog
+    computed = []
+    out2 = ckpt.get_or_compute("signatures", lambda: computed.append(1) or df)
+    assert out2 is df and not computed
+    # a config change invalidates (backend-uniform resume semantics)
+    stale = CheckpointManager(
+        spark, str(tmp_path), "run-1", "OTHER", backend="iceberg", catalog=CATALOG
+    )
+    assert not stale.exists("signatures")
