@@ -417,14 +417,20 @@ def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           END""",
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from autovalidate_backend_api_spark.functions.signatures import with_signatures
+    from autovalidate_backend_api_spark.functions.signatures import (
+        with_winnow_signatures,
+    )
     from autovalidate_backend_api_spark.operators import stage_c_substring as C
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
     )
+    # winnow-only signatures: Stage C consumes (key, norm, winnow);
+    # the fused UDF's MinHash/SimHash work would be computed and
+    # discarded here (the pipeline shares one fused pass across B+C,
+    # standalone C should not pay for B)
     sigs = (
-        with_signatures(docs, PINNED, include_winnow=True)
+        with_winnow_signatures(docs, PINNED)
         .repartition(PINNED.shuffle_partitions, "key")
         .persist()
     )
@@ -849,6 +855,49 @@ def embedding_neardup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# SemDeDup-style semantic pruning: sampled-centroid cells → intra-cell
+# near-dup components (cos ≥ 0.4) → keep min-id per component. The oracle
+# reproduces every step in SQL: the same argmax-cos cell assignment as
+# the IVF gate, within-cell pair edges at 6dp rounding, and a recursive-
+# CTE transitive closure for the components (edges never cross cells, so
+# the global closure equals the operator's per-cell union-find).
+_SEMDEDUP_SQL = """
+  WITH RECURSIVE
+  n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  nn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+  cents AS (SELECT id AS cid, v AS cv, nrm AS cn FROM nn WHERE id < 32),
+  asg AS (
+    SELECT id, cell FROM (
+      SELECT nn.id, cid AS cell,
+             row_number() OVER (PARTITION BY nn.id
+               ORDER BY round(list_dot_product(nn.v, cents.cv) / (nn.nrm * cents.cn), 9) DESC,
+                        cid) AS r
+      FROM nn CROSS JOIN cents) WHERE r = 1),
+  mem AS (SELECT nn.id, nn.v, nn.nrm, asg.cell FROM nn JOIN asg ON asg.id = nn.id),
+  e0 AS (
+    SELECT a.id AS src, b.id AS dst
+    FROM mem a JOIN mem b ON a.cell = b.cell AND a.id < b.id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4),
+  edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+  reach(node, lbl) AS (
+    SELECT id, id FROM nn
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+  comp AS (SELECT node AS id, min(lbl) AS rep FROM reach GROUP BY 1)
+  SELECT comp.id, asg.cell, comp.rep,
+         CAST(comp.id = comp.rep AS INT) AS keep
+  FROM comp JOIN asg ON asg.id = comp.id"""
+
+
+@_register("semdedup_prune", _SEMDEDUP_SQL)
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import semdedup_prune
+
+    return semdedup_prune(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=32
+    )
 
 
 # SimHash gate (VERDICT r1 next-round #4). SimHash values aren't

@@ -139,6 +139,55 @@ def file_key_col() -> Column:
     return F.concat_ws("\x01", F.col("repo"), F.col("path"), F.col("commit"))
 
 
+def make_winnow_udf(cfg: PipelineConfig = PINNED):
+    """pandas UDF: normalized text → winnowing fingerprints ONLY.
+
+    The Stage-C-standalone fast path: ``containment_pairs`` consumes
+    just (key, norm, winnow), but the fused signature UDF also computes
+    two 128-perm OPH MinHash signatures, 64 band hashes and a SimHash
+    per doc — the majority of the per-doc kernel, all discarded. Same
+    prefix-hash machinery, identical winnow values (the fused UDF's
+    winnow path is exact-parity tested; this one shares its kernels).
+    """
+    from pyspark.sql import types as T
+
+    wk, ww = cfg.winnow_gram_k, cfg.winnow_window
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow_only(norm_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for content in norm_iter:
+            out = [None] * len(content)
+            for i, raw in enumerate(content):
+                s = raw if isinstance(raw, str) else ""
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if b.shape[0]:
+                    prefix, pow_ = H._prefix_hashes(b)
+                    grams_w = H.gram_hashes_from_prefix(prefix, pow_, b.shape[0], wk)
+                else:
+                    grams_w = np.empty(0, dtype=np.uint64)
+                out[i] = H.to_int64(H.winnow_fingerprints(s, wk, ww, grams=grams_w))
+            yield pd.Series(out)
+
+    return winnow_only
+
+
+def with_winnow_signatures(
+    corpus: DataFrame,
+    cfg: PipelineConfig = PINNED,
+    content_col: str = "content",
+) -> DataFrame:
+    """(key, norm, winnow) only — for consumers that run Stage C alone."""
+    from autovalidate_backend_api_spark.functions.normalize import (
+        normalize_text_col,
+    )
+
+    df = corpus
+    if "key" not in df.columns:
+        df = df.withColumn("key", file_key_col())
+    df = df.withColumn("norm", normalize_text_col(F.col(content_col)))
+    return df.withColumn("winnow", make_winnow_udf(cfg)(F.col("norm")))
+
+
 def with_signatures(
     corpus: DataFrame,
     cfg: PipelineConfig = PINNED,

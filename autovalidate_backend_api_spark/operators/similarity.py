@@ -251,6 +251,137 @@ def _cached_planes(seed: int, dim: int, n_planes: int):
     return P
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 32,
+    id_col: str = "vec_id",
+    centroids: str = "sample",
+    kmeans_seed: int = 7,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al., arXiv:2303.09540):
+    cluster embeddings into cells, find intra-cell near-duplicate pairs
+    (cosine ≥ threshold), keep ONE representative per connected
+    near-dup component. The training-data dedup family that catches
+    semantically-redundant (not textually-duplicate) documents — the
+    one dedup family the engine did not yet cover (VERDICT r3 #8).
+
+    Output: (id, cell, rep, keep) — keep=1 iff the row is its
+    component's representative. Deviation from the paper, documented:
+    the representative is the MIN id of the component (this engine's
+    cluster-rep convention everywhere, and SQL-reproducible), not the
+    point farthest from the centroid; the PRUNED SET SIZE is identical
+    (one survivor per ε-component), only which member survives differs.
+
+    ``centroids`` mirrors ``ivf_topk``: "sample" (first n_cells ids —
+    every step reproducible in the DuckDB oracle) or "kmeans"
+    (pyspark.ml, seeded — the production codebook; balanced cells bound
+    the intra-cell quadratic).
+
+    Scale shape: centroid table broadcast; one shuffle on cell id; each
+    cell's pair scan is a chunked BLAS matmul (O(|cell|²) flops,
+    bounded memory) + in-process union-find over the pairs ≥ threshold
+    — NEVER a cross-cell pair. At 10^9 vectors pick n_cells ≈ n/5000
+    so cells stay ~10^3-10^4 rows; k-means assignment cost is one
+    broadcast matmul per vector either way.
+    """
+    if centroids not in ("sample", "kmeans"):
+        raise ValueError(centroids)
+    from pyspark.sql import types as T
+
+    base = with_norm(emb).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col("_v").alias("v"),
+        F.col("_norm").alias("nrm"),
+    )
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = base.select(array_to_vector(F.col("v")).alias("features"))
+        model = KMeans(k=n_cells, seed=kmeans_seed, maxIter=20).fit(feat)
+        rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        cents = (
+            emb.sparkSession.createDataFrame(rows, "cid long, cv array<double>")
+            .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        )
+    else:
+        cents = with_norm(emb.filter(F.col(id_col) < n_cells)).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col("_v").alias("cv"),
+            F.col("_norm").alias("cn"),
+        )
+    csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 9)
+    w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "v", "nrm", "cid", csim.alias("csim"))
+        .withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("id", "v", "nrm", F.col("cid").alias("cell"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("rep", T.LongType()),
+            T.StructField("keep", T.IntegerType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        m = len(ids)
+        A = np.stack(pdf["v"].to_numpy())
+        nr = pdf["nrm"].to_numpy()
+        parent = list(range(m))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for lo in range(0, m, chunk_rows):
+            # same rounding as the SQL oracle (6dp) before thresholding
+            C = np.round(
+                (A[lo : lo + chunk_rows] @ A.T)
+                / (nr[lo : lo + chunk_rows, None] * nr[None, :]),
+                6,
+            )
+            ii, jj = np.where(C >= thr)
+            gi = ii + lo
+            for a, b in zip(gi[jj > gi], jj[jj > gi]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[rb] = ra
+        comp_min: dict = {}
+        for i in range(m):
+            r = find(i)
+            v = int(ids[i])
+            if r not in comp_min or v < comp_min[r]:
+                comp_min[r] = v
+        reps = np.array([comp_min[find(i)] for i in range(m)], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": np.full(m, cell, dtype=np.int64),
+                "rep": reps,
+                "keep": (ids == reps).astype(np.int32),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune_cell, out_schema)
+
+
 def neardup_lsh_pairs(
     emb: DataFrame,
     threshold: float,

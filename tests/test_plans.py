@@ -18,9 +18,10 @@ QUERIES = entrypoints.queries()
 # Intentional tiny-side nested-loop broadcasts (documented in each op):
 # - cosine_topk / embedding brute force: ≤20-query side vs broadcast corpus
 #   (the EXACT baseline; the scale paths are ann_/ivf_/blocked variants)
-# - ivf_cosine_topk: every vector scores against a broadcast 32-row
-#   centroid table — the IVF assignment shape, O(n·32), not O(n²)
-_NL_WHITELIST = {"cosine_topk", "ivf_cosine_topk", "ann_cosine_topk"}
+# - ivf_cosine_topk / semdedup_prune: every vector scores against a
+#   broadcast 32-row centroid table — the IVF assignment shape,
+#   O(n·32), not O(n²)
+_NL_WHITELIST = {"cosine_topk", "ivf_cosine_topk", "ann_cosine_topk", "semdedup_prune"}
 
 
 def _plan_of(name, spark, sf_dir) -> str:

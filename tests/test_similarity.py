@@ -197,3 +197,69 @@ def test_ivf_kmeans_recall_vs_sampled(spark):
         )
     assert table[8][1] >= 0.95, f"kmeans recall@5 at n_probe=8: {table}"
     emb.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic pruning (VERDICT r3 next-round #8)
+# ---------------------------------------------------------------------------
+
+def _semdedup_truth(V, threshold, cells):
+    """Reference pruning: per-cell union-find over pairs ≥ threshold."""
+    U = V / np.linalg.norm(V, axis=1)[:, None]
+    C = np.round(U @ U.T, 6)
+    parent = list(range(len(V)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(V)):
+        for j in range(i + 1, len(V)):
+            if cells[i] == cells[j] and C[i, j] >= threshold:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    comp_min = {}
+    for i in range(len(V)):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return {i: comp_min[find(i)] for i in range(len(V))}
+
+
+def test_semdedup_planted_components(spark):
+    """Planted near-dup groups survive as exactly one representative;
+    the rep/keep assignment matches an exhaustive per-cell union-find."""
+    from autovalidate_backend_api_spark.operators.similarity import semdedup_prune
+
+    emb, V = _random_fixture(spark, n=200, d=32, seed=11)
+    emb = emb.cache()
+    got = {r["id"]: (r["cell"], r["rep"], r["keep"]) for r in
+           semdedup_prune(emb, threshold=0.9, n_cells=16).collect()}
+    assert len(got) == 200
+    cells = {i: got[i][0] for i in got}
+    truth = _semdedup_truth(V, 0.9, cells)
+    for i, (cell, rep, keep) in got.items():
+        assert rep == truth[i], f"id {i}: rep {rep} != {truth[i]}"
+        assert keep == int(i == rep)
+    # the planted clones (i, i+1 at cos ≈ 0.995, i even < 40) are not both kept
+    # unless the cell assignment split them (rare; assert global prune count > 0)
+    assert sum(1 for _, (_, _, k) in got.items() if k == 0) > 0
+
+
+def test_semdedup_kmeans_cells_prune_at_least_sampled(spark):
+    """kmeans codebook composes (pyspark.ml path runs); every component
+    still keeps exactly one representative."""
+    from autovalidate_backend_api_spark.operators.similarity import semdedup_prune
+
+    emb, _ = _random_fixture(spark, n=120, d=16, seed=5)
+    emb = emb.cache()
+    rows = semdedup_prune(emb, threshold=0.9, n_cells=8, centroids="kmeans").collect()
+    assert len(rows) == 120
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["rep"], []).append(r)
+    for rep, members in by_rep.items():
+        keeps = [m for m in members if m["keep"] == 1]
+        assert len(keeps) == 1 and keeps[0]["id"] == rep == min(m["id"] for m in members)
