@@ -38,6 +38,10 @@ WARMUP_N_BASE = int(os.environ.get("BENCH_WARMUP_N_BASE", "1500"))
 # operators got faster inside the pipeline). sf0.1 gates cost ~1-10 s
 # each, so 3 trials is cheap; per-trial walls go to extra.gate_trials.
 GATE_TRIALS = int(os.environ.get("BENCH_GATE_TRIALS", "3"))
+# The flagship pipeline gets min-of-2 for the same reason (it's ~30 s,
+# so two draws are affordable; files_per_sec is the north-rule number
+# and should measure capability, not one scheduler window).
+PIPELINE_TRIALS = int(os.environ.get("BENCH_PIPELINE_TRIALS", "2"))
 
 GATE_QUERIES = [
     "minhash_lsh_dedup_pairs",
@@ -71,18 +75,36 @@ def main() -> None:
     run_pipeline(spark, wcorpus, None, "warmup", verbose=False).clusters.count()
     wcorpus.unpersist()
 
-    # ---- flagship: dedup pipeline throughput -----------------------------
+    # ---- flagship: dedup pipeline throughput (min of PIPELINE_TRIALS) ----
     corpus = corpus_gen.corpus_spark(spark, BENCH_N_BASE, num_partitions=128).persist()
     n_files = corpus.count()
-    t0 = time.monotonic()
-    res = run_pipeline(spark, corpus, None, "bench", verbose=False)
-    n_clusters = res.clusters.select("cluster_rep").distinct().count()
-    wall = time.monotonic() - t0
-    timings["dedup_pipeline"] = round(wall, 3)
+    pipe_walls: list[float] = []
+    best_wall, best_res, n_clusters = None, None, None
+    for t in range(PIPELINE_TRIALS):
+        t0 = time.monotonic()
+        res = run_pipeline(spark, corpus, None, f"bench{t}", verbose=False)
+        n_cl = res.clusters.select("cluster_rep").distinct().count()
+        wall = time.monotonic() - t0
+        pipe_walls.append(round(wall, 3))
+        if best_wall is None or wall < best_wall:
+            best_wall, best_res, n_clusters = wall, res, n_cl
+        if t + 1 < PIPELINE_TRIALS:
+            # drop EVERY cached relation: ephemeral-mode stage outputs
+            # are persisted with plans identical across trials, so the
+            # next trial would plan-match into this trial's cache and
+            # "run" in near-zero time. Re-materialize the corpus after
+            # (untimed — generation isn't part of the pipeline).
+            spark.catalog.clearCache()
+            corpus = corpus_gen.corpus_spark(
+                spark, BENCH_N_BASE, num_partitions=128
+            ).persist()
+            corpus.count()
+    timings["dedup_pipeline"] = min(pipe_walls)
     extra["n_files"] = n_files
     extra["n_clusters"] = n_clusters
-    extra["files_per_sec"] = round(n_files / wall, 1)
-    extra["pipeline_stages_ms"] = {m["stage"]: m["wall_ms"] for m in res.metrics}
+    extra["files_per_sec"] = round(n_files / min(pipe_walls), 1)
+    extra["pipeline_trials"] = pipe_walls
+    extra["pipeline_stages_ms"] = {m["stage"]: m["wall_ms"] for m in best_res.metrics}
 
     # ---- gate queries at sf_dir: min of GATE_TRIALS ----------------------
     queries = entrypoints.queries()
