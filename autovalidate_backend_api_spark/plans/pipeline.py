@@ -90,7 +90,20 @@ def run_pipeline(
     """checkpoint_dir=None disables durable checkpoints (bench mode):
     stage outputs are persisted in memory/disk cache instead — same
     dataflow, no resumability. verbose=False skips the dropped-bucket
-    count actions (two extra Spark jobs) for benchmarking."""
+    count actions (two extra Spark jobs) for benchmarking.
+
+    Stages materialize SEQUENTIALLY — deliberate, measured (r4): driver-
+    thread concurrency for the independent branches (keymap ∥ Stage-A
+    aggs; Stage B ∥ Stage C over the persisted signature table) was
+    implemented and benchmarked at 147k files / local[8]: B and C each
+    stretched from 11.5+8.0 s sequential to ~20 s running concurrently
+    (wall saved ≈ 0; whole-pipeline A/B same-session: 47.3-49.7 s
+    sequential vs 52.6-64.4 s concurrent). On this single-substrate
+    host the shuffle-bound stages keep the machine saturated — two jobs
+    just time-slice and thrash spill locality. On a REAL cluster with
+    network waits and per-executor disks, scheduler-level overlap of
+    independent stages is still the right expectation; revisit there
+    (scheduler pools), not here."""
     metrics: list[dict] = []
 
     def timed(stage: str, fn):
@@ -104,10 +117,17 @@ def run_pipeline(
 
     if checkpoint_dir is None:
         class _Ephemeral:
+            rows: dict = {}
+
             def get_or_compute(self, stage, compute):
                 df = compute().persist()
-                df.count()  # materialize so stage timings are honest
+                # materialize so stage timings are honest; the count is
+                # kept so downstream dispatch never re-counts (one job)
+                self.rows[stage] = df.count()
                 return df
+
+            def rows_of(self, stage):
+                return self.rows.get(stage)
 
         ckpt = _Ephemeral()
     else:
@@ -236,7 +256,12 @@ def run_pipeline(
                 f"xxhash64 key collision ({chk['n_keys'] - chk['n_ids']}): "
                 "switch to the 128-bit id documented above"
             )
-        n_edges = confirmed.count()  # cheap: confirmed is checkpointed/persisted
+        # the materialization already counted confirmed_pairs (ephemeral
+        # count / parquet manifest) — re-counting would be one more
+        # driver-synchronized job for a number we have
+        n_edges = ckpt.rows_of("confirmed_pairs")
+        if n_edges is None:
+            n_edges = confirmed.count()
         if cfg.cc_driver_max_edges > 0 and n_edges <= cfg.cc_driver_max_edges:
             # small-edge-set fast path (the overwhelmingly common case —
             # dup pairs ≪ corpus): solve CC with driver union-find and

@@ -326,6 +326,15 @@ class CheckpointManager:
         with open(self._manifest_path(stage)) as f:
             return json.load(f)
 
+    def rows_of(self, stage: str) -> int | None:
+        """Row count from the stage manifest — metadata only, no job.
+        None when unknown (iceberg backend records no count; the table
+        snapshot carries it natively there)."""
+        try:
+            return self.manifest(stage).get("rows")
+        except OSError:
+            return None
+
     def get_or_compute(self, stage: str, compute) -> DataFrame:
         """Resume gate: skip ``compute`` if a valid checkpoint exists."""
         if self.exists(stage):
