@@ -263,3 +263,21 @@ def test_semdedup_kmeans_cells_prune_at_least_sampled(spark):
     for rep, members in by_rep.items():
         keeps = [m for m in members if m["keep"] == 1]
         assert len(keeps) == 1 and keeps[0]["id"] == rep == min(m["id"] for m in members)
+
+
+def test_neardup_lsh_auto_bits(spark):
+    """bits="auto" floors at 8 for small corpora (identical output to the
+    pinned gate config) and wider tables stay one-sided-correct."""
+    from autovalidate_backend_api_spark.operators.similarity import neardup_lsh_pairs
+
+    emb, V = _random_fixture(spark, n=200, d=32, seed=13)
+    emb = emb.cache()
+    fixed = {(r["src"], r["dst"]) for r in neardup_lsh_pairs(emb, 0.95, bits=8).collect()}
+    auto = {(r["src"], r["dst"]) for r in neardup_lsh_pairs(emb, 0.95, bits="auto").collect()}
+    assert auto == fixed  # n=200, target 16 → ceil(log2(12.5))=4 → clipped to 8
+    truth = {t[:2] for t in _brute_pairs(V, 0.95)}
+    assert fixed == truth  # planted clones at cos≈0.995: miss ≈ 1e-9/pair at 32×8
+    # wider buckets (the scale regime): never a false positive, and at
+    # cos≈0.995 the per-pair miss is ~1e-16 at 32×12 — exact recall here
+    wide = {(r["src"], r["dst"]) for r in neardup_lsh_pairs(emb, 0.95, bits=12).collect()}
+    assert wide == truth
