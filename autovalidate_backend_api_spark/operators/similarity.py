@@ -314,15 +314,23 @@ def semdedup_prune(
             F.col("_v").alias("cv"),
             F.col("_norm").alias("cn"),
         )
-    csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 9)
-    w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("id", "v", "nrm", "cid", csim.alias("csim"))
-        .withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") == 1)
-        .select("id", "v", "nrm", F.col("cid").alias("cell"))
-    )
+    if centroids == "sample" and cents.isEmpty():
+        # ids need not start near 0: an id-sampled codebook can be EMPTY
+        # (e.g. a lone vec_id=7 with n_cells=4), and the crossJoin below
+        # would then silently drop every vector. Degenerate single-cell
+        # fallback — exact within the one cell; the oracle-gated sampled
+        # rule only applies when vec_id < n_cells rows exist.
+        assigned = base.select("id", "v", "nrm", F.lit(-1).alias("cell"))
+    else:
+        csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 9)
+        w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .select("id", "v", "nrm", "cid", csim.alias("csim"))
+            .withColumn("_r", F.row_number().over(w_assign))
+            .filter(F.col("_r") == 1)
+            .select("id", "v", "nrm", F.col("cid").alias("cell"))
+        )
 
     out_schema = T.StructType(
         [

@@ -56,3 +56,51 @@ def test_empty_and_whitespace_contents(spark):
 def test_empty_corpus(spark):
     got = _run(spark, [])
     assert got == {}
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs for the round-4 operators (semdedup, incremental)
+# ---------------------------------------------------------------------------
+
+def test_semdedup_degenerate_shapes(spark):
+    """Empty table, single vector, and all-identical vectors must not
+    crash; identical vectors collapse to one survivor."""
+    from pyspark.sql import types as T
+    from autovalidate_backend_api_spark.operators.similarity import semdedup_prune
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert semdedup_prune(empty, threshold=0.9, n_cells=4).count() == 0
+
+    one = spark.createDataFrame([(7, [1.0, 2.0, 3.0])], schema)
+    rows = semdedup_prune(one, threshold=0.9, n_cells=4).collect()
+    assert len(rows) == 1 and rows[0]["keep"] == 1 and rows[0]["rep"] == 7
+
+    same = spark.createDataFrame([(i, [1.0, 0.0, 2.0]) for i in range(12)], schema)
+    rows = semdedup_prune(same, threshold=0.9, n_cells=3).collect()
+    assert len(rows) == 12
+    # identical vectors: all in one cell, one component, min-id survivor
+    assert {r["rep"] for r in rows} == {0}
+    assert sum(r["keep"] for r in rows) == 1
+
+
+def test_incremental_with_empty_increment(spark, tmp_path):
+    """An increment with zero files must reproduce the base clusters
+    unchanged (the no-op nightly run)."""
+    from autovalidate_backend_api_spark import corpus as C
+    from autovalidate_backend_api_spark.plans.incremental import incremental_update
+    from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+    corpus = spark.createDataFrame(C.corpus_pandas(40))
+    base_res = run_pipeline(spark, corpus, str(tmp_path), run_id="base", verbose=False)
+    base = {r["key"]: r["cluster_rep"] for r in base_res.clusters.collect()}
+
+    empty = corpus.limit(0)
+    inc_res = incremental_update(spark, empty, str(tmp_path), "base", "inc")
+    inc = {r["key"]: r["cluster_rep"] for r in inc_res.clusters.collect()}
+    assert inc == base
