@@ -193,31 +193,39 @@ def ivf_topk(
         cents = with_norm(emb.filter(F.col(id_col) < n_centroids)).select(
             F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
         )
-    # nearest centroid per vector (broadcast the tiny centroid table);
-    # ties broken by centroid id for determinism
-    sim = F.round(_dot(F.col("nv"), F.col("cv")) / (F.col("nn") * F.col("cn")), 9)
-    w_assign = Window.partitionBy("nid").orderBy(F.desc("csim"), F.asc("cid"))
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("nid", "nv", "nn", "cid", sim.alias("csim"))
-        .withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") == 1)
-        .select("nid", "nv", "nn", F.col("cid").alias("cell"))
-    )
     q = with_norm(queries).select(
         F.col(id_col).alias("qid"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
     )
-    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "qid", "qv", "qn", "cid",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("csim"),
+    if centroids == "sample" and cents.isEmpty():
+        # ids need not start near 0: an id-sampled codebook can be
+        # EMPTY, and the crossJoins below would then silently return
+        # zero neighbors for every query. Single-cell fallback ≡ exact
+        # brute force (same degenerate guard as semdedup_prune).
+        assigned = base.select("nid", "nv", "nn", F.lit(-1).alias("cell"))
+        probes = q.select("qid", "qv", "qn", F.lit(-1).alias("cell"))
+    else:
+        # nearest centroid per vector (broadcast the tiny centroid
+        # table); ties broken by centroid id for determinism
+        sim = F.round(_dot(F.col("nv"), F.col("cv")) / (F.col("nn") * F.col("cn")), 9)
+        w_assign = Window.partitionBy("nid").orderBy(F.desc("csim"), F.asc("cid"))
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .select("nid", "nv", "nn", "cid", sim.alias("csim"))
+            .withColumn("_r", F.row_number().over(w_assign))
+            .filter(F.col("_r") == 1)
+            .select("nid", "nv", "nn", F.col("cid").alias("cell"))
         )
-        .withColumn("_r", F.row_number().over(w_probe))
-        .filter(F.col("_r") <= n_probe)
-        .select("qid", "qv", "qn", F.col("cid").alias("cell"))
-    )
+        w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "qid", "qv", "qn", "cid",
+                F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("csim"),
+            )
+            .withColumn("_r", F.row_number().over(w_probe))
+            .filter(F.col("_r") <= n_probe)
+            .select("qid", "qv", "qn", F.col("cid").alias("cell"))
+        )
     cands = probes.join(assigned, "cell").filter(F.col("nid") != F.col("qid"))
     scored = cands.select(
         "qid",

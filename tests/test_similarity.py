@@ -281,3 +281,18 @@ def test_neardup_lsh_auto_bits(spark):
     # cos≈0.995 the per-pair miss is ~1e-16 at 32×12 — exact recall here
     wide = {(r["src"], r["dst"]) for r in neardup_lsh_pairs(emb, 0.95, bits=12).collect()}
     assert wide == truth
+
+
+def test_ivf_empty_sampled_codebook_falls_back_to_bruteforce(spark):
+    """ids offset past n_centroids: the sampled codebook is empty; the
+    guard must return exact brute-force neighbors, not silently none."""
+    from autovalidate_backend_api_spark.operators.similarity import ivf_topk
+
+    emb, _ = _random_fixture(spark, n=60, d=16, seed=21)
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000).cache()
+    queries = shifted.filter(F.col("vec_id") < 1005)
+    got = {(r["qid"], r["nid"]) for r in
+           ivf_topk(shifted, queries, k=3, n_centroids=8).collect()}
+    truth = {(r["qid"], r["nid"]) for r in
+             cosine_topk_bruteforce(shifted, queries, k=3).collect()}
+    assert got == truth and len(got) == 15
