@@ -835,7 +835,9 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # High-threshold variant: exercises the sign-LSH dispatch branch
 # (threshold ≥ 0.8 routes to neardup_lsh_pairs — bucket equi-join + exact
-# verify, no O(n²) flops) against the same exhaustive oracle. The driver
+# verify; with bits="auto" the bucket width tracks corpus size so the
+# in-bucket self-join stays subquadratic) against the same exhaustive
+# oracle. The driver
 # embeddings have NO pairs at cos ≥ 0.75 (measured at every sf), so this
 # gate pins the branch's no-false-positive contract; planted-neighbor
 # recall parity vs brute force is pinned in tests/test_similarity.py.
