@@ -91,7 +91,10 @@ class PipelineConfig:
     # counts (map-side combinable) — never materialized as one task's
     # collect_list. Costs one extra compact shuffle.
     hot_key_precheck: bool = True
-    salt_buckets: int = 8             # salt factor for hot band-hash keys
+    # (a `salt_buckets` knob for hot band-hash keys was removed in r5 —
+    # the implemented hot-key strategy is count-first drop-and-log, and
+    # Stage A's two-phase agg carries its own local SALT_BUCKETS=16;
+    # removal changes config_hash, invalidating pre-r5 checkpoints.)
     cc_max_iterations: int = 25       # connected-components bound
     # Size dispatch for connected components: an edge set at or below
     # this count is collected and solved with driver-side union-find
@@ -112,6 +115,33 @@ class PipelineConfig:
 
 
 PINNED = PipelineConfig()
+
+
+@dataclass(frozen=True)
+class EmbeddingProfile:
+    """One-switch defaults for the embedding-space operators (VERDICT r4
+    #8): the scale-correct choices live in one named profile instead of
+    per-call arguments.
+
+    - ORACLE_PROFILE (the default everywhere): every step is
+      SQL-reproducible — sampled codebook (first n_cells ids), fixed
+      8-bit sign-LSH — which is what the driver's DuckDB gates pin.
+    - PRODUCTION_PROFILE: kmeans codebook (balanced cells bound the
+      intra-cell quadratic in semdedup/IVF) and ``bits="auto"`` sign-LSH
+      (bucket width grows with n, keeping expected bucket size constant
+      — the fix for the fixed-width Θ(n²) degeneration, ADVICE r3).
+
+    Operators take ``profile=`` and resolve any argument the caller left
+    as None from it; explicit arguments always win, so the gate queries'
+    pinned shapes are unchanged.
+    """
+
+    semdedup_centroids: str = "sample"
+    lsh_bits: int | str = 8
+
+
+ORACLE_PROFILE = EmbeddingProfile()
+PRODUCTION_PROFILE = EmbeddingProfile(semdedup_centroids="kmeans", lsh_bits="auto")
 
 # Corpus table shape mandated by BASELINE.json input_hint.
 CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")

@@ -837,13 +837,23 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (threshold ≥ 0.8 routes to neardup_lsh_pairs — bucket equi-join + exact
 # verify; with bits="auto" the bucket width tracks corpus size so the
 # in-bucket self-join stays subquadratic) against the same exhaustive
-# oracle. The driver
-# embeddings have NO pairs at cos ≥ 0.75 (measured at every sf), so this
-# gate pins the branch's no-false-positive contract; planted-neighbor
-# recall parity vs brute force is pinned in tests/test_similarity.py.
+# oracle. The driver embeddings have NO pairs at cos ≥ 0.75 (measured at
+# every sf), which would leave this gate pinning only the
+# no-false-positive side — so, mirroring simhash_selfcheck, the corpus is
+# UNIONED with deterministically re-keyed copies (vec_id + 10^7, same
+# vector): every (i, i+10^7) pair sits at exactly cos 1.0 and MUST be
+# recovered through the LSH tables (identical vectors share every bucket
+# in every table — recall through this branch is deterministic, not
+# probabilistic), giving the oracle nonzero expected rows (VERDICT r4
+# #6). Cross pairs (i, j+10^7, i≠j) have the same cosine as (i, j) and
+# stay below 0.9 like the originals, so the expected output is exactly
+# the n planted pairs. Planted-neighbor recall parity vs brute force at
+# non-trivial angles is pinned in tests/test_similarity.py.
 @_register(
     "embedding_neardup_pairs_hi",
-    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v FROM base
+             UNION ALL SELECT vec_id + 10000000 AS vec_id, v FROM base)
        SELECT a.vec_id AS src, b.vec_id AS dst,
               round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
@@ -856,7 +866,11 @@ def embedding_neardup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_neardup_pairs,
     )
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = base.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(base.unionByName(planted), threshold=0.9)
 
 
 # SemDeDup-style semantic pruning: sampled-centroid cells → intra-cell
@@ -1314,6 +1328,38 @@ def incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="incr_gate_")
     run_pipeline(spark, base, tmp, run_id="base", cfg=cfg, verbose=False)
     res = incremental_update(spark, increment, tmp, "base", "inc", cfg)
+    return res.clusters.select("key", "cluster_rep")
+
+
+@_register("dedup_pipeline_clusters", _INCR_SQL)
+def dedup_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline itself as a green CORRECTNESS row (VERDICT
+    r4 #7): same corpus projection as the incremental gate, one
+    from-scratch ``run_pipeline`` over the WHOLE documents table, checked
+    against the same from-scratch recursive-CTE DuckDB dedup (_INCR_SQL
+    verbatim — that oracle was always a from-scratch dedup over the full
+    table; the incremental gate additionally proves incremental ≡
+    from-scratch, this gate proves the headline path directly). Same
+    simhash-accept disable as the incremental gate (hamming_max=-1:
+    simhash admission depends on LSH banding, which SQL can't
+    reproduce; sha/jaccard/containment parity is exactly what the
+    oracle covers)."""
+    import tempfile
+    from dataclasses import replace as _dc_replace
+
+    from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("r").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = _dc_replace(PINNED, hamming_max=-1)
+    tmp = tempfile.mkdtemp(prefix="pipe_gate_")
+    res = run_pipeline(spark, corpus, tmp, run_id="full", cfg=cfg, verbose=False)
     return res.clusters.select("key", "cluster_rep")
 
 

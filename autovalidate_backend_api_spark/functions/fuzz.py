@@ -22,12 +22,20 @@ import numpy as np
 
 
 def lcs_len(a: str, b: str) -> int:
-    """Length of the longest common subsequence (numpy row-DP)."""
+    """Length of the longest common subsequence (numpy row-DP).
+
+    Operates on code points, like real rapidfuzz (whose C++ layer reads
+    Python strings via the PyUnicode buffer, which admits lone
+    surrogates). Plain ``utf-32-le`` encoding rejects unpaired
+    surrogates (U+D800..DFFF) with UnicodeEncodeError, so we encode with
+    ``surrogatepass`` — each lone surrogate becomes its own 32-bit code
+    unit and compares per-codepoint exactly as rapidfuzz does.
+    """
     if not a or not b:
         return 0
     if len(a) < len(b):
         a, b = b, a
-    bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    bn = np.frombuffer(b.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
     prev = np.zeros(len(bn) + 1, dtype=np.int64)
     for ch in a:
         code = ord(ch)

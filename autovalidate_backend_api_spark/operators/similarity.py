@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from autovalidate_backend_api_spark.config import EmbeddingProfile, ORACLE_PROFILE
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
@@ -264,9 +266,11 @@ def semdedup_prune(
     threshold: float = 0.4,
     n_cells: int = 32,
     id_col: str = "vec_id",
-    centroids: str = "sample",
+    centroids: str | None = None,
     kmeans_seed: int = 7,
     chunk_rows: int = 2048,
+    max_cell: int = 50_000,
+    profile: "EmbeddingProfile | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al., arXiv:2303.09540):
     cluster embeddings into cells, find intra-cell near-duplicate pairs
@@ -293,7 +297,26 @@ def semdedup_prune(
     — NEVER a cross-cell pair. At 10^9 vectors pick n_cells ≈ n/5000
     so cells stay ~10^3-10^4 rows; k-means assignment cost is one
     broadcast matmul per vector either way.
+
+    HOT-CELL GUARD (VERDICT r4 #3): "pick n_cells sanely" is guidance,
+    not a guard — a skewed embedding distribution or a sampled codebook
+    with one dominant centroid can put ~n rows into one cell, and the
+    grouped ``applyInPandas`` would materialize the whole cell in a
+    single task. Cells above ``max_cell`` members (count-first sizing,
+    like stage_b's bucket precheck) are instead processed EXACTLY and
+    distributed: members sub-split by id-hash into
+    ``ceil(cell_n/max_cell)`` blocks, every block pair becomes its own
+    task computing the chunked cross-cosine matrix and emitting only
+    edges ≥ threshold, and a per-cell union-find over that edge list
+    merges components across sub-blocks (components never cross cells,
+    so the merge is cell-local). Identical output to the single-task
+    path — the adversarial single-cell test pins this. The per-cell
+    edge list is output-sized (true near-dup pairs only); a cell that is
+    one giant ε-component of duplicates makes it quadratic — that is the
+    answer itself being quadratic, inherent to any exact formulation.
     """
+    if centroids is None:
+        centroids = (profile or ORACLE_PROFILE).semdedup_centroids
     if centroids not in ("sample", "kmeans"):
         raise ValueError(centroids)
     from pyspark.sql import types as T
@@ -395,7 +418,134 @@ def semdedup_prune(
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(prune_cell, out_schema)
+    # count-first hot-cell dispatch (see HOT-CELL GUARD in the docstring)
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    hot = sizes.filter(F.col("cell_n") > max_cell).select(
+        "cell", F.ceil(F.col("cell_n") / max_cell).cast("int").alias("n_sub")
+    )
+    normal = assigned.join(F.broadcast(hot.select("cell")), "cell", "left_anti")
+    normal_out = normal.groupBy("cell").applyInPandas(prune_cell, out_schema)
+
+    # hot path: block-pair edge generation (exact, distributed) + per-cell
+    # union-find over the output-sized edge list
+    hot_members = assigned.join(F.broadcast(hot), "cell").withColumn(
+        "blk", F.pmod(F.xxhash64("id"), F.col("n_sub")).cast("int")
+    )
+    a_role = hot_members.select(
+        "cell", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.col("n_sub") - 1)).alias("bj"),
+        F.lit("a").alias("side"), "id", "v", "nrm",
+    )
+    b_role = hot_members.filter(F.col("blk") > 0).select(
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("b").alias("side"), "id", "v", "nrm",
+    )
+    edge_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ]
+    )
+
+    def hot_block_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cell = int(pdf["cell"].iloc[0])
+        diag = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
+        a = pdf[pdf["side"] == "a"]
+        b = a if diag else pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"cell": [], "src": [], "dst": []}).astype("int64")
+        ids_a = a["id"].to_numpy()
+        A = np.stack(a["v"].to_numpy())
+        na = a["nrm"].to_numpy()
+        ids_b = ids_a if diag else b["id"].to_numpy()
+        Bm = A if diag else np.stack(b["v"].to_numpy())
+        nb = na if diag else b["nrm"].to_numpy()
+        srcs, dsts = [], []
+        for lo in range(0, len(ids_a), chunk_rows):
+            # same 6dp rounding as prune_cell / the SQL oracle
+            Cm = np.round(
+                (A[lo : lo + chunk_rows] @ Bm.T)
+                / (na[lo : lo + chunk_rows, None] * nb[None, :]),
+                6,
+            )
+            ii, jj = np.where(Cm >= thr)
+            gi, gj = ids_a[ii + lo], ids_b[jj]
+            keep = gi != gj
+            srcs.append(np.minimum(gi, gj)[keep])
+            dsts.append(np.maximum(gi, gj)[keep])
+        return pd.DataFrame(
+            {
+                "cell": np.full(sum(map(len, srcs)), cell, dtype=np.int64),
+                "src": np.concatenate(srcs) if srcs else np.array([], dtype=np.int64),
+                "dst": np.concatenate(dsts) if dsts else np.array([], dtype=np.int64),
+            }
+        )
+
+    hot_edges = (
+        a_role.unionByName(b_role)
+        .groupBy("cell", "bi", "bj")
+        .applyInPandas(hot_block_edges, edge_schema)
+        .dropDuplicates(["cell", "src", "dst"])
+    )
+    comp_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("rep", T.LongType()),
+        ]
+    )
+
+    def cell_components(pdf: pd.DataFrame) -> pd.DataFrame:
+        # union-find over the cell's near-dup EDGES (output-sized), not
+        # its members — merges components across the hash sub-blocks
+        import numpy as np
+
+        cell = int(pdf["cell"].iloc[0])
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                parent[rd] = rs
+        comp_min: dict = {}
+        for node in list(parent):
+            r = find(node)
+            if r not in comp_min or node < comp_min[r]:
+                comp_min[r] = node
+        nodes = list(parent)
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(nodes), cell, dtype=np.int64),
+                "id": np.array(nodes, dtype=np.int64),
+                "rep": np.array([comp_min[find(n)] for n in nodes], dtype=np.int64),
+            }
+        )
+
+    hot_labels = hot_edges.groupBy("cell").applyInPandas(cell_components, comp_schema)
+    hot_out = (
+        hot_members.select("id", "cell")
+        .join(hot_labels, ["cell", "id"], "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("rep", "id").alias("rep"),  # edge-less member = singleton
+            (F.coalesce("rep", "id") == F.col("id")).cast("int").alias("keep"),
+        )
+    )
+    return normal_out.unionByName(hot_out.select("id", "cell", "rep", "keep"))
 
 
 def neardup_lsh_pairs(
@@ -403,9 +553,10 @@ def neardup_lsh_pairs(
     threshold: float,
     id_col: str = "vec_id",
     n_tables: int = 32,
-    bits: int | str = 8,
+    bits: int | str | None = None,
     seed: int = 97,
     target_bucket: int = 16,
+    profile: EmbeddingProfile | None = None,
 ) -> DataFrame:
     """High-threshold near-dup pair join: sign-LSH tables + exact verify.
 
@@ -444,6 +595,8 @@ def neardup_lsh_pairs(
     """
     from pyspark.sql import types as T
 
+    if bits is None:
+        bits = (profile or ORACLE_PROFILE).lsh_bits
     if bits == "auto":
         # one count job — at web scale this is a metadata read (Iceberg
         # snapshot row count); the clip keeps tiny corpora at the 8-bit
@@ -507,7 +660,8 @@ def embedding_neardup_pairs(
     n_blocks: int = 8,
     chunk_rows: int = 2048,
     lsh_dispatch_at: float = 0.8,
-    lsh_bits: int | str = 8,
+    lsh_bits: int | str | None = None,
+    profile: EmbeddingProfile | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold. Threshold-conditional dispatch:
 
@@ -540,7 +694,9 @@ def embedding_neardup_pairs(
     on a cluster.
     """
     if threshold >= lsh_dispatch_at:
-        return neardup_lsh_pairs(emb, threshold, id_col=id_col, bits=lsh_bits)
+        return neardup_lsh_pairs(
+            emb, threshold, id_col=id_col, bits=lsh_bits, profile=profile
+        )
     import pandas as pd
     from pyspark.sql import types as T
 

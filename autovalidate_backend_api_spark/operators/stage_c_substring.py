@@ -33,7 +33,9 @@ from autovalidate_backend_api_spark.config import PipelineConfig, PINNED
 
 
 def fingerprint_candidates(
-    sigs: DataFrame, cfg: PipelineConfig = PINNED
+    sigs: DataFrame,
+    cfg: PipelineConfig = PINNED,
+    fp_filter: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Pairs sharing ≥1 winnowing fingerprint (src ≠ dst) + dropped log.
 
@@ -61,6 +63,19 @@ def fingerprint_candidates(
     ((boilerplate_share)^(h+1) — negligible) and to buckets above the
     hard cap (logged).
 
+    ``fp_filter`` (one ``fp`` column) restricts generation to those
+    fingerprint buckets via a pre-shuffle semi-join — the incremental
+    path passes the increment's fingerprints so the fp exchange is
+    increment-proportional (VERDICT r4 #2). The restriction keeps whole
+    buckets, so bucket sizes, poor counts, drops, and the directed
+    shared/probe counts are unchanged for retained buckets; true
+    containments touching a filter key still satisfy shared_n == probe_n
+    because every probe bucket of the contained doc holds the touching
+    member and is therefore retained. An OLD prober's probe_n can only
+    shrink (its untouched probe buckets vanish), which admits extra
+    candidates, never drops true ones — ``verify_containment``'s exact
+    ``contains()`` makes the final pair set identical either way.
+
     Input needs (key, winnow) where winnow is sorted ascending
     (np.unique output ⇒ already sorted).
     """
@@ -77,6 +92,8 @@ def fingerprint_candidates(
             "is_poor",
         ).alias("m"),
     )
+    if fp_filter is not None:
+        items = items.join(fp_filter.distinct(), "fp", "left_semi")
     if cfg.hot_key_precheck:
         # count-first hot-key exclusion — see stage_b_lsh.candidate_pairs.
         # The poor-member count rides the SAME aggregation (map-side

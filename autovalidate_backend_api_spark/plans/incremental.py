@@ -8,9 +8,15 @@ confirmed_pairs) are the "known pairs cache"; an incremental update
 
 1. signs ONLY the new files (the expensive Arrow pass is proportional
    to the increment, not the corpus),
-2. generates candidates from new-file band buckets against the UNION of
-   old+new band tables — old×old pairs are never re-examined (the
-   cache-hit short-circuit as dataflow),
+2. generates candidates ONLY from buckets the increment touches: the
+   new signatures' bands/fingerprints are exploded (increment-sized),
+   their distinct bucket ids semi-join the union band table BEFORE any
+   exchange or collect_list — so the bucket shuffle and in-bucket pair
+   expansion are increment-proportional, not corpus-proportional
+   (VERDICT r4 #2; a pair touching a new key can only arise inside a
+   bucket containing a new key, so the new-touching candidate set is
+   identical to a from-scratch run's). Old×old pairs are never
+   re-examined (the cache-hit short-circuit as dataflow),
 3. verifies new candidates, appends to confirmed_pairs,
 4. re-runs connected components over the union edge set (cheap: edges
    ≪ files).
@@ -110,8 +116,13 @@ def incremental_update(
     new_keys = new_sigs.select("key")
 
     def _stage_b():
-        cands, _dropped = B.candidate_pairs(all_sigs, cfg)
-        # keep only pairs touching a new file (old×old already known)
+        # increment-proportional: only buckets a new file lands in enter
+        # the band exchange (restriction keeps whole buckets ⇒ identical
+        # caps/shared-counts for every pair touching a new key)
+        touched = B.explode_bands(new_sigs).select("bucket").distinct()
+        cands, _dropped = B.candidate_pairs(all_sigs, cfg, bucket_filter=touched)
+        # keep only pairs touching a new file (old×old already known —
+        # a new-touched bucket still pairs its old members with each other)
         touching_new = cands.join(
             new_keys.withColumnRenamed("key", "src"), "src", "left_semi"
         ).unionByName(
@@ -123,7 +134,10 @@ def incremental_update(
     b_pairs = ckpt.get_or_compute("stage_b_pairs", _stage_b)
 
     def _stage_c():
-        cands, _dropped = C.fingerprint_candidates(all_sigs, cfg)
+        touched_fp = new_sigs.filter(F.size("winnow") > 0).select(
+            F.explode("winnow").alias("fp")
+        ).distinct()
+        cands, _dropped = C.fingerprint_candidates(all_sigs, cfg, fp_filter=touched_fp)
         touching_new = cands.join(
             new_keys.withColumnRenamed("key", "src"), "src", "left_semi"
         ).unionByName(

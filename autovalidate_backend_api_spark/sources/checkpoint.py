@@ -169,6 +169,14 @@ class IcebergTableIO:
     (VERDICT r2/r3 "What's missing" #1). On a cluster:
     ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``
     plus warehouse/catalog-impl config makes the probe pass.
+
+    Namespace requirement: a freshly-configured Iceberg catalog has NO
+    ``dedup`` namespace, and every writeTo/DDL here targets
+    ``<catalog>.dedup.<table>`` — the first write against a real catalog
+    would fail with NoSuchNamespaceException. Every write/DDL entry
+    point therefore issues ``CREATE NAMESPACE IF NOT EXISTS`` first
+    (memoized — one statement per IO instance, idempotent on the
+    catalog side).
     """
 
     def __init__(self, spark: SparkSession, catalog: str = "dedup_cat"):
@@ -180,21 +188,36 @@ class IcebergTableIO:
             )
         self.spark = spark
         self.catalog = catalog
+        self._namespace_ready = False
+
+    def ensure_namespace(self) -> None:
+        """Idempotent ``CREATE NAMESPACE IF NOT EXISTS <catalog>.dedup``.
+
+        Called lazily before the first write/DDL; a real Iceberg catalog
+        rejects writes into a namespace that was never created.
+        """
+        if not self._namespace_ready:
+            self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.dedup")
+            self._namespace_ready = True
 
     def ensure_table(self, name: str) -> None:
         """Idempotent DDL from ICEBERG_DDL (S11 versioned-artifact gate)."""
+        self.ensure_namespace()
         self.spark.sql(ICEBERG_DDL[name].format(catalog=self.catalog))
 
     def qualified(self, name: str) -> str:
         return f"{self.catalog}.dedup.{name}"
 
     def append(self, name: str, df: DataFrame) -> None:
+        self.ensure_namespace()
         df.writeTo(self.qualified(name)).append()
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
+        self.ensure_namespace()
         df.writeTo(self.qualified(name)).overwritePartitions()
 
     def create_or_replace(self, name: str, df: DataFrame) -> None:
+        self.ensure_namespace()
         df.writeTo(self.qualified(name)).using("iceberg").createOrReplace()
 
 
@@ -329,10 +352,12 @@ class CheckpointManager:
     def rows_of(self, stage: str) -> int | None:
         """Row count from the stage manifest — metadata only, no job.
         None when unknown (iceberg backend records no count; the table
-        snapshot carries it natively there)."""
+        snapshot carries it natively there). A missing OR unreadable
+        (truncated/corrupt JSON → ValueError) manifest degrades to None
+        so callers fall back to a recount instead of crashing."""
         try:
             return self.manifest(stage).get("rows")
-        except OSError:
+        except (OSError, ValueError):
             return None
 
     def get_or_compute(self, stage: str, compute) -> DataFrame:

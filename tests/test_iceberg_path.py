@@ -47,8 +47,14 @@ class RecorderWriterV2:
 
 @pytest.fixture()
 def mock_catalog(spark, monkeypatch):
-    """Configure the catalog key (probe passes) + record writeTo chains."""
+    """Configure the catalog key (probe passes) + record writeTo chains.
+
+    Also intercepts ``spark.sql`` — the namespace DDL (ADVICE r4: first
+    write against a real catalog fails without CREATE NAMESPACE) must be
+    recorded, not executed, since mock.SparkCatalog has no impl class.
+    """
     calls: list = []
+    sqls: list = []
     spark.conf.set(f"spark.sql.catalog.{CATALOG}", "mock.SparkCatalog")
     # patch the CONCRETE DataFrame class: pyspark 4's classic session
     # subclasses pyspark.sql.DataFrame and overrides writeTo, so
@@ -57,7 +63,8 @@ def mock_catalog(spark, monkeypatch):
     monkeypatch.setattr(
         concrete_df_cls, "writeTo", lambda self, table: RecorderWriterV2(calls, table)
     )
-    yield calls
+    monkeypatch.setattr(type(spark), "sql", lambda self, q, *a, **k: sqls.append(q))
+    yield calls, sqls
     spark.conf.unset(f"spark.sql.catalog.{CATALOG}")
 
 
@@ -68,7 +75,7 @@ def test_probe_fails_closed_without_catalog(spark):
 
 
 def test_writer_call_sequences(spark, mock_catalog):
-    calls = mock_catalog
+    calls, sqls = mock_catalog
     io = IcebergTableIO(spark, CATALOG)
     df = spark.range(3).toDF("id")
     io.append("confirmed_pairs", df)
@@ -79,24 +86,36 @@ def test_writer_call_sequences(spark, mock_catalog):
         ("overwritePartitions", f"{CATALOG}.dedup.stage_metrics", None),
         ("createOrReplace", f"{CATALOG}.dedup.clusters", "iceberg"),
     ]
+    # namespace DDL precedes the first write, exactly once (memoized)
+    assert sqls == [f"CREATE NAMESPACE IF NOT EXISTS {CATALOG}.dedup"]
 
 
-def test_ensure_table_issues_ddl(spark, mock_catalog, monkeypatch):
-    issued = []
-    monkeypatch.setattr(
-        type(spark), "sql", lambda self, q, *a, **k: issued.append(q)
-    )
+def test_ensure_table_issues_ddl(spark, mock_catalog):
+    _, sqls = mock_catalog
     io = IcebergTableIO(spark, CATALOG)
     io.ensure_table("confirmed_pairs")
-    assert len(issued) == 1
-    assert f"{CATALOG}.dedup.confirmed_pairs" in issued[0]
-    assert "USING iceberg" in issued[0]
+    assert len(sqls) == 2
+    assert sqls[0] == f"CREATE NAMESPACE IF NOT EXISTS {CATALOG}.dedup"
+    assert f"{CATALOG}.dedup.confirmed_pairs" in sqls[1]
+    assert "USING iceberg" in sqls[1]
+
+
+def test_rows_of_tolerates_corrupt_manifest(spark, tmp_path):
+    """ADVICE r4 (low): a truncated/corrupt manifest JSON must degrade
+    rows_of() to None (caller falls back to a recount), not raise."""
+    ckpt = CheckpointManager(spark, str(tmp_path), "run-x", "cfg")
+    assert ckpt.rows_of("nope") is None  # missing → None (OSError path)
+    stage_dir = os.path.join(str(tmp_path), "run-x", "confirmed_pairs")
+    os.makedirs(stage_dir)
+    with open(os.path.join(stage_dir, "_manifest.json"), "w") as f:
+        f.write('{"rows": 12')  # truncated write
+    assert ckpt.rows_of("confirmed_pairs") is None
 
 
 def test_checkpoint_manager_iceberg_write_and_resume(
     spark, mock_catalog, monkeypatch, tmp_path
 ):
-    calls = mock_catalog
+    calls, sqls = mock_catalog
     df = spark.range(5).toDF("id")
     served: list = []
     monkeypatch.setattr(

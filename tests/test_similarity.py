@@ -265,6 +265,87 @@ def test_semdedup_kmeans_cells_prune_at_least_sampled(spark):
         assert len(keeps) == 1 and keeps[0]["id"] == rep == min(m["id"] for m in members)
 
 
+def test_embedding_profiles_one_switch(spark):
+    """VERDICT r4 #8: PRODUCTION_PROFILE flips the scale-correct choices
+    (kmeans codebook, bits="auto") in one switch; ORACLE_PROFILE is the
+    default and matches the explicit pinned arguments the gates use."""
+    from autovalidate_backend_api_spark.config import (
+        ORACLE_PROFILE,
+        PRODUCTION_PROFILE,
+    )
+    from autovalidate_backend_api_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semdedup_prune,
+    )
+
+    assert PRODUCTION_PROFILE.semdedup_centroids == "kmeans"
+    assert PRODUCTION_PROFILE.lsh_bits == "auto"
+
+    emb, _ = _random_fixture(spark, n=120, d=16, seed=5)
+    emb = emb.cache()
+    # default == oracle profile == the gates' explicit pinned arguments
+    oracle_pairs = {
+        (r.src, r.dst)
+        for r in embedding_neardup_pairs(emb, threshold=0.9, lsh_bits=8).collect()
+    }
+    default_pairs = {
+        (r.src, r.dst) for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert default_pairs == oracle_pairs
+    # production profile runs end-to-end; auto floors at 8 bits on a tiny
+    # corpus so the pair set is identical here (scale behavior pinned in
+    # test_neardup_lsh_auto_bits)
+    prod_pairs = {
+        (r.src, r.dst)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.9, profile=PRODUCTION_PROFILE
+        ).collect()
+    }
+    assert prod_pairs == oracle_pairs
+    # semdedup: production profile routes to the kmeans codebook and
+    # still keeps exactly one representative per component
+    rows = semdedup_prune(
+        emb, threshold=0.9, n_cells=8, profile=PRODUCTION_PROFILE
+    ).collect()
+    assert len(rows) == 120
+    by_rep: dict = {}
+    for r in rows:
+        by_rep.setdefault(r["rep"], []).append(r)
+    for rep, members in by_rep.items():
+        keeps = [m for m in members if m["keep"] == 1]
+        assert len(keeps) == 1 and keeps[0]["id"] == rep == min(m["id"] for m in members)
+    assert ORACLE_PROFILE.semdedup_centroids == "sample"
+    emb.unpersist()
+
+
+def test_semdedup_hot_cell_guard_exact(spark):
+    """VERDICT r4 #3 adversarial fixture: EVERY vector lands in one cell
+    (n_cells=1) and max_cell is far below the cell size, forcing the
+    distributed block-pair + edge union-find path. Output must be
+    IDENTICAL to the unguarded single-task path — the guard changes the
+    execution shape, never the answer."""
+    from autovalidate_backend_api_spark.operators.similarity import semdedup_prune
+
+    emb, V = _random_fixture(spark, n=200, d=32, seed=11)
+    emb = emb.cache()
+    unguarded = {
+        r["id"]: (r["cell"], r["rep"], r["keep"])
+        for r in semdedup_prune(emb, threshold=0.9, n_cells=1).collect()
+    }
+    guarded = {
+        r["id"]: (r["cell"], r["rep"], r["keep"])
+        for r in semdedup_prune(emb, threshold=0.9, n_cells=1, max_cell=16).collect()
+    }
+    assert len(guarded) == 200
+    assert guarded == unguarded
+    # and both match the exhaustive union-find truth for the one cell
+    cells = {i: guarded[i][0] for i in guarded}
+    truth = _semdedup_truth(V, 0.9, cells)
+    for i, (_, rep, keep) in guarded.items():
+        assert rep == truth[i] and keep == int(i == rep)
+    emb.unpersist()
+
+
 def test_neardup_lsh_auto_bits(spark):
     """bits="auto" floors at 8 for small corpora (identical output to the
     pinned gate config) and wider tables stay one-sided-correct."""
