@@ -1364,6 +1364,197 @@ def dedup_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (operators/datapipe.py) — the corpus-
+# curation surface a 100 TB training pipeline needs around the dedup core:
+# benchmark decontamination, deterministic splits, repetition quality
+# flags, domain mixing, sequence packing. Scale notes live on the
+# operators; the oracles here replay each exactly in SQL.
+# ---------------------------------------------------------------------------
+
+# exact 8-token n-gram overlap vs the deterministic benchmark split
+# (doc_id % 97 == 0). DuckDB replays the shingling: t[i:i+7] is the
+# 1-based INCLUSIVE 8-token slice, i ∈ range(1, len-6) end-exclusive.
+# The driver documents have ZERO natural 8-gram overlap with the ~1%
+# benchmark split (measured 0/494 at sf0.01), which would leave the gate
+# pinning only the no-false-positive side — so, mirroring
+# embedding_neardup_pairs_hi (VERDICT r4 #6), the corpus is unioned with
+# re-keyed full-text copies (doc_id + 10^7): 10^7 ≡ 76 (mod 97), so every
+# benchmark doc's copy is a non-benchmark doc containing all of its
+# 8-grams and MUST flag contaminated — deterministic recall through the
+# overlap join, not just absence of hits.
+@_register(
+    "decontaminate_ngram_overlap",
+    f"""WITH documents2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents),
+    toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents2),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 6, 1))) AS r(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits FROM
+        (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) cg
+      JOIN bench USING (g) GROUP BY 1)
+    SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+    FROM documents2 d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0""",
+)
+def decontaminate_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        decontaminate_ngram_overlap,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    return decontaminate_ngram_overlap(base.unionByName(planted))
+
+
+# deterministic md5-bucket train/val/test split (engine-independent:
+# md5 of the decimal doc_id string, first 8 hex chars mod 100)
+@_register(
+    "train_val_test_split",
+    """WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b""",
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import train_val_test_split
+
+    return train_val_test_split(_t(spark, sf_dir, "documents"))
+
+
+# Gopher repetition rules: duplicate-word fraction + top-bigram fraction
+@_register(
+    "gopher_repetition_flags",
+    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+             FROM toks),
+    bi AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS r(i)),
+    topbi AS (SELECT doc_id, max(c) AS top_c FROM
+        (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens,
+           round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+           round(CAST(coalesce(top_c, 0) AS DOUBLE)
+                 / greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+           CAST(round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) <= 0.5
+                AND round(CAST(coalesce(top_c, 0) AS DOUBLE)
+                          / greatest(n_tokens - 1, 1), 6) <= 0.18 AS INT) AS keep
+    FROM base b LEFT JOIN topbi USING (doc_id)""",
+)
+def gopher_repetition_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        gopher_repetition_flags,
+    )
+
+    return gopher_repetition_flags(_t(spark, sf_dir, "documents"))
+
+
+# per-(lang, source) token inventory + uniform-target resampling weights
+@_register(
+    "domain_mixture_weights",
+    f"""WITH d AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1, 2)
+    SELECT lang, source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share,
+           round((1.0 / count(*) OVER ())
+                 / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6) AS weight
+    FROM d""",
+)
+def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        domain_mixture_weights,
+    )
+
+    return domain_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+# concat-and-chunk sequence packing, sharded by source
+@_register(
+    "pack_sequences",
+    f"""WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    p AS (SELECT doc_id, source, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS start_offset
+          FROM s)
+    SELECT doc_id, source, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(floor(start_offset / 256) AS BIGINT) AS chunk_id
+    FROM p""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+# corpus-level duplicated-span detection (RefinedWeb line-dedup recast on
+# non-overlapping 16-token chunks; span identity = md5 of the chunk text,
+# engine-independent). DuckDB replays the chunking: chunk j (1-based) is
+# the inclusive slice t[(j-1)*16+1 : (j-1)*16+16]; partial tail chunks
+# are dropped on both sides (floor(len/16)).
+@_register(
+    "corpus_duplicate_spans",
+    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, md5(array_to_string(t[(j-1)*16+1:(j-1)*16+16], ' ')) AS h
+      FROM toks, UNNEST(range(1, CAST(floor(len(t)/16) AS BIGINT) + 1)) AS r(j)),
+    sd AS (SELECT DISTINCT doc_id, h FROM spans),
+    dup AS (SELECT h FROM sd GROUP BY h HAVING count(*) >= 2),
+    dpd AS (SELECT doc_id, count(*) AS n_dup FROM sd JOIN dup USING (h) GROUP BY 1),
+    base AS (SELECT doc_id,
+               CAST(floor(len(string_split({_NORM_SQL}, ' '))/16) AS BIGINT) AS n_spans
+             FROM documents)
+    SELECT b.doc_id, b.n_spans,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+           round(coalesce(n_dup, 0) / greatest(b.n_spans, 1), 6) AS dup_span_frac
+    FROM base b LEFT JOIN dpd USING (doc_id)""",
+)
+def corpus_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import corpus_duplicate_spans
+
+    return corpus_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+# exact deterministic stratified sample: per-lang md5 rank ≤ ceil(0.1·n)
+@_register(
+    "stratified_sample_10pct",
+    """WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents),
+    c AS (SELECT lang, count(*) AS stratum_n FROM documents GROUP BY 1)
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, stratum_n
+    FROM r JOIN c USING (lang)
+    WHERE rk <= ceil(stratum_n * 0.1)""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), frac=0.1, strata=("lang",))
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,357 @@
+"""Training-data pipeline operators over a document corpus.
+
+The reference validates/normalizes user text before it reaches the
+expensive fuzzy stage (/root/reference/app/api/core/search.py:14-21,
+:100-130); a training-data pipeline runs the same shape of work over a
+corpus: decide what gets in (decontamination, quality flags), how it is
+weighted (domain mixture), how it is split (deterministic train/val/
+test), and how it is laid out for the trainer (sequence packing). Each
+operator here is a pure DataFrame→DataFrame function registered as a
+driver gate in entrypoints.py with an exact DuckDB oracle.
+
+Scale notes are per-operator docstrings; the common rules:
+- nothing here collects to the driver,
+- every aggregation is map-side combinable,
+- the only broadcast is the benchmark n-gram set, which is small by
+  construction (eval benchmarks are MBs; the corpus is the 100 TB side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.functions.normalize import normalize_text_col
+
+
+def _token_ngrams(tokens: Column, k: int) -> Column:
+    """``array<string>`` of space-joined k-token shingles (empty when the
+    doc has fewer than k tokens — Spark's ``sequence(1, n)`` counts DOWN
+    for n < 1, so the short-doc case must be guarded, not clamped)."""
+    n = F.size(tokens) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+    return F.when(n >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_duplicate_spans(
+    docs: DataFrame, *, k: int = 16, min_docs: int = 2
+) -> DataFrame:
+    """Corpus-level duplicated-span detection — RefinedWeb/CCNet-style
+    "remove lines repeated across documents" (public), recast on
+    non-overlapping ``k``-token chunks because this corpus has no line
+    boundaries. A span is duplicated when it occurs in at least
+    ``min_docs`` DISTINCT documents; per doc we report how much of it is
+    made of corpus-duplicated material.
+
+    Returns ``doc_id, n_spans, n_dup_spans, dup_span_frac`` (docs with
+    fewer than k tokens have 0 spans and frac 0.0).
+
+    100 TB plan: spans explode map-side into (md5(span), doc_id) — the
+    16-byte hash, never the text, is what shuffles (32+ byte/token spans
+    → 16-byte keys; the only corpus-sized exchange carries hashes).
+    Distinct-doc counting is two map-side-combinable aggregations; the
+    dup verdict joins back to the per-doc span list on the same hash key
+    so AQE can reuse the partitioning. Hot spans (boilerplate headers
+    appearing in millions of docs) are ALREADY collapsed to one row per
+    (span, doc) before the count, so skew is bounded by docs-per-span
+    post-distinct, and the final join is span-hash-keyed with
+    count-filtered right side (only spans that ARE duplicated — output-
+    proportional, not corpus-proportional).
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    n_full = F.floor(F.size(toks) / k).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(1), n_full),
+        lambda i: F.md5(F.array_join(F.slice(toks, (i - 1) * k + 1, k), " ")),
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.when(n_full >= 1, spans)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("spans"),
+    )
+    exploded = per_doc.select(
+        "doc_id", F.explode("spans").alias("h")
+    ).dropDuplicates(["h", "doc_id"])
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    dup_per_doc = (
+        exploded.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        per_doc.select("doc_id", F.size("spans").cast("bigint").alias("n_spans"))
+        .join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.col("n_spans"), F.lit(1)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, *, frac: float = 0.1, strata=("lang",)
+) -> DataFrame:
+    """Exact deterministic stratified sample: within each stratum, rank
+    docs by ``md5(doc_id)`` (an order-free, engine-independent shuffle of
+    the stratum) and keep the first ``ceil(frac · stratum_size)`` — every
+    stratum is represented at exactly the target rate (±1 doc), unlike
+    Bernoulli hash-threshold sampling which only hits the rate in
+    expectation and can miss small strata entirely.
+
+    Returns the sampled ``doc_id, <strata...>, rk, stratum_n`` rows.
+
+    100 TB plan: one window per stratum (rank by the md5 already
+    computed) + one count — both partition by the stratum key, so
+    parallelism = number of strata; fine for lang/source-style strata
+    (dozens-thousands). A single giant stratum serializes its sort into
+    one task — for frac ≪ 1 on such strata, switch to the hash-threshold
+    variant (``md5 % M < frac·M``, a pure projection) and accept the
+    binomial rate jitter; exactness and full parallelism are a genuine
+    trade-off here, documented rather than hidden.
+    """
+    cols = list(strata)
+    hk = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(*cols).orderBy(hk.asc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", *cols).withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    )
+    counts = docs.groupBy(*cols).agg(F.count("*").alias("stratum_n"))
+    return (
+        ranked.join(F.broadcast(counts), cols)
+        .filter(F.col("rk") <= F.ceil(F.col("stratum_n") * frac))
+        .select("doc_id", *cols, "rk", "stratum_n")
+    )
+
+
+def decontaminate_ngram_overlap(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    bench_mod: int = 97,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: exact k-token n-gram overlap.
+
+    The standard LLM-corpus decontamination rule (GPT-3 appendix C /
+    The Pile §6.3, public): a training document is contaminated if it
+    shares any k-token n-gram with any document of the held-out
+    benchmark set. Here the benchmark split is deterministic —
+    ``doc_id % bench_mod == 0`` — so the whole operator is
+    SQL-reproducible; in production the benchmark set is an external
+    (tiny) table and everything else is unchanged.
+
+    Returns one row per NON-benchmark doc: ``doc_id``, ``n_hits``
+    (distinct contaminating n-grams), ``contaminated`` (0/1).
+
+    100 TB plan: the benchmark n-gram set is deduped and broadcast
+    (benchmarks are MBs against a 100 TB corpus — the asymmetry is the
+    whole point of the operator). The corpus side explodes its n-grams
+    map-side and inner-joins the broadcast FIRST, so only matching
+    (doc, gram) rows — proportional to contamination, not to the corpus
+    — reach the dedup+count shuffle. No corpus-sized shuffle exists in
+    the plan. With ``broadcast_bench=False`` the same plan runs as a
+    shuffle join for benchmark sets too large to broadcast.
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    grams = docs.select(
+        "doc_id", F.explode(_token_ngrams(toks, k)).alias("g")
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench = grams.filter(is_bench).select("g").distinct()
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    hits = (
+        grams.filter(~is_bench)
+        .join(bench, "g")  # broadcast hash join: corpus rows never shuffle
+        .select("doc_id", "g")
+        .dropDuplicates(["doc_id", "g"])  # hit-proportional shuffle
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def train_val_test_split(
+    docs: DataFrame, *, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    ``bucket = int(md5(doc_id)[:8], 16) % 100`` — a pure projection
+    (zero shuffles, trivially parallel at any scale), stable across
+    runs/engines (md5 of the decimal string is engine-independent,
+    unlike xxhash64/DuckDB ``hash()``), and independent of corpus order
+    — re-sharding or appending data never reassigns an existing doc,
+    which is the property that keeps eval sets frozen across corpus
+    versions. Stratification is implicit: within any stratum (lang,
+    source, ...) the md5 buckets are uniform, so per-stratum rates hold
+    in expectation without a per-stratum pass.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def gopher_repetition_flags(
+    docs: DataFrame,
+    *,
+    dup_word_max: float = 0.5,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public): fraction of duplicated words and the fraction of the doc
+    occupied by its single most frequent word bigram. A doc is kept when
+    both are at or under threshold (0.18 is the published top-2-gram
+    bound).
+
+    Returns ``doc_id, n_tokens, dup_word_frac, top_bigram_frac, keep``.
+
+    100 TB plan: the duplicate-word fraction is a pure projection
+    (array_distinct inside the row). The top-bigram count is the only
+    shuffle: explode bigrams → two-level count/max aggregation, both
+    levels map-side combinable and keyed by doc_id — partition-local
+    after the first hash exchange, no skew beyond document length
+    (bounded by upstream length filters). Docs with <2 tokens produce
+    no bigram rows and rejoin via left join with a 0 count.
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+    top_bi = (
+        base.select("doc_id", F.explode(_token_ngrams(F.col("t"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    dup_frac = F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6)
+    bi_frac = F.round(
+        F.coalesce(F.col("top_c"), F.lit(0))
+        / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+        6,
+    )
+    return (
+        base.join(top_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_word_frac"),
+            bi_frac.alias("top_bigram_frac"),
+            ((dup_frac <= dup_word_max) & (bi_frac <= top_bigram_max))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def domain_mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) token inventory + uniform-target resampling
+    weights — the domain-mixing table a trainer consumes (DoReMi /
+    The Pile-style mixing, public; here the target is uniform across
+    domains, the degenerate-but-deterministic baseline).
+
+    ``weight = (1/n_domains) / token_share``: >1 means upsample.
+
+    100 TB plan: one map-side-combinable groupBy over the corpus down to
+    |domains| rows (dozens), then the share/weight normalization runs as
+    a window over that TINY aggregate — the empty-partition window is
+    deliberate and safe because its input is post-aggregation, never
+    corpus-sized.
+    """
+    norm = normalize_text_col(F.col("text"))
+    per_domain = (
+        docs.select(
+            "lang", "source", F.size(F.split(norm, " ")).cast("bigint").alias("n_tok")
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    n_domains = F.count("*").over(w)
+    return per_domain.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((1 / n_domains) / share, 6).alias("weight"),
+    )
+
+
+def pack_sequences(docs: DataFrame, *, seq_len: int = 256) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    deterministic (source, doc_id) order and cut fixed ``seq_len``-token
+    trainer chunks; each doc reports the chunk its first token lands in
+    and its offset — the standard pre-tokenized-corpus layout (GPT-2/
+    T5 "pack then split", public).
+
+    Returns ``doc_id, source, n_tokens, start_offset, chunk_id`` where
+    ``start_offset`` is the doc's first-token position within its
+    source's stream and ``chunk_id = floor(start_offset / seq_len)``.
+
+    100 TB plan: packing is sharded by ``source`` — the running sum is a
+    window per source partition, so shards pack in parallel and no
+    global single-partition sort exists. A global pack order would be a
+    driver bottleneck by definition; per-shard streams are what real
+    pipelines feed per-worker data loaders anyway. Skewed sources bound
+    the parallelism; sub-shard by (source, hash(doc_id) % n) when one
+    source dominates.
+    """
+    norm = normalize_text_col(F.col("text"))
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("bigint").alias("chunk_id"),
+    )

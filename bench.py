@@ -51,6 +51,10 @@ GATE_QUERIES = [
     "top_orders_per_customer",
     "cosine_topk",
     "events_hourly",
+    # r5 training-data-pipeline ops: the two shuffle-heavy ones (span
+    # hashing + n-gram overlap join); the rest are projections/tiny aggs
+    "corpus_duplicate_spans",
+    "decontaminate_ngram_overlap",
 ]
 
 

@@ -1,0 +1,182 @@
+"""Unit tests for the training-data pipeline operators
+(operators/datapipe.py) — edge cases the driver oracle gate doesn't pin:
+short/empty docs, split determinism under corpus growth, packing
+arithmetic, decontamination recall on a planted overlap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.operators.datapipe import (
+    corpus_duplicate_spans,
+    decontaminate_ngram_overlap,
+    domain_mixture_weights,
+    gopher_repetition_flags,
+    pack_sequences,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang="en", source="s0", text=t) for i, t in rows],
+        "doc_id bigint, lang string, source string, text string",
+    )
+
+
+# ---------------------------------------------------------------- decontam
+def test_decontaminate_planted_overlap(spark):
+    # doc 0 is benchmark (0 % 97 == 0); doc 1 copies an 8-token run from
+    # it, doc 2 shares nothing.
+    bench = "a b c d e f g h i j"
+    docs = _docs(
+        spark,
+        [
+            (0, bench),
+            (1, "x y " + "a b c d e f g h"),  # one shared 8-gram
+            (2, "q r s t u v w x y z"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate_ngram_overlap(docs).collect()
+    }
+    assert 0 not in out  # benchmark rows are excluded from output
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    # <8 tokens → zero 8-grams on either side; nothing flags, nothing crashes
+    docs = _docs(spark, [(0, "a b c"), (1, "a b c"), (2, "")])
+    out = {r["doc_id"]: r["contaminated"] for r in decontaminate_ngram_overlap(docs).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_decontaminate_shuffle_join_variant_matches(spark):
+    docs = _docs(
+        spark,
+        [(i, f"tok{i} a b c d e f g h i j k") for i in range(20)] + [(97, "a b c d e f g h")],
+    )
+    a = sorted(map(tuple, decontaminate_ngram_overlap(docs).collect()))
+    b = sorted(
+        map(tuple, decontaminate_ngram_overlap(docs, broadcast_bench=False).collect())
+    )
+    assert a == b
+
+
+# ------------------------------------------------------------------- split
+def test_split_deterministic_and_append_stable(spark):
+    docs = _docs(spark, [(i, "x") for i in range(200)])
+    first = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    # appending new docs never reassigns an existing doc
+    more = _docs(spark, [(i, "x") for i in range(400)])
+    second = {r["doc_id"]: r["split"] for r in train_val_test_split(more).collect()}
+    assert all(second[k] == v for k, v in first.items())
+    # rates are roughly 10/10/80 (md5 uniformity; wide tolerance at n=400)
+    from collections import Counter
+
+    c = Counter(second.values())
+    assert 0.03 <= c["test"] / 400 <= 0.20
+    assert 0.03 <= c["val"] / 400 <= 0.20
+    assert c["train"] / 400 >= 0.6
+
+
+def test_split_is_pure_projection(spark):
+    docs = _docs(spark, [(i, "x") for i in range(10)])
+    plan = train_val_test_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: scales trivially
+
+
+# -------------------------------------------------------------- repetition
+def test_gopher_flags_degenerate_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam"),  # dup_word_frac 5/6, top bigram 5/5
+            (2, "the quick brown fox jumps over nine lazy sleeping dogs"),  # distinct; 1/9 bigram frac
+            (3, "one"),  # single token: no bigrams
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition_flags(docs).collect()}
+    assert out[1]["keep"] == 0 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["keep"] == 1 and out[2]["dup_word_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0  # coalesce(0)/max(n-1,1) guard
+
+
+# ----------------------------------------------------------------- mixture
+def test_domain_mixture_weights_sum_property(spark):
+    rows = [(i, "en" if i % 3 else "fr", f"s{i % 2}", "a b c " * (i + 1)) for i in range(12)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=l, source=s, text=t) for i, l, s, t in rows],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    out = domain_mixture_weights(docs).collect()
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-4
+    # weight * share == 1/n_domains for every domain (uniform target)
+    n = len(out)
+    for r in out:
+        assert abs(r["weight"] * r["token_share"] - 1.0 / n) < 1e-4
+
+
+# --------------------------------------------------------------- dup spans
+def test_corpus_duplicate_spans_cross_doc_only(spark):
+    shared = " ".join(f"s{i}" for i in range(4))
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(4))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(4))),
+            # doc 3 repeats ITS OWN span twice — intra-doc repetition is
+            # not corpus duplication (distinct-doc count stays 1)
+            (3, " ".join(f"c{i}" for i in range(4)) * 2),
+            (4, "tiny"),  # < k tokens → zero spans
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in corpus_duplicate_spans(docs, k=4).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_span_frac"] == 0.5
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    assert out[4] == {"doc_id": 4, "n_spans": 0, "n_dup_spans": 0, "dup_span_frac": 0.0}
+
+
+# ---------------------------------------------------------------- sampling
+def test_stratified_sample_exact_rates(spark):
+    rows = [(i, "en" if i < 100 else "fr", "s", "x") for i in range(107)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=l, source=s, text=t) for i, l, s, t in rows],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    out = stratified_sample(docs, frac=0.1, strata=("lang",)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # exact ceil(frac·n) per stratum — the small stratum is NOT missed
+    assert len(by_lang["en"]) == 10
+    assert len(by_lang["fr"]) == 1  # ceil(7 * 0.1)
+    # deterministic: same sample on re-run
+    again = stratified_sample(docs, frac=0.1, strata=("lang",)).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+# ------------------------------------------------------------------ packing
+def test_pack_sequences_offsets_contiguous(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", source="a", text="w1 w2 w3"),
+            Row(doc_id=2, lang="en", source="a", text="w1 w2"),
+            Row(doc_id=3, lang="en", source="b", text="w1"),
+        ],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in pack_sequences(docs, seq_len=4).collect()}
+    # per-source streams: offsets are the running sum of preceding docs
+    assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 3
+    assert out[3]["start_offset"] == 0  # independent source stream
+    assert out[1]["chunk_id"] == 0 and out[2]["chunk_id"] == 0
+    big = pack_sequences(docs, seq_len=2).collect()
+    assert {r["chunk_id"] for r in big if r["doc_id"] == 2} == {1}  # offset 3 // 2
