@@ -1534,6 +1534,49 @@ def corpus_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
+# PII scrub (emails + IPv4 → placeholders). The corpus has no natural
+# PII, so the gate plants a deterministic email+IP per doc (from doc_id)
+# and checks both the redacted text and the counts — recall through the
+# regexes, not just absence of matches. Patterns are RE2-compatible so
+# DuckDB replays them verbatim; both engines' regexp_replace is global
+# (DuckDB needs the explicit 'g' flag).
+@_register(
+    "pii_scrub",
+    r"""WITH planted AS (
+      SELECT doc_id,
+             text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                  || '@example.com via 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 ok' AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+           CAST(len(regexp_split_to_array(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_split_to_array(text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) - 1 AS BIGINT) AS n_ips
+    FROM planted""",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import pii_scrub
+
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ok"),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
 # exact deterministic stratified sample: per-lang md5 rank ≤ ceil(0.1·n)
 @_register(
     "stratified_sample_10pct",

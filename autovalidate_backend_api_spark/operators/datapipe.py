@@ -36,6 +36,40 @@ def _token_ngrams(tokens: Column, k: int) -> Column:
     return F.when(n >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass: replace email addresses and IPv4 literals with
+    fixed placeholder tokens (``<EMAIL>`` / ``<IP>``) and count the
+    redactions — the standard pre-training scrub (C4 / RefinedWeb both
+    strip PII-ish spans with exactly this regex-class approach, public).
+    Patterns are RE2-compatible (no lookarounds) so the DuckDB oracle
+    replays them verbatim.
+
+    Returns ``doc_id, scrubbed, n_emails, n_ips``.
+
+    100 TB plan: a pure per-row projection — four native regex
+    expressions, zero shuffles, whole-stage codegen end to end; scales
+    embarrassingly. Counting uses regexp-split length (occurrences =
+    parts - 1), computed on the ORIGINAL text so overlapping placeholder
+    rewrites can't miscount.
+    """
+    t = F.col("text")
+    n_emails = (F.size(F.split(t, _EMAIL_RE, -1)) - 1).cast("bigint")
+    n_ips = (F.size(F.split(t, _IPV4_RE, -1)) - 1).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+    )
+
+
 def corpus_duplicate_spans(
     docs: DataFrame, *, k: int = 16, min_docs: int = 2
 ) -> DataFrame:

@@ -123,6 +123,27 @@ def test_domain_mixture_weights_sum_property(spark):
         assert abs(r["weight"] * r["token_share"] - 1.0 / n) < 1e-4
 
 
+# --------------------------------------------------------------- pii scrub
+def test_pii_scrub_counts_and_redacts(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import pii_scrub
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org end"),
+            (2, "ips 10.0.0.1 then 192.168.1.255"),
+            (3, "clean text with no pii at all"),
+            (4, "trailing match a@b.co"),  # match at end: split must keep empties
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> end"
+    assert out[2]["n_ips"] == 2 and out[2]["scrubbed"] == "ips <IP> then <IP>"
+    assert out[3] == {"doc_id": 3, "scrubbed": "clean text with no pii at all",
+                      "n_emails": 0, "n_ips": 0}
+    assert out[4]["n_emails"] == 1 and out[4]["scrubbed"] == "trailing match <EMAIL>"
+
+
 # --------------------------------------------------------------- dup spans
 def test_corpus_duplicate_spans_cross_doc_only(spark):
     shared = " ".join(f"s{i}" for i in range(4))
