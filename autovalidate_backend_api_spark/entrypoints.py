@@ -1534,6 +1534,61 @@ def corpus_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
+# one-scan curation verdict: every admission signal from ONE
+# tokenization (see operators/datapipe.curation_report for the 100 TB
+# single-pass argument). The oracle composes the per-signal fragments
+# already proven by the standalone gates.
+@_register(
+    "curation_report",
+    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+             FROM toks),
+    bi AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS r(i)),
+    topbi AS (SELECT doc_id, max(c) AS top_c FROM
+        (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1),
+    spans AS (SELECT doc_id, md5(array_to_string(t[(j-1)*16+1:(j-1)*16+16], ' ')) AS h
+              FROM toks, UNNEST(range(1, CAST(floor(len(t)/16) AS BIGINT) + 1)) AS r(j)),
+    sd AS (SELECT DISTINCT doc_id, h FROM spans),
+    dup AS (SELECT h FROM sd GROUP BY h HAVING count(*) >= 2),
+    dpd AS (SELECT doc_id, count(*) AS n_dup FROM sd JOIN dup USING (h) GROUP BY 1),
+    nspans AS (SELECT doc_id, CAST(floor(len(t)/16) AS BIGINT) AS n_spans FROM toks),
+    grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM toks, UNNEST(range(1, greatest(len(t) - 6, 1))) AS r(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    hits AS (SELECT doc_id, count(*) AS n_hits FROM
+        (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) cg
+        JOIN bench USING (g) GROUP BY 1),
+    sig AS (
+      SELECT b.doc_id, b.n_tokens,
+             round(1 - CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 6) AS dup_word_frac,
+             round(CAST(coalesce(top_c, 0) AS DOUBLE)
+                   / greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+             round(CAST(coalesce(n_dup, 0) AS DOUBLE)
+                   / greatest(n_spans, 1), 6) AS dup_span_frac,
+             CAST(coalesce(n_hits, 0) > 0 AS INT) AS contaminated,
+             CAST(b.doc_id % 97 = 0 AS INT) AS is_benchmark,
+             CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM base b
+      LEFT JOIN topbi USING (doc_id) LEFT JOIN nspans USING (doc_id)
+      LEFT JOIN dpd USING (doc_id) LEFT JOIN hits USING (doc_id))
+    SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac, dup_span_frac,
+           contaminated, is_benchmark,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split,
+           CAST(is_benchmark = 0 AND dup_word_frac <= 0.5
+                AND top_bigram_frac <= 0.18 AND contaminated = 0
+                AND dup_span_frac <= 0.5 AS INT) AS keep
+    FROM sig""",
+)
+def curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import curation_report
+
+    return curation_report(_t(spark, sf_dir, "documents"))
+
+
 # PII scrub (emails + IPv4 → placeholders). The corpus has no natural
 # PII, so the gate plants a deterministic email+IP per doc (from doc_id)
 # and checks both the redacted text and the counts — recall through the

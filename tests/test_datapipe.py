@@ -123,6 +123,34 @@ def test_domain_mixture_weights_sum_property(spark):
         assert abs(r["weight"] * r["token_share"] - 1.0 / n) < 1e-4
 
 
+# ---------------------------------------------------------------- curation
+def test_curation_report_matches_standalone_ops(spark, sf_dir):
+    """The one-scan composition must agree signal-by-signal with the
+    standalone operators it fuses (same corpus, same params)."""
+    from autovalidate_backend_api_spark.operators.datapipe import curation_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = {r["doc_id"]: r.asDict() for r in curation_report(docs, persist=False).collect()}
+
+    gop = {r["doc_id"]: r.asDict() for r in gopher_repetition_flags(docs).collect()}
+    spn = {r["doc_id"]: r.asDict() for r in corpus_duplicate_spans(docs).collect()}
+    spl = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    dec = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_ngram_overlap(docs).collect()
+    }
+    assert set(rep) == set(gop)
+    for d, row in rep.items():
+        assert row["top_bigram_frac"] == gop[d]["top_bigram_frac"], d
+        assert row["dup_word_frac"] == gop[d]["dup_word_frac"], d
+        assert row["dup_span_frac"] == spn[d]["dup_span_frac"], d
+        assert row["split"] == spl[d], d
+        if row["is_benchmark"]:
+            assert d % 97 == 0 and row["keep"] == 0
+        else:
+            assert row["contaminated"] == dec[d], d
+
+
 # --------------------------------------------------------------- pii scrub
 def test_pii_scrub_counts_and_redacts(spark):
     from autovalidate_backend_api_spark.operators.datapipe import pii_scrub
