@@ -1653,6 +1653,170 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 5: edit-distance verify + span removal + tf-idf + BPE merge stats
+# ---------------------------------------------------------------------------
+
+# Edit-distance pair verify at the reference's fuzzy threshold (75/100,
+# /root/reference/app/api/core/search.py:112-137): shingle-overlap
+# candidates (inverted index, jaccard ≥ 0.3 prefilter) verified with
+# native levenshtein; sim = 1 - lev/max(|a|,|b|) ≥ 0.75. Classic
+# Levenshtein is used (not rapidfuzz's Indel ratio) because DuckDB ships
+# it natively, so the oracle is exact; the Indel-ratio parity contract is
+# pinned separately (typo_eval_passrate + hypothesis property tests).
+# 100 TB: levenshtein is O(nm) per pair — it runs strictly AFTER
+# candidate pruning (never corpus×corpus), JVM-side via whole-stage
+# codegen; at scale bound the DP with the threshold overload
+# (levenshtein(l, r, max)) and length-ratio pre-rejection.
+@_register(
+    "edit_similarity_pairs",
+    _SHINGLES_SQL
+    + f""", cand AS (
+      SELECT src, dst FROM inter
+      JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst
+      WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.3),
+    nt AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+    SELECT src, dst, CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev,
+           round(1 - levenshtein(a.s, b.s) * 1.0
+                 / greatest(length(a.s), length(b.s), 1), 6) AS sim
+    FROM cand JOIN nt a ON a.doc_id = src JOIN nt b ON b.doc_id = dst
+    WHERE round(1 - levenshtein(a.s, b.s) * 1.0
+                / greatest(length(a.s), length(b.s), 1), 6) >= 0.75""",
+)
+def edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _shingle_pairs_spark(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("src", "dst")
+    )
+    nt = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text_col(F.col("text")).alias("s")
+    )
+    j = pairs.join(
+        nt.select(F.col("doc_id").alias("src"), F.col("s").alias("sa")), "src"
+    ).join(nt.select(F.col("doc_id").alias("dst"), F.col("s").alias("sb")), "dst")
+    lev = F.levenshtein("sa", "sb")
+    sim = F.round(
+        F.lit(1)
+        - lev * F.lit(1.0)
+        / F.greatest(F.length("sa"), F.length("sb"), F.lit(1)),
+        6,
+    )
+    return (
+        j.select("src", "dst", lev.cast("bigint").alias("lev"), sim.alias("sim"))
+        .filter(F.col("sim") >= 0.75)
+    )
+
+
+# ExactSubstr-style duplicate-span REMOVAL (the acting half of
+# corpus_duplicate_spans): first occurrence wins, later copies are cut
+# and the doc text rebuilt from surviving chunks + tail. The oracle
+# replays the same (doc_id, chunk_idx)-ordered keep rule via row_number
+# and rebuilds with list_filter/flatten.
+@_register(
+    "duplicate_spans_removed",
+    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, t, CAST(floor(len(t)/16) AS INT) AS nf FROM toks),
+    occ AS (SELECT doc_id, j, md5(array_to_string(t[(j-1)*16+1:(j-1)*16+16], ' ')) AS h
+            FROM base, UNNEST(range(1, nf + 1)) AS r(j)),
+    rk AS (SELECT doc_id, j,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, j) AS rk
+           FROM occ),
+    dropped AS (SELECT doc_id, list(j ORDER BY j) AS dj
+                FROM rk WHERE rk >= 2 GROUP BY doc_id)
+    SELECT b.doc_id, CAST(nf AS BIGINT) AS n_chunks,
+           CAST(coalesce(len(dj), 0) AS BIGINT) AS n_dropped,
+           coalesce(array_to_string(
+             flatten(list_transform(
+               list_filter(range(1, nf + 1),
+                           j -> NOT list_contains(coalesce(dj, []), j)),
+               j -> t[(j-1)*16+1:(j-1)*16+16]))
+             || t[nf*16+1:len(t)], ' '), '') AS cleaned
+    FROM base b LEFT JOIN dropped USING (doc_id)""",
+)
+def duplicate_spans_removed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+# Per-doc top-3 terms by tf-idf, raw-inverse-frequency variant
+# (idf = N/df, log-free so both engines' doubles agree to the ulp —
+# same ranking as tf·log(N/df) for fixed N). Ranking on the ROUNDED
+# score with term-asc tiebreak makes the rank cut engine-exact.
+# 100 TB: explode → two map-side-combinable counts; the term-keyed
+# df join is vocabulary-sized, the scalar N is a 1-row broadcast.
+@_register(
+    "tfidf_top_terms",
+    f"""WITH terms AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE term != '' GROUP BY 1, 2),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    s AS (SELECT doc_id, term, tf, df, round(tf * (n_docs / df), 6) AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM s)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * (F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            "rk",
+        )
+    )
+
+
+# First BPE training step: global adjacent-token-pair counts, top 20
+# (count desc, pair asc) — the merge-candidate table a tokenizer trainer
+# consumes. Explode is map-side; the count is combinable; top-k via
+# TakeOrderedAndProject, never a global sort materialization.
+@_register(
+    "bpe_merge_candidates",
+    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    bi AS (SELECT array_to_string(t[i:i+1], ' ') AS pair
+           FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS r(i))
+    SELECT pair, count(*) AS n FROM bi
+    GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import _token_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    grams = docs.select(F.explode(_token_ngrams(toks, 2)).alias("pair"))
+    return (
+        grams.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

@@ -268,6 +268,74 @@ def corpus_duplicate_spans(
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, *, k: int = 16) -> DataFrame:
+    """Exact-substring span REMOVAL — the acting half of
+    ``corpus_duplicate_spans``: every repeated ``k``-token chunk keeps its
+    first occurrence (global (doc_id, chunk_idx) order) and is cut from
+    every later one, then each doc's text is rebuilt from its surviving
+    chunks plus the unchunked tail (ExactSubstr-style dedup, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better",
+    public, recast on fixed chunks so the keep rule is engine-exact).
+
+    Returns ``doc_id, n_chunks, n_dropped, cleaned``.
+
+    100 TB plan: only ``(md5(chunk), doc_id, chunk_idx)`` rows ever
+    shuffle — 16-byte hashes, never text. The canonical occurrence per
+    hash is a ``min(struct(doc_id, idx))`` aggregation (map-side
+    combinable, no window sort, so a boilerplate span occurring in
+    millions of docs costs a combiner-reduced min, not a single-task
+    rank). The drop verdict flows back as a per-doc int list (output-
+    proportional); reconstruction is a pure array projection on the
+    original row — text crosses zero exchanges.
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    n_full = F.floor(F.size(toks) / k).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(1), n_full),
+        lambda i: F.md5(F.array_join(F.slice(toks, (i - 1) * k + 1, k), " ")),
+    )
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        n_full.alias("nf"),
+        F.when(n_full >= 1, spans).otherwise(F.array().cast("array<string>")).alias("spans"),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("spans").alias("pos", "h")
+    ).select("doc_id", (F.col("pos") + 1).alias("j"), "h")
+    canon = occ.groupBy("h").agg(F.min(F.struct("doc_id", "j")).alias("c"))
+    dropped = (
+        occ.join(canon, "h")
+        .filter((F.col("doc_id") != F.col("c.doc_id")) | (F.col("j") != F.col("c.j")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("j")).alias("dj"))
+    )
+    dj = F.coalesce(F.col("dj"), F.array().cast("array<int>"))
+    kept_idx = F.when(
+        F.col("nf") >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.col("nf")),
+            lambda j: ~F.array_contains(dj, j),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    kept_tok = F.flatten(
+        F.transform(kept_idx, lambda j: F.slice(F.col("t"), (j - 1) * k + 1, k))
+    )
+    tail_len = F.size(F.col("t")) - F.col("nf") * k
+    tail = F.when(
+        tail_len > 0, F.slice(F.col("t"), F.col("nf") * k + 1, tail_len)
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nf").cast("bigint").alias("n_chunks"),
+            F.size(dj).cast("bigint").alias("n_dropped"),
+            F.array_join(F.concat(kept_tok, tail), " ").alias("cleaned"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame, *, frac: float = 0.1, strata=("lang",)
 ) -> DataFrame:

@@ -229,3 +229,43 @@ def test_pack_sequences_offsets_contiguous(spark):
     assert out[1]["chunk_id"] == 0 and out[2]["chunk_id"] == 0
     big = pack_sequences(docs, seq_len=2).collect()
     assert {r["chunk_id"] for r in big if r["doc_id"] == 2} == {1}  # offset 3 // 2
+
+
+# ----------------------------------------------------------- span removal
+def test_remove_duplicate_spans_first_occurrence_wins(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import remove_duplicate_spans
+
+    chunk = " ".join(f"c{i}" for i in range(16))  # one full 16-token chunk
+    uniq = " ".join(f"u{i}" for i in range(16))
+    docs = _docs(
+        spark,
+        [
+            (1, chunk + " tail1 tail2"),          # canonical occurrence
+            (2, uniq + " " + chunk + " t"),       # copy at chunk idx 2 -> cut
+            (3, "short doc below chunk size"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(docs, k=16).collect()}
+    assert out[1]["n_dropped"] == 0 and out[1]["cleaned"] == chunk + " tail1 tail2"
+    assert out[2]["n_dropped"] == 1 and out[2]["cleaned"] == uniq + " t"
+    assert out[3] == {
+        "doc_id": 3, "n_chunks": 0, "n_dropped": 0,
+        "cleaned": "short doc below chunk size",
+    }
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import remove_duplicate_spans
+
+    chunk = " ".join(f"w{i}" for i in range(16))
+    docs = _docs(spark, [(5, chunk + " " + chunk)])  # same chunk twice
+    out = remove_duplicate_spans(docs, k=16).collect()[0]
+    assert out["n_chunks"] == 2 and out["n_dropped"] == 1
+    assert out["cleaned"] == chunk  # second occurrence cut
+
+
+def test_remove_duplicate_spans_empty_doc(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_docs(spark, [(7, "")]), k=16).collect()[0]
+    assert out["n_chunks"] == 0 and out["n_dropped"] == 0 and out["cleaned"] == ""
