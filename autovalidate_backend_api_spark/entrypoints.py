@@ -205,13 +205,17 @@ def _stop_hits_sql(lang: str) -> str:
         FROM documents""",
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(normalize_text_col(F.col("text")), " ")
+    # tokenize once into an attribute: each per-stopword filter takes the
+    # token array as its HOF input, so an inline split expression would
+    # re-tokenize once per stopword per row
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
 
     def hits(lang: str):
         e = None
         for w in _STOPWORDS[lang]:
-            term = F.size(F.filter(toks, lambda x: x == F.lit(w)))
+            term = F.size(F.filter(F.col("t"), lambda x: x == F.lit(w)))
             e = term if e is None else e + term
         return e
 
@@ -222,7 +226,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(es > en, "es")
         .otherwise("en")
     )
-    return docs.select("doc_id", guess.alias("lang_guess"))
+    return tok.select("doc_id", guess.alias("lang_guess"))
 
 
 # F4/F11 OCR-confusion normalization (ocr/main.py:362-369 char map)
@@ -1805,9 +1809,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autovalidate_backend_api_spark.operators.datapipe import _token_ngrams
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(normalize_text_col(F.col("text")), " ")
-    grams = docs.select(F.explode(_token_ngrams(toks, 2)).alias("pair"))
+    # tokenize into an attribute first: an expression captured in the
+    # transform lambda re-runs the regex+split per bigram (interpreted
+    # HOF, no CSE) — measured 9.7 s vs 0.6 s at sf0.1 for this query
+    tok = _t(spark, sf_dir, "documents").select(
+        F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
+    grams = tok.select(F.explode(_token_ngrams(F.col("t"), 2)).alias("pair"))
     return (
         grams.groupBy("pair")
         .agg(F.count("*").alias("n"))

@@ -69,11 +69,13 @@ def curation_report(
     ``keep = not benchmark ∧ gopher-pass ∧ not contaminated ∧
     dup_span_frac ≤ dup_span_max``.
 
-    Measured at sf0.1 (50k docs, local[16], hot JVM, min-of-2): fused
-    1.5 s vs 10.8 s for the four standalone operators run separately —
-    the ~7× is exactly the amortized normalize+tokenize cost, and it
-    grows with corpus size (signal-proportional shuffles are the small
-    term at scale). Signal-by-signal equality with the standalone ops is
+    Measured at sf0.1 (5k docs, local[16], hot JVM, min-of-2): fused
+    1.0 s vs ~1.6 s for the four standalone operators run separately
+    (post the two-step-projection fix that removed the per-gram
+    re-tokenize; before it the standalone sum was 10.8 s). The fused
+    advantage is the amortized normalize+tokenize+scan cost and grows
+    with corpus size — signal-proportional shuffles are the small term
+    at scale. Signal-by-signal equality with the standalone ops is
     pinned by ``test_curation_report_matches_standalone_ops``.
 
     Returns ``doc_id, n_tokens, dup_word_frac, top_bigram_frac,
@@ -226,13 +228,22 @@ def corpus_duplicate_spans(
     count-filtered right side (only spans that ARE duplicated — output-
     proportional, not corpus-proportional).
     """
-    toks = F.split(normalize_text_col(F.col("text")), " ")
-    n_full = F.floor(F.size(toks) / k).cast("int")
+    # Two-step projection: tokenize into an ATTRIBUTE first. A split
+    # expression captured inside the transform lambda is re-evaluated
+    # once per span (HOFs run interpreted, no CSE) — measured ~15× on
+    # the bigram analog; the attribute indirection pins one tokenize
+    # per row (CollapseProject keeps the barrier: non-cheap producer,
+    # multiple consumer references).
+    tok_tbl = docs.select(
+        "doc_id", F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
+    t = F.col("t")
+    n_full = F.floor(F.size(t) / k).cast("int")
     spans = F.transform(
         F.sequence(F.lit(1), n_full),
-        lambda i: F.md5(F.array_join(F.slice(toks, (i - 1) * k + 1, k), " ")),
+        lambda i: F.md5(F.array_join(F.slice(t, (i - 1) * k + 1, k), " ")),
     )
-    per_doc = docs.select(
+    per_doc = tok_tbl.select(
         "doc_id",
         F.when(n_full >= 1, spans)
         .otherwise(F.array().cast("array<string>"))
@@ -288,15 +299,21 @@ def remove_duplicate_spans(docs: DataFrame, *, k: int = 16) -> DataFrame:
     proportional); reconstruction is a pure array projection on the
     original row — text crosses zero exchanges.
     """
-    toks = F.split(normalize_text_col(F.col("text")), " ")
-    n_full = F.floor(F.size(toks) / k).cast("int")
+    # Two-step projection: tokens become an attribute BEFORE the span
+    # lambda captures them (expression capture re-runs the regex+split
+    # per span in interpreted HOF eval — measured ~15× on this shape).
+    tok_tbl = docs.select(
+        "doc_id", F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
+    t0 = F.col("t")
+    n_full = F.floor(F.size(t0) / k).cast("int")
     spans = F.transform(
         F.sequence(F.lit(1), n_full),
-        lambda i: F.md5(F.array_join(F.slice(toks, (i - 1) * k + 1, k), " ")),
+        lambda i: F.md5(F.array_join(F.slice(t0, (i - 1) * k + 1, k), " ")),
     )
-    base = docs.select(
+    base = tok_tbl.select(
         "doc_id",
-        toks.alias("t"),
+        "t",
         n_full.alias("nf"),
         F.when(n_full >= 1, spans).otherwise(F.array().cast("array<string>")).alias("spans"),
     )
@@ -400,9 +417,14 @@ def decontaminate_ngram_overlap(
     the plan. With ``broadcast_bench=False`` the same plan runs as a
     shuffle join for benchmark sets too large to broadcast.
     """
-    toks = F.split(normalize_text_col(F.col("text")), " ")
-    grams = docs.select(
-        "doc_id", F.explode(_token_ngrams(toks, k)).alias("g")
+    # Two-step projection (see remove_duplicate_spans): tokenize into an
+    # attribute so the regex+split chain runs once per row, not once per
+    # exploded n-gram inside the interpreted transform lambda.
+    tok_tbl = docs.select(
+        "doc_id", F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
+    grams = tok_tbl.select(
+        "doc_id", F.explode(_token_ngrams(F.col("t"), k)).alias("g")
     )
     is_bench = F.col("doc_id") % bench_mod == 0
     bench = grams.filter(is_bench).select("g").distinct()
