@@ -55,9 +55,14 @@ GATE_QUERIES = [
     # hashing + n-gram overlap join); the rest are projections/tiny aggs
     "corpus_duplicate_spans",
     "decontaminate_ngram_overlap",
-    # the one-scan fusion of all curation signals (measured ~7× cheaper
-    # than its standalone parts — the number that matters at 100 TB)
+    # the one-scan fusion of all curation signals (cheaper than its
+    # standalone parts — the number that matters at 100 TB)
     "curation_report",
+    # r5b additions: span REMOVAL (hash-only shuffle + array rebuild),
+    # levenshtein verify over shingle candidates, per-doc tf-idf ranking
+    "duplicate_spans_removed",
+    "edit_similarity_pairs",
+    "tfidf_top_terms",
 ]
 
 
