@@ -1794,6 +1794,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Suffix-automaton longest-common-SUBSTRING confirm (the north-rule's
+# "suffix-array substring pass" made literal; functions/substring.py).
+# The corpus has no SQL-computable natural LCS values, so the gate
+# plants deterministic token-excerpt pairs: excerpt(doc) = tokens
+# [st, st+L) of the normalized text (st, L varying per doc_id), which
+# is a LITERAL substring of the normalized doc — so the automaton's
+# answer must equal the excerpt's exact character length and the
+# containment ratio must be exactly 1.0. Equality is bit-exact recall
+# through the automaton (off-by-one/boundary bugs fail the hash);
+# non-planted LCS values are pinned in pytest vs an O(nm) DP.
+@_register(
+    "lcs_substring_pairs",
+    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    ex AS (SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS st,
+                  CAST(10 + doc_id % 13 AS INT) AS L, t
+           FROM toks),
+    pe AS (SELECT doc_id, array_to_string(t[st:st+L-1], ' ') AS excerpt
+           FROM ex WHERE len(t) >= st + L - 1)
+    SELECT doc_id AS src, doc_id + 20000000 AS dst,
+           CAST(len(excerpt) AS BIGINT) AS lcs_len,
+           round(CAST(len(excerpt) AS DOUBLE) / greatest(len(excerpt), 1), 6)
+             AS containment
+    FROM pe""",
+)
+def lcs_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.substring import lcs_confirm_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
+    st = (F.col("doc_id") % 5 + 1).cast("int")
+    ln = (F.col("doc_id") % 13 + 10).cast("int")
+    ex = tok.filter(F.size("t") >= st + ln - 1).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), st, ln), " ").alias("excerpt"),
+    )
+    pairs = ex.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 20_000_000).alias("dst"),
+    )
+    planted = ex.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.col("excerpt").alias("text"),
+    )
+    return lcs_confirm_pairs(pairs, docs.unionByName(planted))
+
+
 # First BPE training step: global adjacent-token-pair counts, top 20
 # (count desc, pair asc) — the merge-candidate table a tokenizer trainer
 # consumes. Explode is map-side; the count is combinable; top-k via
