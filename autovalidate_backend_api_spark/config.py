@@ -67,6 +67,16 @@ class PipelineConfig:
     # contains_min_len below.
     winnow_window: int = 128
     winnow_probe_h: int = 8           # bottom-h probe sketch (candidate gen)
+    # Stage-C confirm mode: "contains" = exact substring (the PINNED
+    # oracle semantics); "lcs_run" = suffix-automaton longest-common-
+    # substring ≥ lcs_min_run chars (functions/substring.py) — confirms
+    # pairs sharing a long verbatim block even when neither side fully
+    # contains the other (shared-function/boilerplate-block near-dups
+    # that exact contains() misses). lcs_min_run=0 → contains_min_len.
+    # Participates in config_hash (adding it invalidates pre-r5b
+    # checkpoints, as any verify-semantics knob must).
+    containment_confirm: str = "contains"
+    lcs_min_run: int = 0
 
     @property
     def contains_min_len(self) -> int:

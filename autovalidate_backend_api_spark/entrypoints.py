@@ -1773,11 +1773,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.select(F.count("*").cast("double").alias("n_docs"))
-    scored = (
-        tf.join(dft, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn("tfidf", F.round(F.col("tf") * (F.col("n_docs") / F.col("df")), 6))
+    # N is a bounded scalar aggregate collected at plan-build time (the
+    # one driver-action class the codebase allows); attaching it as a
+    # literal keeps the plan join-free — a 1-row broadcast side would
+    # plan as the nested-loop node the plan audit bans (the optimizer
+    # folds any constant join key back to a cross join). In production
+    # the corpus size is a known pipeline parameter.
+    n_docs = float(docs.count())
+    scored = tf.join(dft, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * (F.lit(n_docs) / F.col("df")), 6)
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -1869,6 +1873,61 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
+    )
+
+
+# One-row corpus inventory — the summary every curation run reports
+# before/after filtering: doc count, token volume, vocabulary size,
+# language spread. Three map-side-combinable aggregations (the vocab
+# count is the only explode); at 100 TB swap the exact distinct for
+# approx_count_distinct — kept exact here for the oracle.
+@_register(
+    "corpus_summary",
+    f"""WITH tok AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    pd AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n FROM tok),
+    vocab AS (SELECT count(DISTINCT term) AS vocab_size FROM
+        (SELECT unnest(t) AS term FROM tok) WHERE term != '')
+    SELECT count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(avg(n), 6) AS avg_doc_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST((SELECT vocab_size FROM vocab) AS BIGINT) AS vocab_size
+    FROM pd""",
+)
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
+    pd_stats = tok.select("doc_id", "lang", F.size("t").cast("bigint").alias("n")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_doc_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    vocab = (
+        tok.select(F.explode("t").alias("term"))
+        .filter(F.col("term") != "")
+        .agg(F.countDistinct("term").cast("bigint").alias("vocab_size"))
+    )
+    # merge the two single-row aggregates without any join (a 1-row
+    # broadcast side plans as the nested-loop node the plan audit bans):
+    # pad each to the full schema with nulls, union, and max-collapse —
+    # two rows in, one row out, pure aggregation
+    left = pd_stats.withColumn("vocab_size", F.lit(None).cast("bigint"))
+    right = vocab.select(
+        F.lit(None).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("avg_doc_tokens"),
+        F.lit(None).cast("bigint").alias("n_langs"),
+        "vocab_size",
+    )
+    return left.unionByName(right).agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("avg_doc_tokens").alias("avg_doc_tokens"),
+        F.max("n_langs").alias("n_langs"),
+        F.max("vocab_size").alias("vocab_size"),
     )
 
 

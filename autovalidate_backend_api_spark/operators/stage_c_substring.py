@@ -182,10 +182,23 @@ def fingerprint_candidates(
     # NO broadcast hint: probe_n is corpus-sized (one row per probing
     # doc) — AQE broadcasts it at bench scale and falls back to a
     # shuffle join at web scale where a forced broadcast would OOM
+    # Candidate admission depends on the confirm mode: full containment
+    # requires the prober's ENTIRE surviving probe set shared (count
+    # equality — the subset test on counts); shared-run confirm
+    # ("lcs_run") only guarantees the run's fingerprints are shared, so
+    # equality would reject every partial-overlap pair before the LCS
+    # confirm could see it — any shared probe admits the pair there.
+    # (Recall contract in lcs_run mode: the shared run must contribute a
+    # bottom-h probe fingerprint of at least one side — raise
+    # winnow_probe_h for stricter block-detection recall.)
+    if cfg.containment_confirm == "lcs_run":
+        admitted = shared.filter(F.col("shared_n") >= 1)
+    else:
+        admitted = shared.join(probe_n, "pkey").filter(
+            F.col("shared_n") == F.col("probe_n")
+        )
     pairs = (
-        shared.join(probe_n, "pkey")
-        .filter(F.col("shared_n") == F.col("probe_n"))
-        .select(
+        admitted.select(
             F.least("pkey", "okey").alias("src"),
             F.greatest("pkey", "okey").alias("dst"),
         )
@@ -213,6 +226,17 @@ def verify_containment(
 
     Output: src, dst, jaccard(=length ratio small/big), hamming(=-1
     sentinel), stage='substring'.
+
+    Confirm modes (``cfg.containment_confirm``):
+
+    - ``"contains"`` (PINNED): exact substring — the oracle semantics.
+    - ``"lcs_run"``: suffix-automaton longest-common-substring ≥
+      ``cfg.lcs_min_run`` chars (0 → ``contains_min_len``). Confirms
+      pairs sharing a long verbatim block even when neither side fully
+      contains the other (two source files sharing one big function) —
+      the winnowing candidate guarantee still applies because a shared
+      run ≥ window+gram-1 forces shared fingerprints. The Arrow UDF
+      runs only on the count-prefiltered survivor pairs.
     """
     phase1 = pairs
 
@@ -223,19 +247,29 @@ def verify_containment(
     big = F.when(la <= lb, F.col("norm_b")).otherwise(F.col("norm_a"))
     # sort-merge: spillable; norm strings must not be broadcast
     # (see stage_b_lsh.verify_pairs)
-    return (
+    joined = (
         phase1.hint("merge").join(src_sig, "src")
         .hint("merge")
         .join(dst_sig, "dst")
-        .filter(
+    )
+    if cfg.containment_confirm == "lcs_run":
+        from autovalidate_backend_api_spark.functions.substring import _lcs_len_udf
+
+        min_run = cfg.lcs_min_run or cfg.contains_min_len
+        confirmed = joined.withColumn(
+            "_lcs", _lcs_len_udf(F.col("norm_a"), F.col("norm_b"))
+        ).filter(F.col("_lcs") >= F.lit(min_run))
+        score = F.col("_lcs") / F.greatest(F.least(la, lb), F.lit(1))
+    else:
+        confirmed = joined.filter(
             (F.length(small) >= F.lit(cfg.contains_min_len))
             & F.contains(big, small)
         )
-        .select(
-            "src",
-            "dst",
-            (F.least(la, lb) / F.greatest(la, lb)).alias("jaccard"),
-            F.lit(-1).alias("hamming"),
-            F.lit("substring").alias("stage"),
-        )
+        score = F.least(la, lb) / F.greatest(la, lb)
+    return confirmed.select(
+        "src",
+        "dst",
+        score.alias("jaccard"),
+        F.lit(-1).alias("hamming"),
+        F.lit("substring").alias("stage"),
     )
