@@ -290,14 +290,17 @@ def remove_duplicate_spans(docs: DataFrame, *, k: int = 16) -> DataFrame:
 
     Returns ``doc_id, n_chunks, n_dropped, cleaned``.
 
-    100 TB plan: only ``(md5(chunk), doc_id, chunk_idx)`` rows ever
-    shuffle — 16-byte hashes, never text. The canonical occurrence per
-    hash is a ``min(struct(doc_id, idx))`` aggregation (map-side
-    combinable, no window sort, so a boilerplate span occurring in
-    millions of docs costs a combiner-reduced min, not a single-task
-    rank). The drop verdict flows back as a per-doc int list (output-
-    proportional); reconstruction is a pure array projection on the
-    original row — text crosses zero exchanges.
+    100 TB plan: the span-dedup machinery shuffles only
+    ``(md5(chunk), doc_id, chunk_idx)`` rows — 16-byte hashes. The
+    canonical occurrence per hash is a ``min(struct(doc_id, idx))``
+    aggregation (map-side combinable, no window sort, so a boilerplate
+    span occurring in millions of docs costs a combiner-reduced min,
+    not a single-task rank). The drop verdict flows back as a per-doc
+    int list (dup-doc-proportional), and reconstruction is a pure array
+    projection — so text crosses AT MOST the one doc_id-keyed verdict
+    back-join exchange (zero when the verdict side is small enough for
+    AQE to broadcast), mirroring the flagship pipeline's one-content-
+    exchange budget.
     """
     # Two-step projection: tokens become an attribute BEFORE the span
     # lambda captures them (expression capture re-runs the regex+split

@@ -70,3 +70,19 @@ def test_no_row_at_a_time_python_udf(spark, sf_dir):
     for name in sorted(QUERIES):
         plan = _plan_of(name, spark, sf_dir)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_decontaminate_bench_side_broadcasts(spark, sf_dir):
+    """The benchmark n-gram set must reach the overlap join as a
+    broadcast (the corpus side never shuffles for the join) — the
+    asymmetry the operator's 100 TB design depends on."""
+    plan = _plan_of("decontaminate_ngram_overlap", spark, sf_dir)
+    assert "BroadcastExchange" in plan and "BroadcastHashJoin" in plan
+
+
+def test_duplicate_spans_removed_no_window(spark, sf_dir):
+    """First-occurrence selection must stay a combinable min-struct
+    aggregation: a Window regression would serialize every hot span's
+    occurrence list through one task's sort."""
+    plan = _plan_of("duplicate_spans_removed", spark, sf_dir)
+    assert "Window" not in plan, plan
