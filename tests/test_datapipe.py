@@ -269,3 +269,114 @@ def test_remove_duplicate_spans_empty_doc(spark):
 
     out = remove_duplicate_spans(_docs(spark, [(7, "")]), k=16).collect()[0]
     assert out["n_chunks"] == 0 and out["n_dropped"] == 0 and out["cleaned"] == ""
+
+
+# -------------------------------------------------------- streaming reuse
+def test_curation_projections_run_as_stream(spark, sf_dir, tmp_path):
+    """The per-row curation operators (pii_scrub, train_val_test_split)
+    are pure projections, so the SAME functions must run unmodified on a
+    streaming DataFrame and agree row-for-row with their batch twin —
+    the unified-model property that makes the curation layer usable on
+    an ingest stream, not just the batch corpus."""
+    import shutil
+
+    from autovalidate_backend_api_spark.operators.datapipe import pii_scrub
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = batch.schema
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-000.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    scrub = pii_scrub(stream)
+    split = train_val_test_split(stream)
+    assert scrub.isStreaming and split.isStreaming
+    for name, sdf in [("scrub_stream", scrub), ("split_stream", split)]:
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    got_scrub = {
+        r["doc_id"]: (r["scrubbed"], r["n_emails"], r["n_ips"])
+        for r in spark.sql("SELECT * FROM scrub_stream").collect()
+    }
+    want_scrub = {
+        r["doc_id"]: (r["scrubbed"], r["n_emails"], r["n_ips"])
+        for r in pii_scrub(batch).collect()
+    }
+    assert got_scrub == want_scrub
+    got_split = {
+        r["doc_id"]: r["split"]
+        for r in spark.sql("SELECT * FROM split_stream").collect()
+    }
+    want_split = {r["doc_id"]: r["split"] for r in train_val_test_split(batch).collect()}
+    assert got_split == want_split
+
+
+# ------------------------------------------------- span-removal property
+def _py_remove_duplicate_spans(rows, k=16):
+    """Pure-Python reference: same normalize/chunk/first-wins rule."""
+    from autovalidate_backend_api_spark.functions.normalize import normalize_text_py
+
+    toks = {d: normalize_text_py(t).split(" ") for d, t in rows}
+    occ = []  # (doc, j, chunk_tuple) in (doc, j) order
+    for d in sorted(toks):
+        t = toks[d]
+        for j in range(1, len(t) // k + 1):
+            occ.append((d, j, tuple(t[(j - 1) * k : (j - 1) * k + k])))
+    seen = {}
+    dropped = {}
+    for d, j, ch in occ:  # already (doc, j)-ordered
+        if ch in seen:
+            dropped.setdefault(d, set()).add(j)
+        else:
+            seen[ch] = (d, j)
+    out = {}
+    for d in toks:
+        t = toks[d]
+        nf = len(t) // k
+        kept = [
+            t[(j - 1) * k : (j - 1) * k + k]
+            for j in range(1, nf + 1)
+            if j not in dropped.get(d, set())
+        ]
+        tail = t[nf * k :]
+        cleaned = " ".join([w for ch in kept for w in ch] + tail)
+        out[d] = (nf, len(dropped.get(d, set())), cleaned)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_remove_duplicate_spans_matches_python_reference(spark, seed):
+    import random
+
+    from autovalidate_backend_api_spark.operators.datapipe import remove_duplicate_spans
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    blocks = [
+        " ".join(rng.choices(vocab, k=16)) for _ in range(6)
+    ]  # reusable exact chunks
+    rows = []
+    for d in range(20):
+        parts = []
+        for _ in range(rng.randint(0, 4)):
+            if rng.random() < 0.5:
+                parts.append(blocks[rng.randrange(len(blocks))])  # planted dup chunk
+            else:
+                parts.append(" ".join(rng.choices(vocab, k=rng.randint(1, 20))))
+        rows.append((d, " ".join(parts)))
+    want = _py_remove_duplicate_spans(rows)
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["cleaned"])
+        for r in remove_duplicate_spans(docs, k=16).collect()
+    }
+    assert got == want
