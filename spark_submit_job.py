@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--output", default=None)
+    ap.add_argument("--curation-report", action="store_true",
+                    help="also write the one-scan curation_report "
+                         "(requires --output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -72,11 +75,33 @@ def main() -> None:
         # returns correction JSON per query; here one JSON line per file).
         export_clusters_json(res.clusters, f"{args.output}/clusters_json")
 
-    print(json.dumps({
+    summary = {
         "run_id": args.run_id, "files": n_files, "clusters": n_clusters,
         "wall_sec": round(wall, 2), "files_per_sec": round(n_files / wall, 1),
         "stages": {m["stage"]: m["wall_ms"] for m in res.metrics},
-    }))
+    }
+
+    if args.curation_report:
+        if not args.output:
+            ap.error("--curation-report requires --output")
+        # The curation layer runs on the same corpus scan: map the code
+        # table to the curation input shape (stable bigint id + text)
+        # and write the one-scan admission report next to the clusters.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.datapipe import curation_report
+
+        docs = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        report = curation_report(docs)
+        report.write.mode("overwrite").parquet(f"{args.output}/curation_report")
+        report_back = spark.read.parquet(f"{args.output}/curation_report")
+        summary["curation_kept"] = report_back.filter(F.col("keep") == 1).count()
+        summary["curation_total"] = report_back.count()
+
+    print(json.dumps(summary))
     spark.stop()
 
 
