@@ -1515,9 +1515,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-independent). DuckDB replays the chunking: chunk j (1-based) is
 # the inclusive slice t[(j-1)*16+1 : (j-1)*16+16]; partial tail chunks
 # are dropped on both sides (floor(len/16)).
-@_register(
-    "corpus_duplicate_spans",
-    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+_SPANS_FROM_SCRATCH_SQL = f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
     spans AS (
       SELECT doc_id, md5(array_to_string(t[(j-1)*16+1:(j-1)*16+16], ' ')) AS h
       FROM toks, UNNEST(range(1, CAST(floor(len(t)/16) AS BIGINT) + 1)) AS r(j)),
@@ -1530,12 +1528,37 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id, b.n_spans,
            CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
            round(coalesce(n_dup, 0) / greatest(b.n_spans, 1), 6) AS dup_span_frac
-    FROM base b LEFT JOIN dpd USING (doc_id)""",
-)
+    FROM base b LEFT JOIN dpd USING (doc_id)"""
+
+
+@_register("corpus_duplicate_spans", _SPANS_FROM_SCRATCH_SQL)
 def corpus_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autovalidate_backend_api_spark.operators.datapipe import corpus_duplicate_spans
 
     return corpus_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+# Increment-proportional span dedup: build state from the even-doc_id
+# half, fold in the odd half, return the FULL report. The oracle is the
+# from-scratch SQL over the whole table — the incremental ≡ from-scratch
+# contract (the flagship incremental gate's pattern) applied to the
+# curation layer. State carries no text, so the incremental path cannot
+# re-tokenize old docs even in principle.
+@_register("incremental_duplicate_spans", _SPANS_FROM_SCRATCH_SQL)
+def incremental_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        corpus_duplicate_spans,
+        incremental_duplicate_spans,
+        span_occurrence_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    state_pairs, _ = span_occurrence_pairs(old)
+    state_report = corpus_duplicate_spans(old)
+    report, _ = incremental_duplicate_spans(new, state_pairs, state_report)
+    return report
 
 
 # one-scan curation verdict: every admission signal from ONE

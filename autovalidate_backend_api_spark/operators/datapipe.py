@@ -228,12 +228,32 @@ def corpus_duplicate_spans(
     count-filtered right side (only spans that ARE duplicated — output-
     proportional, not corpus-proportional).
     """
-    # Two-step projection: tokenize into an ATTRIBUTE first. A split
-    # expression captured inside the transform lambda is re-evaluated
-    # once per span (HOFs run interpreted, no CSE) — measured ~15× on
-    # the bigram analog; the attribute indirection pins one tokenize
-    # per row (CollapseProject keeps the barrier: non-cheap producer,
-    # multiple consumer references).
+    exploded, sizes = span_occurrence_pairs(docs, k)
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    dup_per_doc = (
+        exploded.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return _span_report(sizes, dup_per_doc)
+
+
+def span_occurrence_pairs(docs: DataFrame, k: int = 16):
+    """Shared span extraction: ``(exploded, sizes)`` where ``exploded``
+    is the doc-distinct ``(doc_id, h)`` span-occurrence table (md5 of
+    each non-overlapping k-token chunk) and ``sizes`` is
+    ``(doc_id, n_spans)``. ``exploded`` doubles as the durable STATE of
+    the incremental variant — it contains no text, only 16-byte hashes.
+
+    Tokenization goes through a materialized column attribute (a split
+    expression captured inside the transform lambda re-evaluates once
+    per span in interpreted HOF eval — measured ~15× on this shape).
+    """
     tok_tbl = docs.select(
         "doc_id", F.split(normalize_text_col(F.col("text")), " ").alias("t")
     )
@@ -252,31 +272,99 @@ def corpus_duplicate_spans(
     exploded = per_doc.select(
         "doc_id", F.explode("spans").alias("h")
     ).dropDuplicates(["h", "doc_id"])
-    dup = (
-        exploded.groupBy("h")
+    sizes = per_doc.select("doc_id", F.size("spans").cast("bigint").alias("n_spans"))
+    return exploded, sizes
+
+
+def _span_report(sizes: DataFrame, dup_per_doc: DataFrame) -> DataFrame:
+    """(doc_id, n_spans) ⟕ (doc_id, n_dup_spans) → the report schema."""
+    return sizes.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.round(
+            F.coalesce("n_dup_spans", F.lit(0))
+            / F.greatest(F.col("n_spans"), F.lit(1)),
+            6,
+        ).alias("dup_span_frac"),
+    )
+
+
+def incremental_duplicate_spans(
+    new_docs: DataFrame,
+    state_pairs: DataFrame,
+    state_report: DataFrame,
+    *,
+    k: int = 16,
+    min_docs: int = 2,
+    broadcast_touched: bool = True,
+):
+    """Increment-proportional ``corpus_duplicate_spans``: fold a batch of
+    new documents into an existing span-dedup state and return the
+    full-corpus report plus the new state — certified identical to a
+    from-scratch run over the union (gate + tests).
+
+    State contract: ``state_pairs`` is the doc-distinct ``(doc_id, h)``
+    span table of the processed corpus, ``state_report`` its report.
+    Neither carries text, so re-tokenizing old documents is impossible
+    BY CONSTRUCTION — the only tokenize/explode in the plan is over
+    ``new_docs`` (the flagship incremental gate's proportionality
+    argument, applied to the curation layer).
+
+    Plan shape (all old-side work is semi-join-pruned scans):
+      1. explode the increment's spans (increment-sized),
+      2. touched hashes → semi-join ``state_pairs`` (broadcast when the
+         increment is small; set ``broadcast_touched=False`` for huge
+         increments) → the old occurrences of touched spans,
+      3. touched docs → semi-join ``state_pairs`` again → the FULL span
+         sets of docs whose counts may change (their other spans'
+         dup-status is needed for the absolute count),
+      4. count distinct docs per candidate hash over
+         ``state ∪ increment`` restricted to candidate hashes,
+      5. recompute reports for touched ∪ new docs; carry every other
+         row of ``state_report`` untouched (anti-join).
+
+    At 10^12 files with a small daily increment the shuffled volume is
+    touched-span/touched-doc-proportional; the corpus-sized inputs are
+    only SCANNED (columnar, 16-byte hash rows), never re-exploded.
+    """
+    new_pairs, new_sizes = span_occurrence_pairs(new_docs, k)
+    new_pairs = new_pairs.persist()
+
+    touched_h = new_pairs.select("h").distinct()
+    if broadcast_touched:
+        touched_h = F.broadcast(touched_h)
+    old_touched = state_pairs.join(touched_h, "h", "left_semi")
+    touched_docs = old_touched.select("doc_id").distinct()
+    if broadcast_touched:
+        touched_docs = F.broadcast(touched_docs)
+    touched_doc_pairs = state_pairs.join(touched_docs, "doc_id", "left_semi")
+
+    cand = touched_doc_pairs.unionByName(new_pairs)
+    cand_h = cand.select("h").distinct()
+    if broadcast_touched:
+        cand_h = F.broadcast(cand_h)
+    counted = (
+        state_pairs.unionByName(new_pairs)
+        .join(cand_h, "h", "left_semi")
+        .groupBy("h")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("h")
     )
-    dup_per_doc = (
-        exploded.join(dup, "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_spans"))
+    ndup = cand.join(counted, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans")
     )
-    return (
-        per_doc.select("doc_id", F.size("spans").cast("bigint").alias("n_spans"))
-        .join(dup_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
-            F.round(
-                F.coalesce("n_dup_spans", F.lit(0))
-                / F.greatest(F.col("n_spans"), F.lit(1)),
-                6,
-            ).alias("dup_span_frac"),
-        )
+    recomputed_sizes = state_report.join(
+        touched_docs.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "n_spans").unionByName(new_sizes)
+    recomputed = _span_report(recomputed_sizes, ndup)
+    carried = state_report.join(
+        touched_docs.select("doc_id"), "doc_id", "left_anti"
     )
+    report = carried.unionByName(recomputed)
+    new_state = state_pairs.unionByName(new_pairs)
+    return report, new_state
 
 
 def remove_duplicate_spans(docs: DataFrame, *, k: int = 16) -> DataFrame:

@@ -380,3 +380,71 @@ def test_remove_duplicate_spans_matches_python_reference(spark, seed):
         for r in remove_duplicate_spans(docs, k=16).collect()
     }
     assert got == want
+
+
+# -------------------------------------------------- incremental span dedup
+def _fold_in(spark, old_rows, new_rows, k=16):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        corpus_duplicate_spans,
+        incremental_duplicate_spans,
+        span_occurrence_pairs,
+    )
+
+    old, new = _docs(spark, old_rows), _docs(spark, new_rows)
+    state_pairs, _ = span_occurrence_pairs(old, k)
+    report, state = incremental_duplicate_spans(
+        new, state_pairs, corpus_duplicate_spans(old, k=k), k=k
+    )
+    scratch = corpus_duplicate_spans(_docs(spark, old_rows + new_rows), k=k)
+    return report, state, scratch
+
+
+def test_incremental_spans_updates_touched_old_doc(spark):
+    chunk = " ".join(f"c{i}" for i in range(16))
+    other = " ".join(f"o{i}" for i in range(16))
+    old_rows = [(0, chunk), (2, other)]
+    new_rows = [(1, chunk + " " + " ".join(f"n{i}" for i in range(16)))]
+    report, state, scratch = _fold_in(spark, old_rows, new_rows)
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in report.collect()}
+    # old doc 0's span BECAME duplicated via the increment; doc 2 carried
+    assert got[0] == (1, 1) and got[2] == (1, 0) and got[1] == (2, 1)
+    want = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in scratch.collect()}
+    assert got == want
+    # folded state is the union occurrence table
+    assert state.count() == 4  # 1 + 1 + 2 span occurrences
+
+
+def test_incremental_spans_dup_within_increment_only(spark):
+    blk = " ".join(f"z{i}" for i in range(16))
+    old_rows = [(0, " ".join(f"a{i}" for i in range(16)))]
+    new_rows = [(1, blk), (3, blk + " tailwords here")]
+    report, _, scratch = _fold_in(spark, old_rows, new_rows)
+    got = {r["doc_id"]: r["n_dup_spans"] for r in report.collect()}
+    assert got == {0: 0, 1: 1, 3: 1}
+    assert got == {r["doc_id"]: r["n_dup_spans"] for r in scratch.collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_incremental_spans_equals_from_scratch_random(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    blocks = [" ".join(rng.choices(vocab, k=16)) for _ in range(5)]
+
+    def mk(d):
+        parts = []
+        for _ in range(rng.randint(0, 3)):
+            if rng.random() < 0.5:
+                parts.append(blocks[rng.randrange(len(blocks))])
+            else:
+                parts.append(" ".join(rng.choices(vocab, k=rng.randint(1, 24))))
+        return (d, " ".join(parts))
+
+    rows = [mk(d) for d in range(24)]
+    old_rows = [r for r in rows if r[0] % 3 != 0]
+    new_rows = [r for r in rows if r[0] % 3 == 0]
+    report, _, scratch = _fold_in(spark, old_rows, new_rows)
+    got = sorted(map(tuple, report.collect()))
+    want = sorted(map(tuple, scratch.collect()))
+    assert got == want
