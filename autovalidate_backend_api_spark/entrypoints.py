@@ -325,6 +325,14 @@ def _shingle_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard = ni / (na + nb - ni). Never a cross join. Shingle contract
     identical to _SHINGLES_SQL (3-grams, single-token fallback for
     sub-3-token docs, empty docs excluded).
+
+    Scale contract: this is the EXACT variant — no hot-shingle capping,
+    because the oracle (and the Jaccard definition) needs every posting;
+    a boilerplate shingle shared by m docs costs Θ(m²) pairs here. The
+    web-scale path for the same semantics is minhash_lsh_dedup_pairs
+    (count-first hot-bucket drop + ≥2-shared-buckets + exact verify);
+    use this one for exact small/mid-corpus joins and as the oracle
+    anchor.
     """
     docs = _t(spark, sf_dir, "documents")
     norm = normalize_text_col(F.col("text"))

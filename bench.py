@@ -63,6 +63,8 @@ GATE_QUERIES = [
     "duplicate_spans_removed",
     "edit_similarity_pairs",
     "tfidf_top_terms",
+    # suffix-automaton LCS confirm (Arrow UDF over planted excerpt pairs)
+    "lcs_substring_pairs",
 ]
 
 

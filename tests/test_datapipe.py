@@ -448,3 +448,34 @@ def test_incremental_spans_equals_from_scratch_random(spark, seed):
     got = sorted(map(tuple, report.collect()))
     want = sorted(map(tuple, scratch.collect()))
     assert got == want
+
+
+def test_incremental_spans_empty_increment_and_empty_state(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        corpus_duplicate_spans,
+        incremental_duplicate_spans,
+        span_occurrence_pairs,
+    )
+
+    chunk = " ".join(f"e{i}" for i in range(16))
+    rows = [(0, chunk), (2, chunk + " more words")]
+    docs = _docs(spark, rows)
+    state_pairs, _ = span_occurrence_pairs(docs)
+    state_report = corpus_duplicate_spans(docs)
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, lang string, source string, text string"
+    )
+    # empty increment: report and state pass through unchanged
+    report, state = incremental_duplicate_spans(empty, state_pairs, state_report)
+    assert sorted(map(tuple, report.collect())) == sorted(
+        map(tuple, state_report.collect())
+    )
+    assert state.count() == state_pairs.count()
+    # empty state (first batch): equals from-scratch on the batch alone
+    e_pairs, _ = span_occurrence_pairs(empty)
+    report2, _ = incremental_duplicate_spans(
+        docs, e_pairs, corpus_duplicate_spans(empty)
+    )
+    assert sorted(map(tuple, report2.collect())) == sorted(
+        map(tuple, state_report.collect())
+    )
