@@ -298,6 +298,7 @@ def incremental_duplicate_spans(
     k: int = 16,
     min_docs: int = 2,
     broadcast_touched: bool = True,
+    persist: bool = True,
 ):
     """Increment-proportional ``corpus_duplicate_spans``: fold a batch of
     new documents into an existing span-dedup state and return the
@@ -328,8 +329,13 @@ def incremental_duplicate_spans(
     touched-span/touched-doc-proportional; the corpus-sized inputs are
     only SCANNED (columnar, 16-byte hash rows), never re-exploded.
     """
+    # The increment's span table feeds four consumers (touched hashes,
+    # candidate union, count union, folded state): persist it like
+    # curation_report's token table (caller owns the lifecycle via
+    # persist=False when managing its own cache).
     new_pairs, new_sizes = span_occurrence_pairs(new_docs, k)
-    new_pairs = new_pairs.persist()
+    if persist:
+        new_pairs = new_pairs.persist()
 
     touched_h = new_pairs.select("h").distinct()
     if broadcast_touched:
