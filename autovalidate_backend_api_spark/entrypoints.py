@@ -1555,17 +1555,17 @@ def corpus_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("incremental_duplicate_spans", _SPANS_FROM_SCRATCH_SQL)
 def incremental_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autovalidate_backend_api_spark.operators.datapipe import (
-        corpus_duplicate_spans,
+        duplicate_spans_state,
         incremental_duplicate_spans,
-        span_occurrence_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    state_pairs, _ = span_occurrence_pairs(old)
-    state_report = corpus_duplicate_spans(old)
-    report, _ = incremental_duplicate_spans(new, state_pairs, state_report)
+    state_pairs, state_counts, state_report = duplicate_spans_state(old)
+    report, _, _ = incremental_duplicate_spans(
+        new, state_pairs, state_counts, state_report
+    )
     return report
 
 

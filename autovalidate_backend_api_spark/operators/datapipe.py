@@ -290,9 +290,20 @@ def _span_report(sizes: DataFrame, dup_per_doc: DataFrame) -> DataFrame:
     )
 
 
+def duplicate_spans_state(docs: DataFrame, k: int = 16):
+    """Build the incremental span-dedup state from scratch:
+    ``(pairs, counts, report)`` — the doc-distinct ``(doc_id, h)`` span
+    table, the per-hash distinct-doc counts ``(h, n_docs)``, and the
+    current report. None of the three carries text."""
+    pairs, _ = span_occurrence_pairs(docs, k)
+    counts = pairs.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return pairs, counts, corpus_duplicate_spans(docs, k=k)
+
+
 def incremental_duplicate_spans(
     new_docs: DataFrame,
     state_pairs: DataFrame,
+    state_counts: DataFrame,
     state_report: DataFrame,
     *,
     k: int = 16,
@@ -305,72 +316,100 @@ def incremental_duplicate_spans(
     full-corpus report plus the new state — certified identical to a
     from-scratch run over the union (gate + tests).
 
-    State contract: ``state_pairs`` is the doc-distinct ``(doc_id, h)``
-    span table of the processed corpus, ``state_report`` its report.
-    Neither carries text, so re-tokenizing old documents is impossible
-    BY CONSTRUCTION — the only tokenize/explode in the plan is over
-    ``new_docs`` (the flagship incremental gate's proportionality
-    argument, applied to the curation layer).
+    State contract (from ``duplicate_spans_state``): ``state_pairs`` =
+    doc-distinct ``(doc_id, h)``, ``state_counts`` = ``(h, n_docs)``,
+    ``state_report`` = the current report. None carries text, so
+    re-tokenizing old documents is impossible BY CONSTRUCTION — the only
+    tokenize/explode in the plan is over ``new_docs``.
+
+    The key proportionality argument: counts only ever GROW, so an old
+    document's verdict changes iff one of its spans CROSSES the
+    ``min_docs`` threshold — i.e. had ``1 ≤ n_docs < min_docs`` before
+    and reaches it with the increment. A boilerplate span already
+    duplicated across millions of docs is inert (its owners' counts
+    already include it), so the update set is bounded by the number of
+    CROSSING spans — at most the increment's distinct-span count, each
+    with < min_docs old owners — never by the hot span's owner count.
 
     Plan shape (all old-side work is semi-join-pruned scans):
-      1. explode the increment's spans (increment-sized),
-      2. touched hashes → semi-join ``state_pairs`` (broadcast when the
-         increment is small; set ``broadcast_touched=False`` for huge
-         increments) → the old occurrences of touched spans,
-      3. touched docs → semi-join ``state_pairs`` again → the FULL span
-         sets of docs whose counts may change (their other spans'
-         dup-status is needed for the absolute count),
-      4. count distinct docs per candidate hash over
-         ``state ∪ increment`` restricted to candidate hashes,
-      5. recompute reports for touched ∪ new docs; carry every other
-         row of ``state_report`` untouched (anti-join).
+      1. explode the increment's spans; count them per hash,
+      2. old counts of touched hashes (semi-join ``state_counts``,
+         broadcast the increment-sized hash set when small — set
+         ``broadcast_touched=False`` for huge increments),
+      3. crossing spans → their old owners (semi-join ``state_pairs``)
+         = the docs to recompute; their full span sets (second
+         semi-join) and those spans' NEW totals decide their verdicts,
+      4. new docs' verdicts come straight from the merged totals,
+      5. every other ``state_report`` row carries over via anti-join.
 
-    At 10^12 files with a small daily increment the shuffled volume is
-    touched-span/touched-doc-proportional; the corpus-sized inputs are
-    only SCANNED (columnar, 16-byte hash rows), never re-exploded.
+    The folded ``counts`` state is a full-outer hash merge — the one
+    corpus-sized (but 24-byte-row, hash-only) write per fold; at
+    10^12-span scale run it LSM-style (append increment counts, compact
+    periodically) exactly like the checkpointed signature tables.
     """
-    # The increment's span table feeds four consumers (touched hashes,
-    # candidate union, count union, folded state): persist it like
-    # curation_report's token table (caller owns the lifecycle via
-    # persist=False when managing its own cache).
     new_pairs, new_sizes = span_occurrence_pairs(new_docs, k)
     if persist:
         new_pairs = new_pairs.persist()
 
-    touched_h = new_pairs.select("h").distinct()
-    if broadcast_touched:
-        touched_h = F.broadcast(touched_h)
-    old_touched = state_pairs.join(touched_h, "h", "left_semi")
-    touched_docs = old_touched.select("doc_id").distinct()
-    if broadcast_touched:
-        touched_docs = F.broadcast(touched_docs)
-    touched_doc_pairs = state_pairs.join(touched_docs, "doc_id", "left_semi")
+    def _b(df):
+        return F.broadcast(df) if broadcast_touched else df
 
-    cand = touched_doc_pairs.unionByName(new_pairs)
-    cand_h = cand.select("h").distinct()
-    if broadcast_touched:
-        cand_h = F.broadcast(cand_h)
-    counted = (
-        state_pairs.unionByName(new_pairs)
-        .join(cand_h, "h", "left_semi")
-        .groupBy("h")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("h")
+    inc_counts = new_pairs.groupBy("h").agg(F.count("*").alias("inc_n"))
+    old_touched_counts = state_counts.join(_b(inc_counts.select("h")), "h", "left_semi")
+    merged = (
+        inc_counts.join(old_touched_counts, "h", "left")
+        .select(
+            "h",
+            F.coalesce("n_docs", F.lit(0)).alias("old_n"),
+            (F.coalesce("n_docs", F.lit(0)) + F.col("inc_n")).alias("new_n"),
+        )
     )
-    ndup = cand.join(counted, "h").groupBy("doc_id").agg(
+    crossing = merged.filter(
+        (F.col("old_n") >= 1)
+        & (F.col("old_n") < min_docs)
+        & (F.col("new_n") >= min_docs)
+    ).select("h")
+    upd_docs = (
+        state_pairs.join(_b(crossing), "h", "left_semi").select("doc_id").distinct()
+    )
+    upd_pairs = state_pairs.join(_b(upd_docs), "doc_id", "left_semi")
+    # NEW totals for every span of an updated doc: old count + increment
+    # count (0 for untouched spans) — restricted to the update set
+    upd_h = upd_pairs.select("h").distinct()
+    upd_totals = (
+        state_counts.join(_b(upd_h), "h", "left_semi")
+        .join(inc_counts, "h", "left")
+        .select(
+            "h", (F.col("n_docs") + F.coalesce("inc_n", F.lit(0))).alias("new_n")
+        )
+    )
+    dup_for_upd = upd_totals.filter(F.col("new_n") >= min_docs).select("h")
+    ndup_upd = upd_pairs.join(dup_for_upd, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    # new docs: verdicts straight from the merged totals
+    dup_for_new = merged.filter(F.col("new_n") >= min_docs).select("h")
+    ndup_new = new_pairs.join(_b(dup_for_new), "h").groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans")
     )
     recomputed_sizes = state_report.join(
-        touched_docs.select("doc_id"), "doc_id", "left_semi"
+        upd_docs, "doc_id", "left_semi"
     ).select("doc_id", "n_spans").unionByName(new_sizes)
-    recomputed = _span_report(recomputed_sizes, ndup)
-    carried = state_report.join(
-        touched_docs.select("doc_id"), "doc_id", "left_anti"
-    )
+    recomputed = _span_report(recomputed_sizes, ndup_upd.unionByName(ndup_new))
+    carried = state_report.join(upd_docs, "doc_id", "left_anti")
     report = carried.unionByName(recomputed)
-    new_state = state_pairs.unionByName(new_pairs)
-    return report, new_state
+
+    new_state_pairs = state_pairs.unionByName(new_pairs)
+    new_state_counts = (
+        state_counts.join(inc_counts, "h", "full_outer")
+        .select(
+            "h",
+            (
+                F.coalesce("n_docs", F.lit(0)) + F.coalesce("inc_n", F.lit(0))
+            ).alias("n_docs"),
+        )
+    )
+    return report, new_state_pairs, new_state_counts
 
 
 def remove_duplicate_spans(docs: DataFrame, *, k: int = 16) -> DataFrame:

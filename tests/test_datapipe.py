@@ -386,17 +386,17 @@ def test_remove_duplicate_spans_matches_python_reference(spark, seed):
 def _fold_in(spark, old_rows, new_rows, k=16):
     from autovalidate_backend_api_spark.operators.datapipe import (
         corpus_duplicate_spans,
+        duplicate_spans_state,
         incremental_duplicate_spans,
-        span_occurrence_pairs,
     )
 
     old, new = _docs(spark, old_rows), _docs(spark, new_rows)
-    state_pairs, _ = span_occurrence_pairs(old, k)
-    report, state = incremental_duplicate_spans(
-        new, state_pairs, corpus_duplicate_spans(old, k=k), k=k
+    pairs, counts, rep = duplicate_spans_state(old, k)
+    report, state_pairs, state_counts = incremental_duplicate_spans(
+        new, pairs, counts, rep, k=k
     )
     scratch = corpus_duplicate_spans(_docs(spark, old_rows + new_rows), k=k)
-    return report, state, scratch
+    return report, state_pairs, state_counts, scratch
 
 
 def test_incremental_spans_updates_touched_old_doc(spark):
@@ -404,21 +404,23 @@ def test_incremental_spans_updates_touched_old_doc(spark):
     other = " ".join(f"o{i}" for i in range(16))
     old_rows = [(0, chunk), (2, other)]
     new_rows = [(1, chunk + " " + " ".join(f"n{i}" for i in range(16)))]
-    report, state, scratch = _fold_in(spark, old_rows, new_rows)
+    report, state_pairs, state_counts, scratch = _fold_in(spark, old_rows, new_rows)
     got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in report.collect()}
     # old doc 0's span BECAME duplicated via the increment; doc 2 carried
     assert got[0] == (1, 1) and got[2] == (1, 0) and got[1] == (2, 1)
     want = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in scratch.collect()}
     assert got == want
-    # folded state is the union occurrence table
-    assert state.count() == 4  # 1 + 1 + 2 span occurrences
+    # folded state: union occurrence table + merged counts
+    assert state_pairs.count() == 4  # 1 + 1 + 2 span occurrences
+    counts = {r["h"]: r["n_docs"] for r in state_counts.collect()}
+    assert sorted(counts.values()) == [1, 1, 2]  # chunk now has 2 owners
 
 
 def test_incremental_spans_dup_within_increment_only(spark):
     blk = " ".join(f"z{i}" for i in range(16))
     old_rows = [(0, " ".join(f"a{i}" for i in range(16)))]
     new_rows = [(1, blk), (3, blk + " tailwords here")]
-    report, _, scratch = _fold_in(spark, old_rows, new_rows)
+    report, _, _, scratch = _fold_in(spark, old_rows, new_rows)
     got = {r["doc_id"]: r["n_dup_spans"] for r in report.collect()}
     assert got == {0: 0, 1: 1, 3: 1}
     assert got == {r["doc_id"]: r["n_dup_spans"] for r in scratch.collect()}
@@ -444,7 +446,7 @@ def test_incremental_spans_equals_from_scratch_random(spark, seed):
     rows = [mk(d) for d in range(24)]
     old_rows = [r for r in rows if r[0] % 3 != 0]
     new_rows = [r for r in rows if r[0] % 3 == 0]
-    report, _, scratch = _fold_in(spark, old_rows, new_rows)
+    report, _, _, scratch = _fold_in(spark, old_rows, new_rows)
     got = sorted(map(tuple, report.collect()))
     want = sorted(map(tuple, scratch.collect()))
     assert got == want
@@ -452,30 +454,39 @@ def test_incremental_spans_equals_from_scratch_random(spark, seed):
 
 def test_incremental_spans_empty_increment_and_empty_state(spark):
     from autovalidate_backend_api_spark.operators.datapipe import (
-        corpus_duplicate_spans,
+        duplicate_spans_state,
         incremental_duplicate_spans,
-        span_occurrence_pairs,
     )
 
     chunk = " ".join(f"e{i}" for i in range(16))
     rows = [(0, chunk), (2, chunk + " more words")]
     docs = _docs(spark, rows)
-    state_pairs, _ = span_occurrence_pairs(docs)
-    state_report = corpus_duplicate_spans(docs)
+    pairs, counts, rep = duplicate_spans_state(docs)
     empty = spark.createDataFrame(
         [], "doc_id bigint, lang string, source string, text string"
     )
     # empty increment: report and state pass through unchanged
-    report, state = incremental_duplicate_spans(empty, state_pairs, state_report)
-    assert sorted(map(tuple, report.collect())) == sorted(
-        map(tuple, state_report.collect())
-    )
-    assert state.count() == state_pairs.count()
+    report, sp, sc = incremental_duplicate_spans(empty, pairs, counts, rep)
+    assert sorted(map(tuple, report.collect())) == sorted(map(tuple, rep.collect()))
+    assert sp.count() == pairs.count() and sc.count() == counts.count()
     # empty state (first batch): equals from-scratch on the batch alone
-    e_pairs, _ = span_occurrence_pairs(empty)
-    report2, _ = incremental_duplicate_spans(
-        docs, e_pairs, corpus_duplicate_spans(empty)
-    )
-    assert sorted(map(tuple, report2.collect())) == sorted(
-        map(tuple, state_report.collect())
-    )
+    e_pairs, e_counts, e_rep = duplicate_spans_state(empty)
+    report2, _, _ = incremental_duplicate_spans(docs, e_pairs, e_counts, e_rep)
+    assert sorted(map(tuple, report2.collect())) == sorted(map(tuple, rep.collect()))
+
+
+def test_incremental_spans_hot_span_is_inert(spark):
+    """A span already duplicated across many old docs is INERT: a new
+    occurrence must not perturb any old owner's verdict (their counts
+    already include it), while a genuinely crossing span updates exactly
+    its old owner. Output must still equal from-scratch."""
+    hot = " ".join(f"h{i}" for i in range(16))
+    uniq = " ".join(f"u{i}" for i in range(16))
+    old_rows = [(2 * i, hot) for i in range(10)] + [(100, uniq)]
+    new_rows = [(101, hot + " " + uniq)]  # touches the hot AND crosses uniq
+    report, _, counts, scratch = _fold_in(spark, old_rows, new_rows)
+    got = sorted(map(tuple, report.collect()))
+    want = sorted(map(tuple, scratch.collect()))
+    assert got == want
+    by_h = sorted(r["n_docs"] for r in counts.collect())
+    assert by_h == [2, 11]  # uniq crossed to 2; hot grew to 11
