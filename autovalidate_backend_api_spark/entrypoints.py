@@ -1877,6 +1877,51 @@ def lcs_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lcs_confirm_pairs(pairs, docs.unionByName(planted))
 
 
+# The lcs_run confirm rule end-to-end, threshold exercised BOTH ways:
+# per-doc excerpts of varying token length (5 + doc_id % 30 tokens) land
+# on both sides of the 143-char run threshold (contains_min_len), so the
+# oracle checks exact recall (kept rows = excerpts ≥ 143 chars, lcs =
+# exact excerpt length) AND rejection (shorter excerpts filtered) —
+# the admission semantics Stage C's containment_confirm="lcs_run" uses.
+@_register(
+    "lcs_run_confirm_pairs",
+    f"""WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    ex AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS st,
+                  CAST(5 + doc_id % 30 AS INT) AS L, t
+           FROM toks),
+    pe AS (SELECT doc_id, array_to_string(t[st:st+L-1], ' ') AS excerpt
+           FROM ex WHERE len(t) >= st + L - 1)
+    SELECT doc_id AS src, doc_id + 30000000 AS dst,
+           CAST(len(excerpt) AS BIGINT) AS lcs_len,
+           round(CAST(len(excerpt) AS DOUBLE) / greatest(len(excerpt), 1), 6)
+             AS containment
+    FROM pe WHERE len(excerpt) >= 143""",
+)
+def lcs_run_confirm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.substring import lcs_confirm_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.split(normalize_text_col(F.col("text")), " ").alias("t")
+    )
+    st = (F.col("doc_id") % 3 + 1).cast("int")
+    ln = (F.col("doc_id") % 30 + 5).cast("int")
+    ex = tok.filter(F.size("t") >= st + ln - 1).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), st, ln), " ").alias("excerpt"),
+    )
+    pairs = ex.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 30_000_000).alias("dst"),
+    )
+    planted = ex.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.col("excerpt").alias("text"),
+    )
+    out = lcs_confirm_pairs(pairs, docs.unionByName(planted))
+    return out.filter(F.col("lcs_len") >= PINNED.contains_min_len)
+
+
 # First BPE training step: global adjacent-token-pair counts, top 20
 # (count desc, pair asc) — the merge-candidate table a tokenizer trainer
 # consumes. Explode is map-side; the count is combinable; top-k via
