@@ -1,0 +1,87 @@
+"""Explicit-schema table readers for the corpus and catalog formats.
+
+The reference ingests its canonical catalog from CSV with pandas
+inference (/root/reference/app/api/core/ingestion.py:62,
+search.py:89) and serves JSON payloads; here every edge uses an
+EXPLICIT StructType — inference at 100 TB means a second full scan and
+a schema that drifts with the data, so the schema is part of the code.
+
+Parquet remains the primary corpus format (self-describing footers →
+column pruning + predicate pushdown for free); CSV/JSON are supported
+as ingest edges with the same explicit-schema discipline. CSV reads are
+single-pass (no inferSchema), PERMISSIVE with a corrupt-record column
+so bad rows are quarantined, not dropped silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# The reference's canonical catalog (ingestion.py:20-29): id, brand,
+# model, year range. Pandas infers this; we pin it.
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("car_brand", T.StringType()),
+        T.StructField("car_model", T.StringType()),
+        T.StructField("year_start", T.IntegerType()),
+        T.StructField("year_end", T.IntegerType()),
+    ]
+)
+
+# The north-rule corpus table (BASELINE.json input_hint).
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields) + [T.StructField("_corrupt", T.StringType())])
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, *, header: bool = True
+) -> DataFrame:
+    """Single-pass explicit-schema CSV read; malformed rows land in
+    ``_corrupt`` (PERMISSIVE) for the caller to count/quarantine."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Explicit-schema JSON-lines read, same corrupt-row quarantine."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_the_quarantine_column, corrupt_rows).
+
+    Spark disallows queries that reference ONLY the internal
+    corrupt-record column of a raw CSV/JSON scan (SPARK-21610), so the
+    parsed frame is persisted before splitting — which is also the
+    right plan: both halves come from one pass over the files instead
+    of two full re-reads.
+    """
+    from pyspark.sql import functions as F
+
+    df = df.persist()
+    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    return clean, bad

@@ -1,0 +1,50 @@
+"""Explicit-schema CSV/JSON ingest edges (sources/tables.py): the
+reference's catalog-CSV shape round-trips, corrupt rows quarantine
+instead of vanishing, and the corpus schema reads from JSON lines."""
+
+from __future__ import annotations
+
+from autovalidate_backend_api_spark.sources.tables import (
+    CATALOG_SCHEMA,
+    CORPUS_SCHEMA,
+    read_csv,
+    read_json,
+    split_corrupt,
+)
+
+
+def test_catalog_csv_roundtrip_with_quarantine(spark, tmp_path):
+    p = tmp_path / "catalog.csv"
+    p.write_text(
+        "id,car_brand,car_model,year_start,year_end\n"
+        "1,Toyota,Corolla,1998,2024\n"
+        "2,Honda,Civic,1995,2024\n"
+        "3,BadRow,NotANumber,xx,yy\n"  # malformed ints -> quarantined
+        "4,Proton,Saga,1985,2024\n"
+    )
+    df = read_csv(spark, str(p), CATALOG_SCHEMA)
+    clean, bad = split_corrupt(df)
+    rows = {r["id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["car_brand"] == "Toyota" and rows[1]["year_start"] == 1998
+    assert clean.schema.fieldNames() == [f.name for f in CATALOG_SCHEMA.fields]
+    assert bad.count() == 1  # quarantined, not dropped silently
+    assert "NotANumber" in bad.collect()[0]["_corrupt"]
+
+
+def test_corpus_json_lines_explicit_schema(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"repo":"r1","path":"a.py","commit":"c1","lang":"py","content":"def f(): pass"}\n'
+        '{"repo":"r1","path":"b.py","commit":"c1","lang":"py","content":"def g(): pass"}\n'
+        "this is not json\n"
+    )
+    df = read_json(spark, str(p), CORPUS_SCHEMA)
+    clean, bad = split_corrupt(df)
+    assert clean.count() == 2 and bad.count() == 1
+    got = {r["path"]: r["content"] for r in clean.collect()}
+    assert got["a.py"] == "def f(): pass"
+    # the cleaned frame feeds the pipeline directly (north-rule shape)
+    assert [f.name for f in clean.schema.fields] == [
+        "repo", "path", "commit", "lang", "content",
+    ]
