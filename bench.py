@@ -65,6 +65,8 @@ GATE_QUERIES = [
     "tfidf_top_terms",
     # suffix-automaton LCS confirm (Arrow UDF over planted excerpt pairs)
     "lcs_substring_pairs",
+    # incremental fold: state build + crossing-span update, two span passes
+    "incremental_duplicate_spans",
 ]
 
 
