@@ -290,14 +290,34 @@ def _span_report(sizes: DataFrame, dup_per_doc: DataFrame) -> DataFrame:
     )
 
 
-def duplicate_spans_state(docs: DataFrame, k: int = 16):
+def duplicate_spans_state(
+    docs: DataFrame, k: int = 16, *, min_docs: int = 2, persist: bool = True
+):
     """Build the incremental span-dedup state from scratch:
     ``(pairs, counts, report)`` — the doc-distinct ``(doc_id, h)`` span
     table, the per-hash distinct-doc counts ``(h, n_docs)``, and the
-    current report. None of the three carries text."""
-    pairs, _ = span_occurrence_pairs(docs, k)
+    current report. None of the three carries text.
+
+    In production these three ARE durable checkpoint tables; building
+    them in-session (the gate does) must persist them the same way —
+    unpersisted lineage would re-explode the corpus once per downstream
+    consumer (measured 5× on the gate). The report derives from the
+    persisted pairs table, not a second tokenization.
+    """
+    pairs, sizes = span_occurrence_pairs(docs, k)
+    if persist:
+        pairs = pairs.persist()
     counts = pairs.groupBy("h").agg(F.count("*").alias("n_docs"))
-    return pairs, counts, corpus_duplicate_spans(docs, k=k)
+    if persist:
+        counts = counts.persist()
+    dup = counts.filter(F.col("n_docs") >= min_docs).select("h")
+    ndup = pairs.join(dup, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    report = _span_report(sizes, ndup)
+    if persist:
+        report = report.persist()
+    return pairs, counts, report
 
 
 def incremental_duplicate_spans(
