@@ -129,3 +129,32 @@ def test_oph_sparse_doc_candidate_parity_at_verify_threshold(spark):
     assert hi_truth <= cands["oph"], "OPH misses high-J sparse pairs"
     assert hi_truth <= cands["classic"], "classic misses high-J sparse pairs"
     assert cands["oph"] & hi_truth == cands["classic"] & hi_truth
+
+
+def test_span_ops_survive_universal_hot_span(spark):
+    """A chunk shared by EVERY doc (universal boilerplate): the span ops
+    must stay combinable-aggregation-shaped (no single-task rank blowup)
+    and produce the right verdicts — the curation-layer analog of the
+    LSH hot-bucket guarantees."""
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        corpus_duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    hot = " ".join(f"boiler{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(i, "en", "s0", hot + " " + " ".join(f"d{i}w{j}" for j in range(16)))
+         for i in range(500)],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    rep = corpus_duplicate_spans(docs)
+    rows = rep.collect()
+    assert len(rows) == 500
+    assert all(r["n_spans"] == 2 and r["n_dup_spans"] == 1 for r in rows)
+
+    cleaned = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+    # exactly one doc keeps the hot chunk (the min (doc_id, idx) owner)
+    keepers = [d for d, r in cleaned.items() if r["n_dropped"] == 0]
+    assert keepers == [0]
+    assert all(r["n_dropped"] == 1 for d, r in cleaned.items() if d != 0)
+    assert cleaned[7]["cleaned"].startswith("d7w0 ")  # hot chunk cut
