@@ -1955,6 +1955,71 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's /search typo-correction flow as ONE batch operator
+# (search.py:100-137 semantics): a batch of typo'd queries corrected
+# against the canonical catalog. Planted queries = part names with an
+# adjacent-char swap at a key-dependent position (length-preserving, so
+# LENGTH BLOCKING — the classic edit-distance blocking key — is exact:
+# the true original always shares the block). Within a block the best
+# match is argmin (levenshtein asc, name asc), kept at the reference's
+# 0.75 similarity bar; a no-op swap (equal chars) degenerates to the
+# exact-match stage (lev 0) in the same argmin. 100 TB: blocking makes
+# the join an equi-join (never query × catalog), catalog side broadcast
+# when small, JVM-codegen levenshtein — the reference's per-request
+# Redis→fuzzy cascade becomes one shuffle-free-on-the-query-side pass.
+@_register(
+    "typo_correct_batch",
+    """WITH catalog AS (SELECT DISTINCT p_name FROM part),
+    q AS (
+      SELECT p_partkey AS qid,
+             concat(substr(p_name, 1, 1 + p_partkey % 5),
+                    substr(p_name, 3 + p_partkey % 5, 1),
+                    substr(p_name, 2 + p_partkey % 5, 1),
+                    substr(p_name, 4 + p_partkey % 5)) AS query
+      FROM part WHERE p_partkey % 20 = 0),
+    scored AS (
+      SELECT qid, query, p_name,
+             levenshtein(query, p_name) AS lev,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY levenshtein(query, p_name) ASC, p_name ASC) AS rk
+      FROM q JOIN catalog ON length(query) = length(p_name)),
+    best AS (SELECT * FROM scored WHERE rk = 1)
+    SELECT qid, query, p_name AS corrected, CAST(lev AS BIGINT) AS lev
+    FROM best
+    WHERE round(1 - lev * 1.0 / greatest(length(query), 1), 6) >= 0.75""",
+)
+def typo_correct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    catalog = part.select("p_name").distinct()
+    query = F.concat(
+        F.expr("substr(p_name, 1, 1 + p_partkey % 5)"),
+        F.expr("substr(p_name, 3 + p_partkey % 5, 1)"),
+        F.expr("substr(p_name, 2 + p_partkey % 5, 1)"),
+        F.expr("substr(p_name, 4 + p_partkey % 5)"),
+    )
+    q = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("qid"), query.alias("query")
+    )
+    blocked = q.join(
+        F.broadcast(catalog), F.length("query") == F.length("p_name")
+    )
+    lev = F.levenshtein("query", "p_name")
+    w = Window.partitionBy("qid").orderBy(lev.asc(), F.col("p_name").asc())
+    best = (
+        blocked.withColumn("lev", lev)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    sim = F.round(
+        F.lit(1) - F.col("lev") * F.lit(1.0) / F.greatest(F.length("query"), F.lit(1)), 6
+    )
+    return best.filter(sim >= 0.75).select(
+        "qid", "query", F.col("p_name").alias("corrected"),
+        F.col("lev").cast("bigint").alias("lev"),
+    )
+
+
 # One-row corpus inventory — the summary every curation run reports
 # before/after filtering: doc count, token volume, vocabulary size,
 # language spread. Three map-side-combinable aggregations (the vocab
