@@ -1955,6 +1955,59 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# token_sort_ratio as a relation (search.py:110 scorer selection, fuzz
+# token_sort semantics): similarity on the SORTED-token rendering makes
+# the score reorder-invariant — catches token-shuffled near-dups plain
+# levenshtein misses. Fully native (array_sort + levenshtein) and fully
+# SQL-replayable; candidates from the shingle inverted index (reorder
+# preserves the token multiset, so shingle overlap ≥ 0.3 on 3-grams is
+# the pruning stage — exact small/mid-scale variant, see
+# _shingle_pairs_spark's scale contract).
+@_register(
+    "token_sort_similarity_pairs",
+    _SHINGLES_SQL
+    + f""", cand AS (
+      SELECT src, dst FROM inter
+      JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst
+      WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.3),
+    nt AS (SELECT doc_id,
+             array_to_string(list_sort(string_split({_NORM_SQL}, ' ')), ' ') AS s
+           FROM documents)
+    SELECT src, dst, CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev,
+           round(1 - levenshtein(a.s, b.s) * 1.0
+                 / greatest(length(a.s), length(b.s), 1), 6) AS sim
+    FROM cand JOIN nt a ON a.doc_id = src JOIN nt b ON b.doc_id = dst
+    WHERE round(1 - levenshtein(a.s, b.s) * 1.0
+                / greatest(length(a.s), length(b.s), 1), 6) >= 0.75""",
+)
+def token_sort_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _shingle_pairs_spark(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("src", "dst")
+    )
+    sorted_render = F.array_join(
+        F.array_sort(F.split(normalize_text_col(F.col("text")), " ")), " "
+    )
+    nt = _t(spark, sf_dir, "documents").select(
+        "doc_id", sorted_render.alias("s")
+    )
+    j = pairs.join(
+        nt.select(F.col("doc_id").alias("src"), F.col("s").alias("sa")), "src"
+    ).join(nt.select(F.col("doc_id").alias("dst"), F.col("s").alias("sb")), "dst")
+    lev = F.levenshtein("sa", "sb")
+    sim = F.round(
+        F.lit(1)
+        - lev * F.lit(1.0)
+        / F.greatest(F.length("sa"), F.length("sb"), F.lit(1)),
+        6,
+    )
+    return (
+        j.select("src", "dst", lev.cast("bigint").alias("lev"), sim.alias("sim"))
+        .filter(F.col("sim") >= 0.75)
+    )
+
+
 # The reference's /search typo-correction flow as ONE batch operator
 # (search.py:100-137 semantics): a batch of typo'd queries corrected
 # against the canonical catalog. Planted queries = part names with an

@@ -1,0 +1,37 @@
+"""The two edit-similarity gate variants differ exactly on token order:
+token_sort is reorder-invariant (the reference's token_sort_ratio
+scorer), plain levenshtein is not."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from autovalidate_backend_api_spark import entrypoints
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s0", n_chars=len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_token_sort_gate_is_reorder_invariant(spark, tmp_path):
+    base = [f"tok{i:02d}" for i in range(30)]
+    shuffled = base[15:] + base[:15]  # same multiset, heavy reorder
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(shuffled)),
+        (3, " ".join(f"other{i}" for i in range(30))),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    qs = entrypoints.queries()
+    ts = {(r["src"], r["dst"]): r for r in qs["token_sort_similarity_pairs"](spark, sf).collect()}
+    # reorder-invariant: identical token multiset scores sim 1.0, lev 0
+    assert (1, 2) in ts and ts[(1, 2)]["sim"] == 1.0 and ts[(1, 2)]["lev"] == 0
+    assert all(3 not in p for p in ts)
+    # plain levenshtein pays the full reorder cost and drops the pair
+    pe = {(r["src"], r["dst"]) for r in qs["edit_similarity_pairs"](spark, sf).collect()}
+    assert (1, 2) not in pe
