@@ -67,6 +67,9 @@ GATE_QUERIES = [
     "lcs_substring_pairs",
     # incremental fold: state build + crossing-span update, two span passes
     "incremental_duplicate_spans",
+    # reference /search flow (length-blocked correction) + token-sort scorer
+    "typo_correct_batch",
+    "token_sort_similarity_pairs",
 ]
 
 
