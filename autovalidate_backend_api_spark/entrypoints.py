@@ -2129,6 +2129,174 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# line-level curation gates (C4 line filter, within-doc line dedup)
+# ---------------------------------------------------------------------------
+# The driver corpus has no newlines, so both line-granularity gates run
+# over a deterministically LINED projection of `documents`: tokens are
+# regrouped into lines of c = 2 + doc_id % 5 tokens, and line i gets a
+# terminal '.' when (i + doc_id) % 3 != 0 — so line length and
+# punctuation both vary per doc and the C4 predicates discriminate.
+# Engine-identical by construction (DuckDB's inclusive 1-based slice
+# t[a:b] ≡ Spark's slice(t, a, c)).
+_LINED_SQL = f"""toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    lp AS (SELECT doc_id, t, CAST(2 + doc_id % 5 AS INT) AS c,
+             CAST(ceil(len(t) / CAST(2 + doc_id % 5 AS DOUBLE)) AS INT) AS nl
+           FROM toks),
+    lined AS (SELECT doc_id,
+        array_to_string(list_transform(range(0, nl), i ->
+          array_to_string(t[i*c+1 : i*c+c], ' ') ||
+          CASE WHEN (i + doc_id) % 3 <> 0 THEN '.' ELSE '' END), chr(10)) AS text
+      FROM lp)"""
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _LINED_SQL: doc_id + newline-joined lines."""
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    base = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("t"))
+    c = (F.col("doc_id") % 5 + 2).cast("int")
+    nl = F.ceil(F.size("t") / c).cast("int")
+    p = base.select("doc_id", "t", c.alias("c"), nl.alias("nl"))
+    lines = F.transform(
+        F.sequence(F.lit(0), F.col("nl") - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(F.col("t"), i * F.col("c") + 1, F.col("c")), " "),
+            F.when((i + F.col("doc_id")) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    return p.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+# C4 line filter over the lined corpus, with planted boilerplate so both
+# document-kill predicates are non-vacuous: every 101st doc gains a
+# "lorem ipsum" line (otherwise a keepable 4-word '.'-terminated line —
+# the marker alone must kill it), every 113th a curly-brace line.
+@_register(
+    "c4_line_filter",
+    f"""WITH {_LINED_SQL},
+    c4src AS (SELECT doc_id,
+        text || CASE WHEN doc_id % 101 = 0
+                     THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END
+             || CASE WHEN doc_id % 113 = 0
+                     THEN chr(10) || 'a b c {{' ELSE '' END AS text
+      FROM lined),
+    c4 AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+             contains(lower(text), 'lorem ipsum') AS lor,
+             contains(text, '{{') AS br FROM c4src),
+    k AS (SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+            list_filter(ls, x -> right(trim(x), 1) IN ('.', '!', '?', '"')
+              AND len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 3)
+              AS kept,
+            lor, br FROM c4)
+    SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_kept,
+           CAST(lor AS INT) AS has_lorem, CAST(br AS INT) AS has_brace,
+           CAST(len(kept) >= 3 AND NOT lor AND NOT br AS INT) AS keep,
+           coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+    FROM k""",
+)
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import c4_line_filter
+
+    lined = _lined_docs(spark, sf_dir)
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 101 == 0, F.lit("\nlorem ipsum dolor sit.")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 113 == 0, F.lit("\na b c {")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return c4_line_filter(planted)
+
+
+# within-doc duplicate-line removal over the lined corpus, with a planted
+# repeat of each doc's FIRST line at the end (the repeated-footer shape)
+# so every doc has at least one removable duplicate.
+@_register(
+    "dedup_lines_within_doc",
+    f"""WITH {_LINED_SQL},
+    dupsrc AS (SELECT doc_id,
+        text || chr(10) || string_split(text, chr(10))[1] AS text FROM lined),
+    dl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dupsrc),
+    k AS (SELECT doc_id, ls,
+            list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept FROM dl)
+    SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           CAST(len(ls) - len(kept) AS INT) AS n_removed,
+           array_to_string(kept, chr(10)) AS text_deduped
+    FROM k""",
+)
+def dedup_lines_within_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import dedup_lines
+
+    lined = _lined_docs(spark, sf_dir)
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.element_at(F.split(F.col("text"), "\n"), 1),
+        ).alias("text"),
+    )
+    return dedup_lines(planted)
+
+
+# DSIR-style hashed-unigram importance filter. The synthetic corpus
+# shares ONE vocabulary across languages (all lang subsets score ~0.95,
+# measured), so a lang-based target would make `keep` vacuous; instead
+# the gate plants a DISTINCT-vocabulary target half (the usual planting
+# pattern: re-keyed copies whose every token is 'w'-prefixed — disjoint
+# hashed profile, like Wikipedia vs crawl in the paper). Originals then
+# score ≪ 1 (keep=0) and planted docs ≫ 1 (keep=1): both sides of the
+# threshold are exercised. Exact-integer keep decision, see
+# operators/datapipe.dsir_importance_flags.
+@_register(
+    "dsir_importance_flags",
+    f"""WITH corpus AS (
+      SELECT doc_id, 0 AS is_target, {_NORM_SQL} AS ntext FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, 1,
+             'w' || replace({_NORM_SQL}, ' ', ' w') FROM documents),
+    toks AS (SELECT doc_id, is_target, string_split(ntext, ' ') AS t FROM corpus),
+    tok AS (SELECT doc_id, is_target, unnest(t) AS g FROM toks),
+    tb AS (SELECT doc_id, is_target,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b FROM tok),
+    db AS (SELECT doc_id, is_target, b, count(*) AS c FROM tb GROUP BY 1, 2, 3),
+    bk AS (SELECT b, sum(CASE WHEN is_target = 1 THEN c ELSE 0 END) AS ct,
+                  sum(c) AS cr
+           FROM db GROUP BY 1),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bk),
+    pd AS (SELECT doc_id, sum(c * ct) AS th, sum(c * cr) AS rh
+           FROM db JOIN bk USING (b) GROUP BY 1),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT base.doc_id, base.n_tokens,
+           CAST(th AS BIGINT) AS target_hits, CAST(rh AS BIGINT) AS raw_hits,
+           round(CAST((th + n_tokens) * (nr + 1024) AS DOUBLE)
+                 / CAST((rh + n_tokens) * (nt + 1024) AS DOUBLE), 6) AS score,
+           CAST((th + n_tokens) * (nr + 1024)
+                >= (rh + n_tokens) * (nt + 1024) AS INT) AS keep
+    FROM base JOIN pd USING (doc_id) CROSS JOIN tot""",
+)
+def dsir_importance_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        dsir_importance_flags,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text_col(F.col("text"))
+    planted = base.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit("w"), F.regexp_replace(norm, " ", " w")).alias("text"),
+    )
+    return dsir_importance_flags(
+        base.unionByName(planted), F.col("doc_id") >= 10_000_000
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

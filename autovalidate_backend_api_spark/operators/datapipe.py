@@ -766,3 +766,197 @@ def pack_sequences(docs: DataFrame, *, seq_len: int = 256) -> DataFrame:
         "start_offset",
         F.floor(F.col("start_offset") / seq_len).cast("bigint").alias("chunk_id"),
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    *,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level quality filtering (Raffel et al. 2020 §2.2,
+    public): keep only lines that end in a terminal punctuation mark and
+    carry at least ``min_words_per_line`` words; drop whole documents
+    that retain fewer than ``min_kept_lines`` lines, contain the
+    boilerplate marker "lorem ipsum", or contain a curly brace (C4's
+    code-page heuristic). The reference applies the same shape of
+    pre-admission gating to user text before its expensive stages
+    (/root/reference/app/api/core/search.py:100-130); C4 runs it
+    per-line over a crawl.
+
+    Returns ``doc_id, n_lines, n_kept, has_lorem, has_brace, keep,
+    kept_text`` where ``kept_text`` is the surviving lines re-joined
+    with a newline (empty string when nothing survives).
+
+    100 TB plan: a PURE PROJECTION — line split, per-line predicate,
+    and reconstruction all happen inside the row with zero shuffles and
+    zero UDFs; throughput is scan-bound and trivially parallel at any
+    executor count. The line array is projected into a column attribute
+    BEFORE the higher-order filter so the split is evaluated once per
+    row, not once per line (HOF lambdas are interpreted with no CSE —
+    the round-5 plan pathology documented in CLAUDE.md).
+    """
+    with_lines = docs.select(
+        "doc_id",
+        F.split(F.col("text"), "\n").alias("ls"),
+        (F.instr(F.lower(F.col("text")), "lorem ipsum") > 0).alias("lor"),
+        (F.instr(F.col("text"), "{") > 0).alias("br"),
+    )
+
+    def _line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        words = F.filter(F.split(t, " "), lambda w: w != "")
+        return F.substring(t, -1, 1).isin(".", "!", "?", '"') & (
+            F.size(words) >= min_words_per_line
+        )
+
+    kept = with_lines.select(
+        "doc_id",
+        F.size("ls").alias("n_lines"),
+        F.filter("ls", _line_ok).alias("kept"),
+        "lor",
+        "br",
+    )
+    keep = (
+        (F.size("kept") >= min_kept_lines) & ~F.col("lor") & ~F.col("br")
+    )
+    return kept.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").alias("n_kept"),
+        F.col("lor").cast("int").alias("has_lorem"),
+        F.col("br").cast("int").alias("has_brace"),
+        keep.cast("int").alias("keep"),
+        F.array_join("kept", "\n").alias("kept_text"),
+    )
+
+
+def dedup_lines(docs: DataFrame) -> DataFrame:
+    """Within-document duplicate-line removal, first occurrence wins —
+    the standard boilerplate-collapse pass (repeated nav/footer lines)
+    a crawl pipeline runs BEFORE corpus-level span dedup
+    (corpus_duplicate_spans handles the cross-document case).
+
+    Returns ``doc_id, n_lines, n_kept, n_removed, text_deduped``.
+
+    100 TB plan: a PURE PROJECTION — the first-occurrence test is an
+    indexed higher-order filter (``array_position(ls, line) == i+1``)
+    entirely inside the row: zero shuffles, zero UDFs, no state. The
+    cost is O(lines²) per document worst-case (array_position scans the
+    attribute array), bounded in practice by upstream max-document
+    length gates; a pathological million-line doc should be length-
+    capped long before this pass, as every real pipeline does. The line
+    array is projected to a column attribute first so ``split`` is not
+    re-evaluated per element (HOF-capture pathology, CLAUDE.md).
+    """
+    with_lines = docs.select("doc_id", F.split(F.col("text"), "\n").alias("ls"))
+    kept = with_lines.select(
+        "doc_id",
+        F.size("ls").alias("n_lines"),
+        F.filter(
+            "ls", lambda l, i: F.array_position(F.col("ls"), l) == i + 1
+        ).alias("kept"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").alias("n_kept"),
+        (F.col("n_lines") - F.size("kept")).alias("n_removed"),
+        F.array_join("kept", "\n").alias("text_deduped"),
+    )
+
+
+def dsir_importance_flags(
+    docs: DataFrame, target: Column, *, n_buckets: int = 1024
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance filtering (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169, public): score every document by how much more
+    likely its hashed-unigram profile is under the TARGET distribution
+    (the curated subset you want more of) than under the RAW corpus
+    distribution, and keep docs at or above parity. This is the exact-
+    arithmetic variant: instead of the paper's log-likelihood ratio
+    (whose float sum is not engine-reproducible), the keep decision
+    cross-multiplies integer count sums — ``keep ⇔ s_t·(Nr+K) ≥
+    s_r·(Nt+K)`` with add-one smoothing ``s_t = Σ_g ct[b(g)] + n_tok``
+    — so the DuckDB oracle reproduces it bit-for-bit.
+
+    ``b(g) = int(md5(g)[:8], 16) % n_buckets`` — the same engine-
+    independent hash the deterministic split uses.
+
+    Returns ``doc_id, n_tokens, target_hits, raw_hits, score, keep``
+    (``score`` is the smoothed ratio rounded to 6 places; products stay
+    exactly representable in doubles at gate scale).
+
+    100 TB plan: one corpus tokenization → per-(doc, bucket) counts (a
+    map-side-combinable groupBy keyed by doc_id, so the exchange is
+    doc-partitioned and skew-free) → the K-row global bucket table is
+    BROADCAST back (K = 1024 rows regardless of corpus size; the
+    target-side counts come from the curated subset, which is the small
+    side by definition) → one more doc-keyed sum. Nothing corpus-sized
+    crosses more than the one (doc, bucket) exchange; totals Nt/Nr are
+    windows over the K-row aggregate, never a corpus scan. At 10^12
+    docs the bucket table is still 1024 rows — the only state that
+    matters is per-executor.
+
+    Overflow note: the cross-multiplication is bigint; at gate scale
+    the products are ≤ ~1e13. At true 100 TB scale (Nr ~ 1e14 raw
+    tokens) compare ``s_t/(Nt+K)`` to ``s_r/(Nr+K)`` in doubles instead
+    — the oracle profile keeps the integer form because the gate corpus
+    bounds it.
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        target.cast("int").alias("is_target"),
+        toks.alias("t"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    db = (
+        base.select("doc_id", "is_target", F.explode("t").alias("g"))
+        .select("doc_id", "is_target", bucket.alias("b"))
+        .groupBy("doc_id", "is_target", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bk = db.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target") == 1, F.col("c")).otherwise(0)).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    w = Window.partitionBy()
+    bkx = bk.select(
+        "b",
+        "ct",
+        "cr",
+        F.sum("ct").over(w).alias("nt"),
+        F.sum("cr").over(w).alias("nr"),
+    )
+    per_doc = (
+        db.join(F.broadcast(bkx), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("ct")).alias("target_hits"),
+            F.sum(F.col("c") * F.col("cr")).alias("raw_hits"),
+            F.max("nt").alias("nt"),
+            F.max("nr").alias("nr"),
+        )
+    )
+    s_t = F.col("target_hits") + F.col("n_tokens")
+    s_r = F.col("raw_hits") + F.col("n_tokens")
+    lhs = s_t * (F.col("nr") + n_buckets)
+    rhs = s_r * (F.col("nt") + n_buckets)
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "target_hits",
+            "raw_hits",
+            F.round(lhs.cast("double") / rhs.cast("double"), 6).alias("score"),
+            (lhs >= rhs).cast("int").alias("keep"),
+        )
+    )

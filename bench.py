@@ -70,6 +70,10 @@ GATE_QUERIES = [
     # reference /search flow (length-blocked correction) + token-sort scorer
     "typo_correct_batch",
     "token_sort_similarity_pairs",
+    # line-level curation (pure projections) + DSIR importance filter
+    "c4_line_filter",
+    "dedup_lines_within_doc",
+    "dsir_importance_flags",
 ]
 
 

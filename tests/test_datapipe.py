@@ -490,3 +490,109 @@ def test_incremental_spans_hot_span_is_inert(spark):
     assert got == want
     by_h = sorted(r["n_docs"] for r in counts.collect())
     assert by_h == [2, 11]  # uniq crossed to 2; hot grew to 11
+
+
+# ----------------------------------------------------- c4 line filter
+def test_c4_line_filter_line_and_doc_predicates(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import c4_line_filter
+
+    docs = _docs(
+        spark,
+        [
+            # 3 good lines -> kept
+            (1, "one two three.\nfour five six!\nseven eight nine?"),
+            # only 2 good lines (one too short, one unterminated) -> dropped
+            (2, "one two three.\nshort.\nno terminal punct\nfour five six."),
+            # lorem marker kills an otherwise-keepable doc
+            (3, "one two three.\nfour five six.\nseven eight nine.\nlorem ipsum dolor."),
+            # curly brace kills (C4 code heuristic)
+            (4, "one two three.\nfour five six.\nseven eight nine.\nint main() {"),
+            (5, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[1]["keep"] == 1 and out[1]["n_kept"] == 3
+    assert out[1]["kept_text"] == "one two three.\nfour five six!\nseven eight nine?"
+    assert out[2]["keep"] == 0 and out[2]["n_kept"] == 2
+    assert out[3]["keep"] == 0 and out[3]["has_lorem"] == 1
+    assert out[4]["keep"] == 0 and out[4]["has_brace"] == 1
+    assert out[5] ["keep"] == 0 and out[5]["n_kept"] == 0 and out[5]["kept_text"] == ""
+
+
+def test_c4_line_filter_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import c4_line_filter
+
+    docs = _docs(spark, [(0, "a b c.\nd e f.")])
+    plan = c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: scales trivially
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+# ----------------------------------------------------- line dedup
+def test_dedup_lines_first_occurrence_and_order(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import dedup_lines
+
+    docs = _docs(
+        spark,
+        [
+            (1, "nav bar\nbody one\nnav bar\nbody two\nnav bar"),
+            (2, "a\nb\nc"),
+            (3, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[1]["text_deduped"] == "nav bar\nbody one\nbody two"
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_removed"]) == (5, 3, 2)
+    assert out[2]["text_deduped"] == "a\nb\nc" and out[2]["n_removed"] == 0
+    # empty text is one empty line; kept as-is
+    assert out[3]["text_deduped"] == "" and out[3]["n_removed"] == 0
+
+
+def test_dedup_lines_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import dedup_lines
+
+    docs = _docs(spark, [(0, "x\nx\ny")])
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- DSIR importance
+def test_dsir_importance_separates_disjoint_vocab(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        dsir_importance_flags,
+    )
+
+    # target docs (is_target via doc_id >= 100) use a disjoint vocabulary;
+    # raw-only docs must score below parity, target-like docs above.
+    rows = [(i, "common web crawl page text") for i in range(10)] + [
+        (100 + i, "curated wiki article reference") for i in range(10)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_flags(
+            _docs(spark, rows), F.col("doc_id") >= 100
+        ).collect()
+    }
+    assert all(out[i]["keep"] == 0 for i in range(10))
+    assert all(out[100 + i]["keep"] == 1 for i in range(10))
+    assert out[0]["score"] < 1 < out[100]["score"]
+    # hits columns are exact integer sums over hashed buckets
+    assert out[100]["target_hits"] > 0 and out[100]["raw_hits"] >= out[100]["target_hits"]
+
+
+def test_dsir_importance_single_broadcast_no_corpus_rejoin(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        dsir_importance_flags,
+    )
+
+    docs = _docs(spark, [(i, f"tok{i} alpha beta") for i in range(20)])
+    plan = (
+        dsir_importance_flags(docs, F.col("doc_id") % 2 == 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the K-row bucket table comes back via broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
