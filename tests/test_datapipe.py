@@ -596,3 +596,72 @@ def test_dsir_importance_single_broadcast_no_corpus_rejoin(spark):
     # the K-row bucket table comes back via broadcast, never a shuffled join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------- line ops vs Python reference
+def _py_c4_line_filter(text, min_words=3, min_kept=3):
+    lines = text.split("\n")
+    kept = [
+        l
+        for l in lines
+        if l.strip()[-1:] in ('.', '!', '?', '"')
+        and len([w for w in l.strip().split(" ") if w]) >= min_words
+    ]
+    lor = "lorem ipsum" in text.lower()
+    br = "{" in text
+    return (
+        len(lines),
+        len(kept),
+        int(lor),
+        int(br),
+        int(len(kept) >= min_kept and not lor and not br),
+        "\n".join(kept),
+    )
+
+
+def _py_dedup_lines(text):
+    lines = text.split("\n")
+    kept = [l for i, l in enumerate(lines) if lines.index(l) == i]
+    return (len(lines), len(kept), len(lines) - len(kept), "\n".join(kept))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_line_ops_match_python_reference(spark, seed):
+    import random
+
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        c4_line_filter,
+        dedup_lines,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "lorem", "ipsum", "{", "x"]
+    ends = ["", ".", "!", "?", '"', " "]
+    rows = []
+    for d in range(30):
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(0, 5)))
+            + rng.choice(ends)
+            for _ in range(rng.randint(1, 6))
+        ]
+        # planted duplicates: repeat a random line sometimes
+        if len(lines) > 1 and rng.random() < 0.6:
+            lines.append(lines[rng.randrange(len(lines))])
+        rows.append((d, "\n".join(lines)))
+    docs = _docs(spark, rows)
+    got_c4 = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_kept"], r["has_lorem"], r["has_brace"],
+            r["keep"], r["kept_text"],
+        )
+        for r in c4_line_filter(docs).collect()
+    }
+    got_dl = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_kept"], r["n_removed"], r["text_deduped"]
+        )
+        for r in dedup_lines(docs).collect()
+    }
+    for d, t in rows:
+        assert got_c4[d] == _py_c4_line_filter(t), (d, t)
+        assert got_dl[d] == _py_dedup_lines(t), (d, t)
