@@ -2296,6 +2296,121 @@ def dsir_importance_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-source exact-duplication matrix over a planted multi-source
+# corpus: a full 'mirror' of every doc, a 'fork' of every 3rd, and a
+# SECOND mirror copy of every 5th — so the combinatorial c_a·c_b pair
+# count (not just 1-per-group) is exercised. No doc-level pair
+# expansion on either engine: both aggregate to (hash, source, c) first.
+@_register(
+    "cross_source_dup_matrix",
+    """WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT doc_id + 10000000, 'mirror', text FROM documents
+      UNION ALL SELECT doc_id + 20000000, 'fork', text FROM documents
+        WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id + 30000000, 'mirror', text FROM documents
+        WHERE doc_id % 5 = 0),
+    sc AS (SELECT md5(text) AS h, source, count(*) AS c FROM corpus GROUP BY 1, 2),
+    px AS (SELECT a.source AS source_a, b.source AS source_b, a.c * b.c AS np
+           FROM sc a JOIN sc b ON a.h = b.h AND a.source < b.source)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(np) AS BIGINT) AS n_pairs
+    FROM px GROUP BY 1, 2""",
+)
+def cross_source_dup_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        cross_source_dup_matrix,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = base.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    fork = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.lit("fork").alias("source"),
+        "text",
+    )
+    mirror2 = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    corpus = base.unionByName(mirror).unionByName(fork).unionByName(mirror2)
+    return cross_source_dup_matrix(corpus)
+
+
+def _mojibake_oracle_sql() -> str:
+    """Generate the sequential replace-chain oracle from MOJIBAKE_FIXES
+    (single source of truth — the chain order IS the contract)."""
+    from autovalidate_backend_api_spark.operators.datapipe import MOJIBAKE_FIXES
+
+    sql = "SELECT doc_id, CAST(0 AS BIGINT) AS n_fixes, text AS fixed_text FROM corrupted"
+    for bad, good in MOJIBAKE_FIXES:
+        sql = (
+            "SELECT doc_id, n_fixes + CAST((length(fixed_text) - "
+            f"length(replace(fixed_text, '{bad}', ''))) / {len(bad)} AS BIGINT)"
+            f" AS n_fixes, replace(fixed_text, '{bad}', '{good}') AS fixed_text"
+            f" FROM ({sql})"
+        )
+    return (
+        """WITH corrupted AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN replace(c1, 'u', 'Ã¼') ELSE c1 END AS text
+          FROM (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©') ELSE text END AS c1
+            FROM documents))
+        """
+        + sql
+    )
+
+
+# ftfy-lite mojibake repair over a planted corruption (every 7th doc's
+# 'e' mangled to the UTF-8-as-Latin-1 'Ã©', every 11th doc's 'u' to
+# 'Ã¼') — the fix chain restores the intended accented chars and counts
+# repairs; untouched docs pass through with n_fixes = 0.
+@_register("fix_mojibake", _mojibake_oracle_sql())
+def fix_mojibake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import fix_mojibake
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit("e"), F.lit("Ã©")),
+    ).otherwise(F.col("text"))
+    corrupted = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.replace(c1, F.lit("u"), F.lit("Ã¼")))
+        .otherwise(c1)
+        .alias("text"),
+    )
+    return fix_mojibake(corrupted)
+
+
+# tokenizer-coverage OOV report; vocab_k=16 against the 31-term corpus
+# vocabulary so roughly half of all token instances are OOV and the
+# per-doc rate actually varies (vocab_k=100 would be vacuously 0).
+@_register(
+    "oov_rate",
+    f"""WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    vocab AS (SELECT term FROM counts ORDER BY c DESC, term ASC LIMIT 16),
+    pd AS (SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+           FROM tok LEFT JOIN vocab v ON tok.term = v.term GROUP BY 1)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+    FROM pd""",
+)
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"), vocab_k=16)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

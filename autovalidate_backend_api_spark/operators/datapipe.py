@@ -960,3 +960,133 @@ def dsir_importance_flags(
             (lhs >= rhs).cast("int").alias("keep"),
         )
     )
+
+
+def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every unordered pair
+    of sources (repos, crawls, dumps), how many identical documents they
+    share — the report that surfaces mirrored repos / license-laundered
+    copies / double-ingested dumps before near-dup stages run (the
+    BASELINE scenario's "source-code repositories at 10^12-file scale"
+    makes this the first question an operator asks of a new ingest).
+
+    Returns ``source_a, source_b, n_groups, n_pairs`` (source_a <
+    source_b; ``n_groups`` = distinct shared texts, ``n_pairs`` =
+    doc-level duplicate pairs, counted COMBINATORIALLY as c_a·c_b).
+
+    100 TB plan: doc-level pair expansion is never materialized — the
+    corpus aggregates to per-(hash, source) counts first (map-side
+    combinable, one exchange keyed by content hash), and the self-join
+    expands only source-pairs-per-hash, bounded by |sources|² per group
+    no matter how many million empty-__init__.py copies a group holds.
+    The giant-identical-group problem that forces caps in doc-level
+    designs simply doesn't exist here: a hash shared by every source
+    contributes |sources|² rows, not docs².
+    """
+    sc = (
+        docs.select(F.md5("text").alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = sc.alias("a"), sc.alias("b")
+    px = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+    )
+    return (
+        px.select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            (F.col("a.c") * F.col("b.c")).alias("np"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("np").cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+# fixed, ordered mojibake repair table (UTF-8 read as Latin-1/cp1252 —
+# the artifacts ftfy fixes most often; all 2-char patterns, mutually
+# non-overlapping, applied in this order on both engines)
+MOJIBAKE_FIXES: tuple[tuple[str, str], ...] = (
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¡", "á"),  # Ã¡ -> á
+)
+
+
+def fix_mojibake(docs: DataFrame) -> DataFrame:
+    """ftfy-lite encoding repair: undo the most common UTF-8-decoded-as-
+    Latin-1 artifacts with a fixed, ordered replace chain (CCNet/C4 both
+    run a full ftfy pass; the chain here is the deterministic subset an
+    exact SQL oracle can reproduce — the real library is unavailable in
+    this sandbox and its long tail is behaviorally fuzzy anyway).
+
+    Returns ``doc_id, n_fixes, fixed_text`` where ``n_fixes`` counts
+    replaced occurrences across all patterns (computed per pattern
+    before its replacement, sequentially, exactly as the chain applies).
+
+    100 TB plan: a pure projection — a constant-size replace chain and
+    char-length arithmetic inside the row; zero shuffles, zero UDFs.
+    """
+    out_text = F.col("text")
+    n_fixes = F.lit(0).cast("bigint")
+    for bad, good in MOJIBAKE_FIXES:
+        n_fixes = n_fixes + (
+            (F.length(out_text) - F.length(F.replace(out_text, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("bigint")
+        out_text = F.replace(out_text, F.lit(bad), F.lit(good))
+    return docs.select(
+        "doc_id", n_fixes.alias("n_fixes"), out_text.alias("fixed_text")
+    )
+
+
+def oov_rate(docs: DataFrame, *, vocab_k: int = 100) -> DataFrame:
+    """Tokenizer-coverage report: build the corpus top-``vocab_k`` term
+    vocabulary (count desc, term asc — fully deterministic) and score
+    every document by the fraction of its token INSTANCES falling
+    outside it — the out-of-vocabulary rate a tokenizer team tracks per
+    corpus slice before committing a vocab.
+
+    Returns ``doc_id, n_tokens, n_oov, oov_rate`` (rate rounded to 6).
+
+    100 TB plan: one corpus tokenization → global term counts (map-side
+    combinable; the term-count table is vocabulary-sized, not corpus-
+    sized) → the top-k is ``orderBy().limit(k)``, which Spark plans as
+    TakeOrderedAndProject (per-partition top-k merged on the driver —
+    never a single-partition global sort, even over a billion-term
+    vocabulary) → the K-row vocab BROADCASTS back onto a second
+    doc-keyed count. Same two-exchange shape as dsir_importance_flags;
+    nothing corpus-sized is shuffled more than once per aggregation.
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("t"))
+    tok = base.select("doc_id", F.explode("t").alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(vocab_k)
+        .select("term")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )

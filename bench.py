@@ -74,6 +74,10 @@ GATE_QUERIES = [
     "c4_line_filter",
     "dedup_lines_within_doc",
     "dsir_importance_flags",
+    # cross-source dup matrix, encoding repair, tokenizer OOV coverage
+    "cross_source_dup_matrix",
+    "fix_mojibake",
+    "oov_rate",
 ]
 
 

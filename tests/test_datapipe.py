@@ -665,3 +665,99 @@ def test_line_ops_match_python_reference(spark, seed):
     for d, t in rows:
         assert got_c4[d] == _py_c4_line_filter(t), (d, t)
         assert got_dl[d] == _py_dedup_lines(t), (d, t)
+
+
+# ------------------------------------------- cross-source dup matrix
+def test_cross_source_matrix_combinatorial_counts(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        cross_source_dup_matrix,
+    )
+
+    rows = [
+        Row(doc_id=1, lang="en", source="r1", text="same text"),
+        Row(doc_id=2, lang="en", source="r1", text="same text"),  # c_r1 = 2
+        Row(doc_id=3, lang="en", source="r2", text="same text"),
+        Row(doc_id=4, lang="en", source="r3", text="same text"),
+        Row(doc_id=5, lang="en", source="r1", text="only here"),
+        Row(doc_id=6, lang="en", source="r2", text="other shared"),
+        Row(doc_id=7, lang="en", source="r3", text="other shared"),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_groups"], r["n_pairs"])
+        for r in cross_source_dup_matrix(docs).collect()
+    }
+    # c_r1=2, c_r2=1, c_r3=1 for "same text"; "other shared" adds r2-r3
+    assert out[("r1", "r2")] == (1, 2)
+    assert out[("r1", "r3")] == (1, 2)
+    assert out[("r2", "r3")] == (2, 2)  # same text + other shared
+    assert len(out) == 3  # "only here" contributes nothing
+
+
+def test_cross_source_matrix_no_doc_level_expansion(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        cross_source_dup_matrix,
+    )
+
+    # one text duplicated 50x in each of two sources: the join input must
+    # be per-(hash, source) counts (2 rows), never 100 docs
+    rows = [
+        Row(doc_id=i, lang="en", source="a" if i < 50 else "b", text="boiler")
+        for i in range(100)
+    ]
+    out = cross_source_dup_matrix(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1 and out[0]["n_pairs"] == 2500 and out[0]["n_groups"] == 1
+
+
+# ------------------------------------------------------- mojibake fix
+def test_fix_mojibake_chain_and_counts(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import fix_mojibake
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cafÃ© menu"),  # 'cafÃ©' -> 'café'
+            Row(doc_id=2, text="plain ascii"),
+            Row(doc_id=3, text="Ã¼ber grÃ¼n"),  # two ü fixes
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r["doc_id"]: (r["n_fixes"], r["fixed_text"]) for r in fix_mojibake(docs).collect()}
+    assert out[1] == (1, "café menu")
+    assert out[2] == (0, "plain ascii")
+    assert out[3] == (2, "über grün")
+    assert out[4] == (0, "")
+
+
+def test_fix_mojibake_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import fix_mojibake
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    plan = fix_mojibake(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------- OOV rate
+def test_oov_rate_exact_fractions_and_tiebreak(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import oov_rate
+
+    # counts: aa=4, bb=3, cc=2, dd=1 -> vocab_k=2 keeps {aa, bb}
+    docs = _docs(
+        spark,
+        [
+            (1, "aa aa bb cc"),
+            (2, "aa bb cc dd"),
+            (3, "aa aa bb bb"),
+        ],
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in oov_rate(docs, vocab_k=2).collect()}
+    assert out[1] == (4, 1)
+    assert out[2] == (4, 2)
+    assert out[3] == (4, 0)
+
+
+def test_oov_rate_topk_is_take_ordered_not_global_sort(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import oov_rate
+
+    docs = _docs(spark, [(i, f"t{i % 7} common") for i in range(30)])
+    plan = oov_rate(docs, vocab_k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a single-partition sort
