@@ -2411,6 +2411,226 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(_t(spark, sf_dir, "documents"), vocab_k=16)
 
 
+# The-Stack/StarCoder code-quality filters over the lined corpus with
+# three planted kill shapes: every 97th doc gains a 1200-char line
+# (long-line + avg-line kills), every 89th an "auto-generated" marker
+# line, every 83rd a non-alnum run 4× its own length (alnum-fraction
+# kill) — so all four flags fire on both sides of the oracle. All CASE
+# pieces read the UN-appended lined text, exactly as Spark's concat does.
+@_register(
+    "stack_code_filters",
+    f"""WITH {_LINED_SQL},
+    src AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 97 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END
+        || CASE WHEN doc_id % 89 = 0
+                THEN chr(10) || 'auto-generated do not edit.' ELSE '' END
+        || CASE WHEN doc_id % 83 = 0
+                THEN chr(10) || repeat('~', 4 * length(text)) ELSE '' END AS text
+      FROM lined),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+              AS n_alnum,
+            contains(lower(text), 'auto-generated') AS ag
+          FROM src),
+    t AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(list_aggregate(list_transform(ls, l -> length(l)), 'max')
+                 AS BIGINT) AS max_line_len,
+            n_chars - CAST(len(ls) AS BIGINT) + 1 AS sum_len,
+            n_chars, n_alnum, ag FROM s)
+    SELECT doc_id, n_lines, max_line_len,
+           round(sum_len * 1.0 / n_lines, 6) AS avg_line_len,
+           round(n_alnum * 1.0 / greatest(n_chars, 1), 6) AS alnum_frac,
+           CAST(max_line_len > 1000 AS INT) AS flag_long_line,
+           CAST(sum_len > 100 * n_lines AS INT) AS flag_avg_line,
+           CAST(4 * n_alnum < n_chars AS INT) AS flag_low_alnum,
+           CAST(ag AS INT) AS flag_autogen,
+           CAST(max_line_len <= 1000 AND sum_len <= 100 * n_lines
+                AND 4 * n_alnum >= n_chars AND NOT ag AS INT) AS keep
+    FROM t""",
+)
+def stack_code_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import stack_code_filters
+
+    lined = _lined_docs(spark, sf_dir)
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.lit("\n"), F.expr("repeat('x', 1200)")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 89 == 0, F.lit("\nauto-generated do not edit.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 83 == 0,
+                F.concat(F.lit("\n"), F.expr("repeat('~', 4 * length(text))")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return stack_code_filters(planted)
+
+
+def _license_oracle_sql() -> str:
+    """Generate the first-match-wins CASE chain from LICENSE_MARKERS
+    (single source of truth — the chain order IS the contract)."""
+    from autovalidate_backend_api_spark.operators.datapipe import LICENSE_MARKERS
+
+    whens = " ".join(
+        f"WHEN contains(lower(text), '{m}') THEN '{s}'" for m, s in LICENSE_MARKERS
+    )
+    case = f"CASE {whens} ELSE 'unknown' END"
+    return f"""WITH planted AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'MIT License' || chr(10) ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN 'Apache License 2.0' || chr(10) ELSE '' END
+        || CASE WHEN doc_id % 19 = 0
+                THEN 'GNU General Public License v3' || chr(10) ELSE '' END
+        || CASE WHEN doc_id % 23 = 0
+                THEN 'Mozilla Public License 2.0' || chr(10) ELSE '' END
+        || CASE WHEN doc_id % 31 = 0
+                THEN 'BSD 3-Clause License' || chr(10) ELSE '' END
+        || text AS text FROM documents)
+    SELECT doc_id, {case} AS license,
+           CAST({case} <> 'unknown' AS INT) AS has_license
+    FROM planted"""
+
+
+# SPDX license detection over planted headers (moduli 13/17/19/23/31);
+# doc 0 carries every header, so the first-match-wins chain order is
+# exercised, and non-multiples report 'unknown'.
+@_register("license_detect", _license_oracle_sql())
+def license_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import license_detect
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    headers = [
+        (13, "MIT License"),
+        (17, "Apache License 2.0"),
+        (19, "GNU General Public License v3"),
+        (23, "Mozilla Public License 2.0"),
+        (31, "BSD 3-Clause License"),
+    ]
+    planted = base.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col("doc_id") % m == 0, F.lit(h + "\n")).otherwise(F.lit(""))
+                for m, h in headers
+            ],
+            F.col("text"),
+        ).alias("text"),
+    )
+    return license_detect(planted)
+
+
+# comment-insensitive dedup over the lined corpus: a banner+trailer
+# mirror of every doc, a trailing-whitespace-churn variant of every
+# 4th, and a sql-comment + blank-line variant of every 7th — all strip
+# to the original text, so the groups exercise sizes 2-4 and every
+# strip rule (//, #, --, blank, rtrim).
+@_register(
+    "strip_comments_dedup_groups",
+    f"""WITH {_LINED_SQL},
+    corpus AS (
+      SELECT doc_id, text FROM lined
+      UNION ALL SELECT doc_id + 10000000,
+        '// mit license banner' || chr(10) || text || chr(10) || '# generated trailer'
+        FROM lined
+      UNION ALL SELECT doc_id + 20000000,
+        replace(text, chr(10), '  ' || chr(10)) || '  ' FROM lined WHERE doc_id % 4 = 0
+      UNION ALL SELECT doc_id + 30000000,
+        '-- sql comment' || chr(10) || '   ' || chr(10) || text
+        FROM lined WHERE doc_id % 7 = 0),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+    f AS (SELECT doc_id, ls, list_filter(ls, l ->
+            NOT (trim(l) = '' OR starts_with(trim(l), '//')
+                 OR starts_with(trim(l), '#') OR starts_with(trim(l), '--')))
+            AS kept FROM s),
+    n AS (SELECT doc_id,
+            CAST(len(ls) - len(kept) AS BIGINT) AS n_comment_lines,
+            md5(array_to_string(list_transform(kept, l -> rtrim(l)), chr(10))) AS h
+          FROM f),
+    g AS (SELECT doc_id, n_comment_lines,
+            CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS group_size,
+            min(doc_id) OVER (PARTITION BY h) AS canonical_id
+          FROM n)
+    SELECT doc_id, group_size, canonical_id, n_comment_lines,
+           CAST(group_size >= 2 AND doc_id <> canonical_id AS INT) AS is_dup
+    FROM g""",
+)
+def strip_comments_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        strip_comments_dedup_groups,
+    )
+
+    lined = _lined_docs(spark, sf_dir)
+    mirror = lined.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("// mit license banner\n"), F.col("text"), F.lit("\n# generated trailer")
+        ).alias("text"),
+    )
+    ws = lined.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(
+            F.replace(F.col("text"), F.lit("\n"), F.lit("  \n")), F.lit("  ")
+        ).alias("text"),
+    )
+    sqlc = lined.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+        F.concat(F.lit("-- sql comment\n   \n"), F.col("text")).alias("text"),
+    )
+    corpus = lined.unionByName(mirror).unionByName(ws).unionByName(sqlc)
+    return strip_comments_dedup_groups(corpus)
+
+
+# exact-integer "perplexity" filter: every 29th doc gains a unique
+# never-repeated token, planting count-1 bigrams that the smoothed
+# rare test must flag; mid-count bigrams near the (c+1)·64 < c(a·)+V
+# boundary vary naturally, so both rare sides are corpus-exercised too.
+@_register(
+    "rare_bigram_flags",
+    f"""WITH corpus AS (SELECT doc_id,
+      CASE WHEN doc_id % 29 = 0
+           THEN text || ' zq' || CAST(doc_id AS VARCHAR) ELSE text END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM corpus),
+    bg AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+    db AS (SELECT doc_id, a, b, count(*) AS dc FROM bg GROUP BY 1, 2, 3),
+    gc AS (SELECT a, b, sum(dc) AS c FROM db GROUP BY 1, 2),
+    pc AS (SELECT a, sum(c) AS ca FROM gc GROUP BY 1),
+    vv AS (SELECT count(DISTINCT b) AS v FROM gc),
+    flagged AS (SELECT db.doc_id, db.dc,
+                  CAST((gc.c + 1) * 64 < pc.ca + vv.v AS INT) AS rare
+                FROM db JOIN gc USING (a, b) JOIN pc USING (a) CROSS JOIN vv),
+    agg AS (SELECT doc_id, sum(dc) AS n_bigrams, sum(dc * rare) AS n_rare
+            FROM flagged GROUP BY 1)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           round(n_rare * 1.0 / n_bigrams, 6) AS rare_rate,
+           CAST(4 * n_rare <= n_bigrams AS INT) AS keep
+    FROM agg""",
+)
+def rare_bigram_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import rare_bigram_flags
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(F.col("text"), F.lit(" zq"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return rare_bigram_flags(planted, k=64)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

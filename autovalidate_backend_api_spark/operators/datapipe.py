@@ -1090,3 +1090,248 @@ def oov_rate(docs: DataFrame, *, vocab_k: int = 100) -> DataFrame:
         "n_oov",
         F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
     )
+
+
+def stack_code_filters(
+    docs: DataFrame,
+    *,
+    max_line_len: int = 1000,
+    max_avg_line_len: int = 100,
+) -> DataFrame:
+    """The-Stack/StarCoder-style code-file quality filters (Kocetkov et
+    al. 2022, arXiv:2211.15533 §2; Allal et al. 2023, arXiv:2301.03988
+    — both public): drop files with a line longer than ``max_line_len``
+    chars, an average line length above ``max_avg_line_len``, an
+    alphanumeric character fraction below 0.25, or an "auto-generated"
+    marker anywhere in the file. This is the pre-admission gate a
+    source-code corpus (the north-rule's payload) runs before any dedup
+    stage — the code-payload sibling of c4_line_filter's prose gate.
+
+    All four decisions are exact-integer: the alnum test is
+    ``4·n_alnum ≥ n_chars`` (never a float compare), the average-line
+    test is ``sum_len ≤ max_avg·n_lines`` with
+    ``sum_len = n_chars − (n_lines − 1)`` (total chars minus newlines —
+    an identity, not a second aggregation). The reported ``avg_line_len``
+    / ``alnum_frac`` doubles are display-only roundings of those exact
+    integers.
+
+    Returns ``doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+    flag_long_line, flag_avg_line, flag_low_alnum, flag_autogen, keep``.
+
+    100 TB plan: a PURE PROJECTION — line split, per-line length
+    transform, and all four predicates run inside the row; zero
+    shuffles, zero UDFs, scan-bound at any executor count. The line
+    array is projected into a column attribute before the higher-order
+    transform (HOF-capture pathology, CLAUDE.md).
+    """
+    with_lines = docs.select(
+        "doc_id",
+        F.split(F.col("text"), "\n").alias("ls"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+        .cast("bigint")
+        .alias("n_alnum"),
+        (F.instr(F.lower(F.col("text")), "auto-generated") > 0).alias("ag"),
+    )
+    stats = with_lines.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.array_max(F.transform("ls", lambda l: F.length(l)))
+        .cast("bigint")
+        .alias("max_line_len"),
+        (F.col("n_chars") - F.size("ls") + 1).alias("sum_len"),
+        "n_chars",
+        "n_alnum",
+        "ag",
+    )
+    keep = (
+        (F.col("max_line_len") <= max_line_len)
+        & (F.col("sum_len") <= max_avg_line_len * F.col("n_lines"))
+        & (4 * F.col("n_alnum") >= F.col("n_chars"))
+        & ~F.col("ag")
+    )
+    return stats.select(
+        "doc_id",
+        "n_lines",
+        "max_line_len",
+        F.round(F.col("sum_len") / F.col("n_lines"), 6).alias("avg_line_len"),
+        F.round(F.col("n_alnum") / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
+            "alnum_frac"
+        ),
+        (F.col("max_line_len") > max_line_len).cast("int").alias("flag_long_line"),
+        (F.col("sum_len") > max_avg_line_len * F.col("n_lines"))
+        .cast("int")
+        .alias("flag_avg_line"),
+        (4 * F.col("n_alnum") < F.col("n_chars")).cast("int").alias("flag_low_alnum"),
+        F.col("ag").cast("int").alias("flag_autogen"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+# SPDX detection chain: FIRST match in this order wins (a file carrying
+# both an MIT and an Apache marker is reported MIT). The chain order IS
+# the contract — the gate oracle is GENERATED from this table, exactly
+# like MOJIBAKE_FIXES.
+LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
+    ("mit license", "MIT"),
+    ("apache license", "Apache-2.0"),
+    ("gnu general public license", "GPL-3.0"),
+    ("mozilla public license", "MPL-2.0"),
+    ("bsd 3-clause", "BSD-3-Clause"),
+)
+
+
+def license_detect(docs: DataFrame) -> DataFrame:
+    """SPDX-style license detection over source files — the standard
+    permissive-license admission gate a code corpus runs (The Stack
+    keeps only permissively-licensed files, arXiv:2211.15533 §2.2).
+    Case-insensitive marker scan; first marker in ``LICENSE_MARKERS``
+    chain order wins; files with no marker report ``'unknown'``.
+
+    Returns ``doc_id, license, has_license``.
+
+    100 TB plan: a pure projection — a constant-size case-insensitive
+    contains chain inside the row; zero shuffles, zero UDFs. At real
+    scale the marker table grows to the full SPDX corpus but stays a
+    compile-time constant; detection cost is scan-bound either way.
+    """
+    low = F.lower(F.col("text"))
+    chain = None
+    for marker, spdx in LICENSE_MARKERS:
+        cond = F.instr(low, marker) > 0
+        chain = F.when(cond, spdx) if chain is None else chain.when(cond, spdx)
+    lic = chain.otherwise("unknown")
+    return docs.select(
+        "doc_id",
+        lic.alias("license"),
+        (lic != "unknown").cast("int").alias("has_license"),
+    )
+
+
+def strip_comments_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Comment-insensitive exact dedup over source files: strip
+    whole-line comments (``//``, ``#``, ``--`` after leading
+    whitespace), blank lines, and per-line trailing whitespace, then
+    group files by the md5 of the surviving text — so a fork that only
+    re-headers a file (license banner, generated-by note, trailing-
+    whitespace churn) lands in the same group as the original. This is
+    Stage A's sha-equality invariant relaxed to the code-payload
+    normal form; big code-dedup runs (The Stack v2, arXiv:2402.19173)
+    dedup on exactly this kind of comment/whitespace-insensitive key.
+
+    Returns ``doc_id, group_size, canonical_id, n_comment_lines,
+    is_dup`` (canonical = min doc_id in group; ``is_dup`` marks every
+    non-canonical member of a ≥2 group).
+
+    100 TB plan: the strip + hash is a pure projection; the ONLY
+    exchange carries ``(doc_id, h, n_comment_lines)`` rows — content
+    never shuffles (the same content-crosses-one-exchange rule as
+    Stage A, which here is zero since content stays put). Group stats
+    come from one window over the hash partition. Giant identical
+    groups are a count per hash, never a pair expansion.
+    """
+    with_lines = docs.select("doc_id", F.split(F.col("text"), "\n").alias("ls"))
+
+    def _is_code(l: Column) -> Column:
+        t = F.trim(l)
+        return ~(
+            (t == "")
+            | t.startswith("//")
+            | t.startswith("#")
+            | t.startswith("--")
+        )
+
+    stripped = with_lines.select(
+        "doc_id",
+        (F.size("ls") - F.size(F.filter("ls", _is_code)))
+        .cast("bigint")
+        .alias("n_comment_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(F.filter("ls", _is_code), lambda l: F.rtrim(l)), "\n"
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    grouped = stripped.select(
+        "doc_id",
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        "n_comment_lines",
+    )
+    return grouped.select(
+        "doc_id",
+        "group_size",
+        "canonical_id",
+        "n_comment_lines",
+        ((F.col("group_size") >= 2) & (F.col("doc_id") != F.col("canonical_id")))
+        .cast("int")
+        .alias("is_dup"),
+    )
+
+
+def rare_bigram_flags(docs: DataFrame, *, k: int = 64) -> DataFrame:
+    """LM-perplexity-style quality filter (CCNet, Wenzek et al. 2020,
+    arXiv:1911.00359, public — which scores docs under a KenLM model
+    and drops the high-perplexity tail) in an exact-arithmetic variant:
+    train an add-one-smoothed bigram model ON the corpus itself, call a
+    bigram occurrence "rare" when its smoothed conditional probability
+    is below ``1/k`` — ``(c(ab)+1)·k < c(a·)+V``, an exact integer
+    compare (the float log-prob sum of true perplexity is not engine-
+    reproducible; this is the same exactness trade dsir_importance_flags
+    makes) — and keep a doc while rare occurrences are ≤ 25% of its
+    bigrams (``4·n_rare ≤ n_bigrams``). ``c(a·)`` is the bigram-prefix
+    count and ``V`` the observed continuation vocabulary, both derived
+    from the one bigram-count table.
+
+    Returns ``doc_id, n_bigrams, n_rare, rare_rate, keep`` (docs with
+    fewer than 2 tokens have no bigrams and no row — same on both
+    engines).
+
+    100 TB plan: one tokenization → per-(doc, bigram) counts (doc-keyed
+    exchange, map-side combinable) → global bigram counts (bigram-keyed
+    exchange over a vocabulary²-bounded table, NOT corpus-sized rows) →
+    prefix counts and V are aggregations OVER that table (tiny) and
+    broadcast/cross-joined back; the flag join hits the doc-bigram
+    table on the same bigram key the count exchange used. Zipf skew in
+    the count join is AQE's bread and butter; nothing corpus-sized
+    crosses more than the two keyed exchanges.
+    """
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    db = bg.groupBy("doc_id", "a", "b").agg(F.count("*").cast("bigint").alias("dc"))
+    gc = db.groupBy("a", "b").agg(F.sum("dc").alias("c"))
+    pc = gc.groupBy("a").agg(F.sum("c").alias("ca"))
+    vv = gc.agg(F.countDistinct("b").alias("v"))
+    flagged = (
+        db.join(gc, ["a", "b"])
+        .join(F.broadcast(pc), "a")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "dc",
+            ((F.col("c") + 1) * k < F.col("ca") + F.col("v"))
+            .cast("int")
+            .alias("rare"),
+        )
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.sum("dc").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("dc") * F.col("rare")).cast("bigint").alias("n_rare"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        F.round(F.col("n_rare") / F.col("n_bigrams"), 6).alias("rare_rate"),
+        (4 * F.col("n_rare") <= F.col("n_bigrams")).cast("int").alias("keep"),
+    )

@@ -78,6 +78,14 @@ GATE_QUERIES = [
     "cross_source_dup_matrix",
     "fix_mojibake",
     "oov_rate",
+    # code-payload gates (r5d): Stack/StarCoder filters + license chain
+    # (pure projections), comment-insensitive dedup (hash-only window
+    # exchange), exact-integer bigram "perplexity" filter (two keyed
+    # exchanges + a vocab²-bounded count join)
+    "stack_code_filters",
+    "license_detect",
+    "strip_comments_dedup_groups",
+    "rare_bigram_flags",
 ]
 
 

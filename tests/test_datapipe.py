@@ -761,3 +761,136 @@ def test_oov_rate_topk_is_take_ordered_not_global_sort(spark):
     docs = _docs(spark, [(i, f"t{i % 7} common") for i in range(30)])
     plan = oov_rate(docs, vocab_k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # never a single-partition sort
+
+
+# ----------------------------------------------------- stack code filters
+def test_stack_code_filters_each_flag(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import stack_code_filters
+
+    docs = _docs(
+        spark,
+        [
+            (1, "def f(x):\n    return x + 1\nprint(f(2))"),  # clean -> keep
+            (2, "short\n" + "x" * 1200),  # long line
+            (3, ("y" * 200 + "\n") * 2 + "z" * 200),  # avg line len 200 > 100
+            (4, "ab\n" + "~" * 40),  # alnum frac 2/43 < 0.25
+            (5, "code\n# auto-generated by tool\nmore"),  # marker
+            (6, ""),  # empty: no flags fire, keeps
+        ],
+    )
+    out = {r["doc_id"]: r for r in stack_code_filters(docs).collect()}
+    assert out[1]["keep"] == 1 and all(
+        out[1][f] == 0
+        for f in ("flag_long_line", "flag_avg_line", "flag_low_alnum", "flag_autogen")
+    )
+    assert out[2]["flag_long_line"] == 1 and out[2]["keep"] == 0
+    assert out[2]["max_line_len"] == 1200
+    assert out[3]["flag_avg_line"] == 1 and out[3]["keep"] == 0
+    assert out[3]["avg_line_len"] == 200.0
+    assert out[4]["flag_low_alnum"] == 1 and out[4]["keep"] == 0
+    assert out[5]["flag_autogen"] == 1 and out[5]["keep"] == 0
+    assert out[6]["keep"] == 1 and out[6]["n_lines"] == 1
+
+
+def test_stack_code_filters_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import stack_code_filters
+
+    docs = _docs(spark, [(0, "a b c\nd e f")])
+    plan = stack_code_filters(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- license detection
+def test_license_detect_first_match_wins(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import license_detect
+
+    docs = _docs(
+        spark,
+        [
+            (1, "MIT License\ncode here"),
+            (2, "Licensed under the Apache License, Version 2.0"),
+            # both markers: MIT is first in chain order
+            (3, "Apache License\nMIT License\ncode"),
+            (4, "BSD 3-Clause\ncode"),
+            (5, "no license text at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in license_detect(docs).collect()}
+    assert out[1]["license"] == "MIT" and out[1]["has_license"] == 1
+    assert out[2]["license"] == "Apache-2.0"
+    assert out[3]["license"] == "MIT"  # chain order, not text order
+    assert out[4]["license"] == "BSD-3-Clause"
+    assert out[5]["license"] == "unknown" and out[5]["has_license"] == 0
+
+
+def test_license_detect_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import license_detect
+
+    docs = _docs(spark, [(0, "MIT License")])
+    plan = license_detect(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- comment-strip dedup
+def test_strip_comments_dedup_groups_semantics(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        strip_comments_dedup_groups,
+    )
+
+    code = "def f():\n    return 1"
+    docs = _docs(
+        spark,
+        [
+            (1, code),
+            (2, "// banner\n" + code + "\n# trailer"),  # strips to code
+            (3, code.replace("\n", "  \n") + "  "),  # trailing-ws churn
+            (4, "-- note\n   \n" + code),  # sql comment + blank line
+            (5, "def g():\n    return 2"),  # genuinely different
+        ],
+    )
+    out = {r["doc_id"]: r for r in strip_comments_dedup_groups(docs).collect()}
+    assert all(out[i]["canonical_id"] == 1 for i in (1, 2, 3, 4))
+    assert all(out[i]["group_size"] == 4 for i in (1, 2, 3, 4))
+    assert out[1]["is_dup"] == 0  # canonical member
+    assert all(out[i]["is_dup"] == 1 for i in (2, 3, 4))
+    assert out[2]["n_comment_lines"] == 2
+    assert out[4]["n_comment_lines"] == 2  # comment + blank both dropped
+    assert out[5]["group_size"] == 1 and out[5]["is_dup"] == 0
+
+
+def test_strip_comments_dedup_single_hash_exchange(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        strip_comments_dedup_groups,
+    )
+
+    docs = _docs(spark, [(0, "a\nb"), (1, "a\nb")])
+    plan = (
+        strip_comments_dedup_groups(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one window exchange on the hash; content never shuffles (the rows
+    # crossing it carry only doc_id + md5 + a count)
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- rare-bigram filter
+def test_rare_bigram_flags_exact_counts(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import rare_bigram_flags
+
+    docs = _docs(
+        spark,
+        [
+            (1, "x y x y x y x y x y"),  # bigrams (x,y)*5 (y,x)*4
+            (2, "x y q z"),  # (x,y) common; (y,q),(q,z) count-1
+            (3, "solo"),  # no bigrams -> no row
+        ],
+    )
+    # global: c(x,y)=6 c(y,x)=4 c(y,q)=1 c(q,z)=1; ca: x=6 y=5 q=1; V=4
+    # rare@k=2 iff (c+1)*2 < ca+V: (y,q): 4<9 T, (q,z): 4<5 T, others F
+    out = {r["doc_id"]: r for r in rare_bigram_flags(docs, k=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_bigrams"], out[1]["n_rare"], out[1]["keep"]) == (9, 0, 1)
+    assert (out[2]["n_bigrams"], out[2]["n_rare"], out[2]["keep"]) == (3, 2, 0)
+    assert out[2]["rare_rate"] == pytest.approx(0.666667)
