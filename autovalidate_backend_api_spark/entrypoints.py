@@ -2631,6 +2631,97 @@ def rare_bigram_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rare_bigram_flags(planted, k=64)
 
 
+# repo-level Merkle-style dedup: a full mirror of every source (same
+# file set under re-keyed ids — order-insensitivity exercised by the
+# sorted-hash fingerprint) plus a partial '_f' fork of every source
+# (doc_id % 3 subset — must NOT collide).
+@_register(
+    "repo_fingerprint_groups",
+    """WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT doc_id + 10000000, source || '_m', text FROM documents
+      UNION ALL SELECT doc_id + 20000000, source || '_f', text FROM documents
+        WHERE doc_id % 3 = 0),
+    fh AS (SELECT source, md5(text) AS h FROM corpus),
+    fp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+             md5(string_agg(h, '' ORDER BY h)) AS fingerprint
+           FROM fh GROUP BY 1),
+    g AS (SELECT source, n_files, fingerprint,
+            CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+            min(source) OVER (PARTITION BY fingerprint) AS canonical_source
+          FROM fp)
+    SELECT source, n_files, fingerprint, group_size, canonical_source,
+           CAST(group_size >= 2 AND source <> canonical_source AS INT) AS is_dup
+    FROM g""",
+)
+def repo_fingerprint_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_fingerprint_groups,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = base.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("source"), F.lit("_m")).alias("source"),
+        "text",
+    )
+    fork = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(F.col("source"), F.lit("_f")).alias("source"),
+        "text",
+    )
+    return repo_fingerprint_groups(base.unionByName(mirror).unionByName(fork))
+
+
+# block-granularity clone detection over the lined corpus blown into
+# one-line blocks, with a universal boilerplate block planted in every
+# 5th doc (the hot-key shape) and a full mirror of every 9th doc (so
+# ordinary blocks cross the n_docs >= 2 bar too).
+@_register(
+    "dup_code_blocks",
+    f"""WITH {_LINED_SQL},
+    corpus AS (
+      SELECT doc_id, replace(text, chr(10), chr(10) || chr(10))
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || chr(10) || 'shared boilerplate block'
+                ELSE '' END AS text
+      FROM lined
+      UNION ALL
+      SELECT doc_id + 10000000, replace(text, chr(10), chr(10) || chr(10))
+      FROM lined WHERE doc_id % 9 = 0),
+    b0 AS (SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+                                        b -> trim(b)), b -> b <> '') AS bs
+           FROM corpus),
+    bb AS (SELECT doc_id, unnest(bs) AS b FROM b0),
+    ag AS (SELECT md5(b) AS block_hash,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(max(length(b)) AS BIGINT) AS block_chars
+           FROM bb GROUP BY 1)
+    SELECT block_hash, n_docs, n_occ, block_chars FROM ag WHERE n_docs >= 2""",
+)
+def dup_code_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import dup_code_blocks
+
+    lined = _lined_docs(spark, sf_dir)
+    blocky = F.replace(F.col("text"), F.lit("\n"), F.lit("\n\n"))
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            blocky,
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n\nshared boilerplate block")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    mirror = lined.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        blocky.alias("text"),
+    )
+    return dup_code_blocks(planted.unionByName(mirror))
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

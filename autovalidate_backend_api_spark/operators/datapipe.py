@@ -1335,3 +1335,91 @@ def rare_bigram_flags(docs: DataFrame, *, k: int = 64) -> DataFrame:
         F.round(F.col("n_rare") / F.col("n_bigrams"), 6).alias("rare_rate"),
         (4 * F.col("n_rare") <= F.col("n_bigrams")).cast("int").alias("keep"),
     )
+
+
+def repo_fingerprint_groups(docs: DataFrame) -> DataFrame:
+    """Repo-level exact dedup via an order-insensitive content
+    fingerprint: each repo (the ``source`` column — the north-rule
+    input's ``repo``) is fingerprinted as the md5 of its SORTED file-
+    content md5s, so two repos with identical file SETS collide no
+    matter how their files are ordered or keyed — the mirror/re-upload
+    case every code-corpus pipeline deduplicates FIRST, before any
+    file-level stage runs (The Stack dedups forks/mirrors at repo
+    granularity before file near-dup, arXiv:2211.15533 §2.1).
+
+    Returns one row per repo: ``source, n_files, fingerprint,
+    group_size, canonical_source, is_dup`` (canonical = min source
+    name; ``is_dup`` marks non-canonical members of ≥2 groups).
+
+    100 TB plan: file content is hashed IN PLACE (projection); the
+    repo-keyed exchange carries 16-byte ``(source, h)`` rows, never
+    content. The per-repo sorted-concat is bounded by repo size (a
+    10^6-file repo concatenates ~32 MB inside one task — acceptable;
+    beyond that, fold pairwise like a Merkle tree). The second window
+    exchange is one row per repo. Giant mirror groups are counts per
+    fingerprint, never pair expansions.
+    """
+    fh = docs.select("source", F.md5(F.col("text")).alias("h"))
+    fp = fh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias(
+            "fingerprint"
+        ),
+    )
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "source",
+        "n_files",
+        "fingerprint",
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+        F.min("source").over(w).alias("canonical_source"),
+    ).select(
+        "source",
+        "n_files",
+        "fingerprint",
+        "group_size",
+        "canonical_source",
+        (
+            (F.col("group_size") >= 2)
+            & (F.col("source") != F.col("canonical_source"))
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
+
+
+def dup_code_blocks(docs: DataFrame, *, min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicate CODE BLOCKS: split every file into
+    blank-line-delimited blocks (functions/stanzas — the structural
+    unit of a source file), trim each, hash, and report blocks that
+    appear in at least ``min_docs`` distinct documents — Type-1 clone
+    detection at block granularity (the structural sibling of
+    corpus_duplicate_spans' fixed 16-token chunks; classic clone-
+    detection framing per Roy & Cordy 2007's public survey). The
+    reference's frequent-typo cache plays the same role — spot the
+    verbatim unit everyone repeats — at query granularity
+    (/root/reference/app/api/core/search.py:100-130).
+
+    Returns ``block_hash, n_docs, n_occ, block_chars`` for qualifying
+    blocks (equal hashes ⇒ equal text ⇒ block_chars is well-defined).
+
+    100 TB plan: blocks are split/trimmed/hashed inside the row; the
+    ONLY exchange carries ``(doc_id, block_hash, len)`` rows keyed by
+    block hash — text never shuffles. countDistinct(doc_id) is a
+    two-phase partial aggregate; a universal boilerplate block (license
+    stanza in every file) is one hot key whose count is map-side
+    combined, never a doc-level expansion.
+    """
+    blocks = F.filter(
+        F.transform(F.split(F.col("text"), "\n\n"), lambda b: F.trim(b)),
+        lambda b: b != "",
+    )
+    per_block = docs.select(
+        "doc_id", F.explode(blocks).alias("b")
+    ).select("doc_id", F.md5("b").alias("block_hash"), F.length("b").alias("bl"))
+    agg = per_block.groupBy("block_hash").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.max("bl").cast("bigint").alias("block_chars"),
+    )
+    return agg.filter(F.col("n_docs") >= min_docs)

@@ -86,6 +86,9 @@ GATE_QUERIES = [
     "license_detect",
     "strip_comments_dedup_groups",
     "rare_bigram_flags",
+    # repo-level Merkle dedup (hash-only shuffles) + block clone counts
+    "repo_fingerprint_groups",
+    "dup_code_blocks",
 ]
 
 

@@ -894,3 +894,80 @@ def test_rare_bigram_flags_exact_counts(spark):
     assert (out[1]["n_bigrams"], out[1]["n_rare"], out[1]["keep"]) == (9, 0, 1)
     assert (out[2]["n_bigrams"], out[2]["n_rare"], out[2]["keep"]) == (3, 2, 0)
     assert out[2]["rare_rate"] == pytest.approx(0.666667)
+
+
+# ----------------------------------------------------- repo fingerprint
+def test_repo_fingerprint_order_insensitive_groups(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_fingerprint_groups,
+    )
+
+    rows = [
+        Row(doc_id=1, source="repoA", text="file one"),
+        Row(doc_id=2, source="repoA", text="file two"),
+        # same file SET, different order/ids -> same fingerprint
+        Row(doc_id=9, source="repoB", text="file two"),
+        Row(doc_id=8, source="repoB", text="file one"),
+        # proper subset -> different fingerprint
+        Row(doc_id=5, source="repoC", text="file one"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = {r["source"]: r for r in repo_fingerprint_groups(docs).collect()}
+    assert out["repoA"]["fingerprint"] == out["repoB"]["fingerprint"]
+    assert out["repoA"]["group_size"] == 2
+    assert out["repoB"]["canonical_source"] == "repoA"
+    assert out["repoA"]["is_dup"] == 0 and out["repoB"]["is_dup"] == 1
+    assert out["repoC"]["group_size"] == 1 and out["repoC"]["n_files"] == 1
+    assert out["repoC"]["fingerprint"] != out["repoA"]["fingerprint"]
+
+
+def test_repo_fingerprint_content_never_shuffles(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_fingerprint_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="a", text="x")],
+        "doc_id bigint, source string, text string",
+    )
+    plan = (
+        repo_fingerprint_groups(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # source-keyed agg + fingerprint window: exactly two exchanges, and
+    # the raw text column appears in neither (hashed before the first)
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- code block clones
+def test_dup_code_blocks_cross_doc_and_trim(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import dup_code_blocks
+
+    docs = _docs(
+        spark,
+        [
+            (1, "def f():\n    pass\n\nshared block"),
+            (2, "shared block\n\nother stuff"),
+            (3, "  shared block  "),  # trims to the same block
+            (4, "solo\n\nsolo"),  # within-doc repeat only -> excluded
+        ],
+    )
+    out = dup_code_blocks(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["n_occ"], r["block_chars"]) == (3, 3, len("shared block"))
+
+
+def test_dup_code_blocks_hash_only_exchange(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import dup_code_blocks
+
+    docs = _docs(spark, [(1, "a\n\nb"), (2, "a")])
+    plan = dup_code_blocks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # two-phase distinct-count: both exchanges are keyed by block_hash
+    # (text is md5'd in the Project BELOW the first exchange, so the
+    # shuffled rows carry only hash + doc_id + partial aggregates)
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2 and all("block_hash" in l for l in ex)
