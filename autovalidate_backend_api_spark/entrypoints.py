@@ -2722,6 +2722,101 @@ def dup_code_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_code_blocks(planted.unionByName(mirror))
 
 
+# identifier subtoken accounting with planted camelCase / snake_case /
+# acronym-run identifiers on every 2nd doc: getUserName splits 3 ways,
+# parse_json_fast 3 ways, HTMLParser stays whole (no [a-z0-9]→[A-Z]
+# boundary inside an acronym run) — so the expansion rate moves only
+# where planted and the acronym rule is pinned by the oracle.
+@_register(
+    "split_identifiers",
+    r"""WITH planted AS (SELECT doc_id,
+      text || CASE WHEN doc_id % 2 = 0
+                   THEN ' getUserName parse_json_fast HTMLParser' ELSE '' END AS text
+      FROM documents),
+    s AS (SELECT doc_id,
+        len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))
+          AS n_tokens,
+        len(list_filter(regexp_split_to_array(
+              replace(regexp_replace(text, '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+                      '_', ' '),
+              '\s+'), t -> t <> '')) AS n_subtokens
+      FROM planted)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_subtokens AS BIGINT) AS n_subtokens,
+           round(n_subtokens * 1.0 / greatest(n_tokens, 1), 6) AS expansion_rate
+    FROM s""",
+)
+def split_identifiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import split_identifiers
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" getUserName parse_json_fast HTMLParser"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return split_identifiers(planted)
+
+
+# dependency inventory over the lined corpus with planted import lines:
+# 'import numpy as np' on every 2nd doc plus a bare 'import numpy' on
+# every 6th (n_occ > n_docs for numpy), 'from os import path' on every
+# 3rd, '#include <stdio.h>' on every 7th — all three extraction rules
+# and the occurrence-vs-document distinction exercised.
+@_register(
+    "extract_imports",
+    f"""WITH {_LINED_SQL},
+    planted AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'import numpy as np' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'from os import path' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '#include <stdio.h>' ELSE '' END
+        || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'import numpy' ELSE '' END AS text
+      FROM lined),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+    d0 AS (SELECT doc_id, list_filter(list_transform(ls, x -> CASE
+             WHEN starts_with(trim(x), 'import ')
+               THEN string_split(trim(x), ' ')[2]
+             WHEN starts_with(trim(x), 'from ')
+               THEN string_split(trim(x), ' ')[2]
+             WHEN starts_with(trim(x), '#include')
+               THEN regexp_extract(trim(x), '<([^>]*)>', 1)
+             ELSE '' END), d -> d <> '') AS deps
+           FROM l),
+    dd AS (SELECT doc_id, unnest(deps) AS dep FROM d0)
+    SELECT dep, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM dd GROUP BY 1""",
+)
+def extract_imports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import extract_imports
+
+    lined = _lined_docs(spark, sf_dir)
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\nimport numpy as np")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nfrom os import path")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n#include <stdio.h>")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("\nimport numpy")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return extract_imports(planted)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

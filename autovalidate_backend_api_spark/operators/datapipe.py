@@ -1310,12 +1310,17 @@ def rare_bigram_flags(docs: DataFrame, *, k: int = 64) -> DataFrame:
     )
     db = bg.groupBy("doc_id", "a", "b").agg(F.count("*").cast("bigint").alias("dc"))
     gc = db.groupBy("a", "b").agg(F.sum("dc").alias("c"))
+    # V (continuation vocabulary) as an unpartitioned window over the
+    # vocab²-bounded count table — NOT a 1-row crossJoin, which plans as
+    # the banned BroadcastNestedLoopJoin (same rule as corpus_summary;
+    # the single-partition window is over the small aggregate, never the
+    # corpus — the dsir_importance_flags pattern)
+    wall = Window.partitionBy()
+    gcv = gc.withColumn("v", F.size(F.collect_set("b").over(wall)).cast("bigint"))
     pc = gc.groupBy("a").agg(F.sum("c").alias("ca"))
-    vv = gc.agg(F.countDistinct("b").alias("v"))
     flagged = (
-        db.join(gc, ["a", "b"])
+        db.join(gcv, ["a", "b"])
         .join(F.broadcast(pc), "a")
-        .crossJoin(F.broadcast(vv))
         .select(
             "doc_id",
             "dc",
@@ -1423,3 +1428,81 @@ def dup_code_blocks(docs: DataFrame, *, min_docs: int = 2) -> DataFrame:
         F.max("bl").cast("bigint").alias("block_chars"),
     )
     return agg.filter(F.col("n_docs") >= min_docs)
+
+
+def split_identifiers(docs: DataFrame) -> DataFrame:
+    """Code-LM pre-tokenization accounting: split camelCase (at every
+    ``[a-z0-9]→[A-Z]`` boundary — an acronym run like ``HTMLParser``
+    stays whole, the standard subtoken rule) and snake_case identifiers
+    into subtokens and report the per-document expansion rate — the
+    number a tokenizer team uses to size a code vocabulary (identifier
+    splitting is the classic code-LM preprocessing step, e.g.
+    CodeSearchNet, arXiv:1909.09436).
+
+    Returns ``doc_id, n_tokens, n_subtokens, expansion_rate`` (rate =
+    subtokens per raw whitespace token, rounded to 6; docs with no
+    tokens report 0 tokens and rate null-free via greatest(n,1)).
+
+    100 TB plan: a pure projection — two regexp passes and two splits
+    inside the row, zero shuffles, zero UDFs.
+    """
+    raw_toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    sub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "([a-z0-9])([A-Z])", r"$1 $2"),
+        "_",
+        " ",
+    )
+    sub_toks = F.filter(F.split(sub, r"\s+"), lambda t: t != "")
+    out = docs.select(
+        "doc_id",
+        F.size(raw_toks).cast("bigint").alias("n_tokens"),
+        F.size(sub_toks).cast("bigint").alias("n_subtokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_subtokens",
+        F.round(
+            F.col("n_subtokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("expansion_rate"),
+    )
+
+
+def extract_imports(docs: DataFrame) -> DataFrame:
+    """Dependency extraction over source files: pull the imported module
+    from ``import X ...`` / ``from X import ...`` / ``#include <X>``
+    lines and aggregate the corpus dependency inventory — the
+    library-popularity table a code-corpus curation run reports (and
+    the input to dependency-aware sampling). Line-anchored, first
+    token after the keyword; C includes take the ``<...>`` payload.
+
+    Returns ``dep, n_docs, n_occ`` — one row per distinct dependency
+    with document frequency and total occurrence count.
+
+    100 TB plan: extraction is in-row (line split + prefix tests + one
+    regexp); the ONLY exchange carries ``(doc_id, dep)`` rows keyed by
+    dep for the two-phase distinct count — same shape as
+    dup_code_blocks, with the same hot-key tolerance (a universally
+    imported stdlib module is one map-side-combined key).
+    """
+    ls = F.split(F.col("text"), "\n")
+    with_lines = docs.select("doc_id", ls.alias("ls"))
+
+    def _dep(l: Column) -> Column:
+        t = F.trim(l)
+        return (
+            F.when(t.startswith("import "), F.element_at(F.split(t, " "), 2))
+            .when(t.startswith("from "), F.element_at(F.split(t, " "), 2))
+            .when(t.startswith("#include"), F.regexp_extract(t, "<([^>]*)>", 1))
+            .otherwise(F.lit(""))
+        )
+
+    deps = with_lines.select(
+        "doc_id",
+        F.filter(F.transform("ls", _dep), lambda d: d != "").alias("deps"),
+    )
+    per_dep = deps.select("doc_id", F.explode("deps").alias("dep"))
+    return per_dep.groupBy("dep").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_occ"),
+    )

@@ -89,6 +89,9 @@ GATE_QUERIES = [
     # repo-level Merkle dedup (hash-only shuffles) + block clone counts
     "repo_fingerprint_groups",
     "dup_code_blocks",
+    # identifier subtokenization (projection) + dependency inventory
+    "split_identifiers",
+    "extract_imports",
 ]
 
 

@@ -971,3 +971,60 @@ def test_dup_code_blocks_hash_only_exchange(spark):
     # shuffled rows carry only hash + doc_id + partial aggregates)
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 2 and all("block_hash" in l for l in ex)
+
+
+# ----------------------------------------------------- identifier split
+def test_split_identifiers_camel_snake_acronym(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import split_identifiers
+
+    docs = _docs(
+        spark,
+        [
+            (1, "getUserName parse_json_fast HTMLParser"),
+            (2, "plain words only"),
+            (3, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in split_identifiers(docs).collect()}
+    # getUserName->3, parse_json_fast->3, HTMLParser->1 (acronym run)
+    assert (out[1]["n_tokens"], out[1]["n_subtokens"]) == (3, 7)
+    assert out[2]["n_subtokens"] == 3 and out[2]["expansion_rate"] == 1.0
+    assert out[3]["n_tokens"] == 0 and out[3]["expansion_rate"] == 0.0
+
+
+def test_split_identifiers_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import split_identifiers
+
+    docs = _docs(spark, [(0, "aB c_d")])
+    plan = split_identifiers(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- import extraction
+def test_extract_imports_three_syntaxes(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import extract_imports
+
+    docs = _docs(
+        spark,
+        [
+            (1, "import numpy as np\nx = 1\nfrom os import path"),
+            (2, "  import numpy\n#include <stdio.h>"),
+            (3, "no imports here\nimporter beware"),  # prefix must not match
+        ],
+    )
+    out = {r["dep"]: r for r in extract_imports(docs).collect()}
+    assert set(out) == {"numpy", "os", "stdio.h"}
+    assert (out["numpy"]["n_docs"], out["numpy"]["n_occ"]) == (2, 2)
+    assert (out["os"]["n_docs"], out["os"]["n_occ"]) == (1, 1)
+    assert out["stdio.h"]["n_docs"] == 1
+
+
+def test_extract_imports_dep_keyed_exchanges_only(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import extract_imports
+
+    docs = _docs(spark, [(1, "import a"), (2, "import a")])
+    plan = extract_imports(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2 and all("dep" in l for l in ex)
