@@ -1028,3 +1028,209 @@ def test_extract_imports_dep_keyed_exchanges_only(spark):
     assert "BatchEvalPython" not in plan
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 2 and all("dep" in l for l in ex)
+
+
+# ------------------------------------ code-op Python-reference parity
+def _py_stack_filters(text):
+    import re
+
+    lines = text.split("\n")
+    n_chars, n_lines = len(text), len(lines)
+    n_alnum = len(re.sub(r"[^A-Za-z0-9]", "", text))
+    max_line = max(len(l) for l in lines)
+    sum_len = n_chars - (n_lines - 1)
+    ag = "auto-generated" in text.lower()
+    f_long, f_avg = max_line > 1000, sum_len > 100 * n_lines
+    f_alnum = 4 * n_alnum < n_chars
+    keep = not (f_long or f_avg or f_alnum or ag)
+    return (n_lines, max_line, int(f_long), int(f_avg), int(f_alnum),
+            int(ag), int(keep))
+
+
+def _py_license(text):
+    from autovalidate_backend_api_spark.operators.datapipe import LICENSE_MARKERS
+
+    low = text.lower()
+    for marker, spdx in LICENSE_MARKERS:
+        if marker in low:
+            return spdx
+    return "unknown"
+
+
+def _py_strip(text):
+    def code(l):
+        t = l.strip(" ")
+        return not (t == "" or t.startswith("//") or t.startswith("#")
+                    or t.startswith("--"))
+
+    lines = text.split("\n")
+    kept = [l.rstrip(" ") for l in lines if code(l)]
+    return len(lines) - len([l for l in lines if code(l)]), "\n".join(kept)
+
+
+def _py_subtokens(text):
+    import re
+
+    sub = re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", text).replace("_", " ")
+    return (len([t for t in re.split(r"\s+", text) if t]),
+            len([t for t in re.split(r"\s+", sub) if t]))
+
+
+def _py_deps(text):
+    import re
+
+    out = []
+    for l in text.split("\n"):
+        t = l.strip(" ")
+        if t.startswith("import ") or t.startswith("from "):
+            parts = t.split(" ")
+            if len(parts) > 1 and parts[1]:
+                out.append(parts[1])
+        elif t.startswith("#include"):
+            m = re.search(r"<([^>]*)>", t)
+            if m and m.group(1):
+                out.append(m.group(1))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_code_ops_match_python_reference(spark, seed):
+    import hashlib
+    import random
+
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        dup_code_blocks,
+        extract_imports,
+        license_detect,
+        split_identifiers,
+        stack_code_filters,
+        strip_comments_dedup_groups,
+    )
+
+    rng = random.Random(seed)
+    frag = ["getUserName", "parse_json", "HTMLParser", "x", "foo_bar",
+            "MIT License", "apache license text", "auto-generated", "~~~~",
+            "import numpy", "from os import path", "#include <a.h>",
+            "// comment", "# note", "-- dash", "   ", ""]
+    rows = []
+    for d in range(40):
+        lines = [
+            " ".join(rng.choices(frag, k=rng.randint(0, 4)))
+            + " " * rng.randint(0, 2)
+            for _ in range(rng.randint(1, 8))
+        ]
+        if rng.random() < 0.2:
+            lines.append("y" * rng.randint(900, 1100))  # straddle 1000
+        rows.append((d, "\n".join(lines)))
+    docs = _docs(spark, rows)
+
+    got = {r["doc_id"]: r for r in stack_code_filters(docs).collect()}
+    for d, t in rows:
+        r = got[d]
+        assert (r["n_lines"], r["max_line_len"], r["flag_long_line"],
+                r["flag_avg_line"], r["flag_low_alnum"], r["flag_autogen"],
+                r["keep"]) == _py_stack_filters(t), (d, t)
+
+    got = {r["doc_id"]: r["license"] for r in license_detect(docs).collect()}
+    for d, t in rows:
+        assert got[d] == _py_license(t), (d, t)
+
+    got = {r["doc_id"]: r for r in strip_comments_dedup_groups(docs).collect()}
+    strips = {d: _py_strip(t) for d, t in rows}
+    groups = {}
+    for d, (_, norm) in sorted(strips.items()):
+        groups.setdefault(norm, []).append(d)
+    for d, t in rows:
+        n_comments, norm = strips[d]
+        members = groups[norm]
+        assert got[d]["n_comment_lines"] == n_comments, (d, t)
+        assert got[d]["group_size"] == len(members), (d, t)
+        assert got[d]["canonical_id"] == min(members), (d, t)
+
+    got = {r["doc_id"]: r for r in split_identifiers(docs).collect()}
+    for d, t in rows:
+        assert (got[d]["n_tokens"], got[d]["n_subtokens"]) == _py_subtokens(t), (d, t)
+
+    want = {}
+    for d, t in rows:
+        for dep in _py_deps(t):
+            docs_set, occ = want.get(dep, (set(), 0))
+            docs_set.add(d)
+            want[dep] = (docs_set, occ + 1)
+    got = {r["dep"]: (r["n_docs"], r["n_occ"]) for r in extract_imports(docs).collect()}
+    assert got == {dep: (len(ds), occ) for dep, (ds, occ) in want.items()}
+
+    want_blocks = {}
+    for d, t in rows:
+        for b in t.split("\n\n"):
+            b = b.strip(" ")
+            if b:
+                h = hashlib.md5(b.encode()).hexdigest()
+                ds, occ, _ = want_blocks.get(h, (set(), 0, 0))
+                ds.add(d)
+                want_blocks[h] = (ds, occ + 1, len(b))
+    got = {r["block_hash"]: (r["n_docs"], r["n_occ"], r["block_chars"])
+           for r in dup_code_blocks(docs).collect()}
+    assert got == {h: (len(ds), occ, bl) for h, (ds, occ, bl) in want_blocks.items()
+                   if len(ds) >= 2}
+
+
+def test_code_projections_run_as_stream(spark, sf_dir, tmp_path):
+    """stack_code_filters / license_detect / split_identifiers are pure
+    projections, so the SAME functions must run unmodified on a
+    streaming DataFrame and agree row-for-row with batch (the unified-
+    model property the curation layer already guarantees for
+    pii_scrub/split)."""
+    import shutil
+
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        license_detect,
+        split_identifiers,
+        stack_code_filters,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "docs_stream_code"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-000.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+
+    for qname, op in [
+        ("code_stack_stream", stack_code_filters),
+        ("code_lic_stream", license_detect),
+        ("code_ident_stream", split_identifiers),
+    ]:
+        sdf = op(stream)
+        assert sdf.isStreaming
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            tuple(r) for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        want = {tuple(r) for r in op(batch).collect()}
+        assert got == want, qname
+
+
+def test_dup_code_blocks_universal_boilerplate_hot_key(spark):
+    """Every doc carries the same license stanza: one hot block-hash key.
+    The two-phase distinct-count must aggregate it map-side and report
+    exact counts — no per-doc pair expansion exists to blow up."""
+    from autovalidate_backend_api_spark.operators.datapipe import dup_code_blocks
+
+    stanza = "licensed under apache\nsee notice file"
+    docs = _docs(
+        spark,
+        [(i, f"unique line {i}\n\n{stanza}\n\n{stanza}") for i in range(200)],
+    )
+    out = {r["block_hash"]: r for r in dup_code_blocks(docs).collect()}
+    assert len(out) == 1  # unique blocks are n_docs=1, filtered
+    r = next(iter(out.values()))
+    assert (r["n_docs"], r["n_occ"], r["block_chars"]) == (200, 400, len(stanza))
