@@ -2817,6 +2817,144 @@ def extract_imports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_imports(planted)
 
 
+# Type-2 clone groups over the lined corpus: a full identifier-renamed
+# mirror of every doc (all alpha runs -> 'qq' — must collide after
+# ID-normalization) and a structure-changed fork of every 3rd (one
+# appended token — must NOT collide).
+@_register(
+    "type2_clone_groups",
+    f"""WITH {_LINED_SQL},
+    corpus AS (
+      SELECT doc_id, text FROM lined
+      UNION ALL SELECT doc_id + 10000000,
+        regexp_replace(text, '[A-Za-z]+', 'qq', 'g') FROM lined
+      UNION ALL SELECT doc_id + 20000000, text || ' extra.'
+        FROM lined WHERE doc_id % 3 = 0),
+    n AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*'))
+                 AS BIGINT) AS n_idents,
+            md5(regexp_replace(regexp_replace(text,
+                '[A-Za-z_][A-Za-z0-9_]*', 'ID', 'g'), '[0-9]+', 'N', 'g')) AS h
+          FROM corpus),
+    g AS (SELECT doc_id, n_idents,
+            CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS group_size,
+            min(doc_id) OVER (PARTITION BY h) AS canonical_id
+          FROM n)
+    SELECT doc_id, n_idents, group_size, canonical_id,
+           CAST(group_size >= 2 AND doc_id <> canonical_id AS INT) AS is_dup
+    FROM g""",
+)
+def type2_clone_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import type2_clone_groups
+
+    lined = _lined_docs(spark, sf_dir)
+    mirror = lined.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), "[A-Za-z]+", "qq").alias("text"),
+    )
+    fork = lined.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra.")).alias("text"),
+    )
+    return type2_clone_groups(lined.unionByName(mirror).unionByName(fork))
+
+
+def _code_admission_oracle_sql() -> str:
+    """Generated from LICENSE_MARKERS + the stack/subtoken fragments —
+    the same single-source-of-truth pattern as the standalone gates."""
+    from autovalidate_backend_api_spark.operators.datapipe import LICENSE_MARKERS
+
+    whens = " ".join(
+        f"WHEN contains(lower(text), '{m}') THEN '{s}'" for m, s in LICENSE_MARKERS
+    )
+    case = f"CASE {whens} ELSE 'unknown' END"
+    keep = (
+        "max_line_len <= 1000 AND sum_len <= 100 * n_lines "
+        "AND 4 * n_alnum >= n_chars AND NOT ag"
+    )
+    return rf"""WITH {_LINED_SQL},
+    src AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'MIT License' || chr(10) ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN 'Apache License 2.0' || chr(10) ELSE '' END
+        || text
+        || CASE WHEN doc_id % 97 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END
+        || CASE WHEN doc_id % 89 = 0
+                THEN chr(10) || 'auto-generated do not edit.' ELSE '' END
+        || CASE WHEN doc_id % 83 = 0
+                THEN chr(10) || repeat('~', 4 * length(text)) ELSE '' END
+        AS text FROM lined),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+              AS n_alnum,
+            contains(lower(text), 'auto-generated') AS ag,
+            {case} AS license,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                 t -> t <> '')) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(regexp_split_to_array(
+                  replace(regexp_replace(text, '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+                          '_', ' '), '\s+'), t -> t <> '')) AS BIGINT) AS n_subtokens
+          FROM src),
+    t AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(list_aggregate(list_transform(ls, l -> length(l)), 'max')
+                 AS BIGINT) AS max_line_len,
+            n_chars - CAST(len(ls) AS BIGINT) + 1 AS sum_len,
+            n_chars, n_alnum, ag, license, n_tokens, n_subtokens FROM s)
+    SELECT doc_id, n_lines, max_line_len,
+           round(sum_len * 1.0 / n_lines, 6) AS avg_line_len,
+           round(n_alnum * 1.0 / greatest(n_chars, 1), 6) AS alnum_frac,
+           CAST(max_line_len > 1000 AS INT) AS flag_long_line,
+           CAST(sum_len > 100 * n_lines AS INT) AS flag_avg_line,
+           CAST(4 * n_alnum < n_chars AS INT) AS flag_low_alnum,
+           CAST(ag AS INT) AS flag_autogen,
+           license,
+           CAST(license <> 'unknown' AS INT) AS has_license,
+           n_tokens, n_subtokens,
+           round(n_subtokens * 1.0 / greatest(n_tokens, 1), 6) AS expansion_rate,
+           CAST({keep} AS INT) AS stack_keep,
+           CAST({keep} AND license <> 'unknown' AS INT) AS admit
+    FROM t"""
+
+
+# the one-scan code admission report over the lined corpus with BOTH
+# plant families: license headers (%13/%17) and stack kills
+# (%97/%89/%83) — doc 0 carries everything, so admit exercises the
+# quality-pass-but-unlicensed, licensed-but-killed, and
+# licensed-and-clean corners.
+@_register("code_admission_report", _code_admission_oracle_sql())
+def code_admission_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        code_admission_report,
+    )
+
+    lined = _lined_docs(spark, sf_dir)
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 13 == 0, F.lit("MIT License\n")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit("Apache License 2.0\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.lit("\n"), F.expr("repeat('x', 1200)")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 89 == 0, F.lit("\nauto-generated do not edit.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 83 == 0,
+                F.concat(F.lit("\n"), F.expr("repeat('~', 4 * length(text))")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return code_admission_report(planted)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

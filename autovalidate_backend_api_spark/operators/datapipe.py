@@ -1506,3 +1506,142 @@ def extract_imports(docs: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_occ"),
     )
+
+
+def type2_clone_groups(docs: DataFrame) -> DataFrame:
+    """Type-2 clone detection (identifier/literal-renamed copies — Roy &
+    Cordy 2007's public clone taxonomy): normalize every identifier
+    token ``[A-Za-z_][A-Za-z0-9_]*`` to ``ID`` and every remaining
+    digit run to ``N``, then group files by the md5 of the normalized
+    text — a fork that only RENAMES variables (the classic
+    plagiarism/vendoring shape) collides with the original, while any
+    structural change (punctuation, line shape, token arity) does not.
+    Completes the clone ladder: dup_code_blocks finds Type-1 (verbatim)
+    block clones, strip_comments_dedup_groups comment-blind file
+    clones, this the renamed ones.
+
+    Returns ``doc_id, n_idents, group_size, canonical_id, is_dup``.
+
+    100 TB plan: normalization + hash are a pure projection; the one
+    window exchange carries ``(doc_id, h, n_idents)`` — identical
+    scale shape to strip_comments_dedup_groups (content never
+    shuffles; giant clone groups are counts per hash).
+    """
+    ident = "[A-Za-z_][A-Za-z0-9_]*"
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("text"), ident, "ID"), "[0-9]+", "N"
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(ident)).cast("bigint").alias("n_idents"),
+        F.md5(norm).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    return (
+        hashed.select(
+            "doc_id",
+            "n_idents",
+            F.count("*").over(w).cast("bigint").alias("group_size"),
+            F.min("doc_id").over(w).alias("canonical_id"),
+        )
+        .select(
+            "doc_id",
+            "n_idents",
+            "group_size",
+            "canonical_id",
+            ((F.col("group_size") >= 2) & (F.col("doc_id") != F.col("canonical_id")))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
+def code_admission_report(docs: DataFrame) -> DataFrame:
+    """ONE-SCAN fusion of the code-corpus admission signals — the code-
+    payload sibling of curation_report: The-Stack/StarCoder quality
+    flags, SPDX license detection, and identifier-subtoken accounting
+    all computed from a single pass over the file, with the final
+    admission decision ``admit = stack_keep AND has_license`` (The
+    Stack admits only permissively-licensed files that pass the
+    quality gate, arXiv:2211.15533 §2). Signal-by-signal equality with
+    the standalone operators is pinned by test, exactly as
+    curation_report pins its prose signals.
+
+    Returns ``doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+    flag_long_line, flag_avg_line, flag_low_alnum, flag_autogen,
+    license, has_license, n_tokens, n_subtokens, expansion_rate,
+    stack_keep, admit``.
+
+    100 TB plan: a PURE PROJECTION — every signal is in-row; zero
+    shuffles, zero UDFs, one scan where running the standalone
+    operators would cost four. At 100 TB the scan IS the cost; this
+    is the fusion that matters.
+    """
+    low = F.lower(F.col("text"))
+    chain = None
+    for marker, spdx in LICENSE_MARKERS:
+        cond = F.instr(low, marker) > 0
+        chain = F.when(cond, spdx) if chain is None else chain.when(cond, spdx)
+    lic = chain.otherwise("unknown")
+    sub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "([a-z0-9])([A-Z])", r"$1 $2"), "_", " "
+    )
+    base = docs.select(
+        "doc_id",
+        F.split(F.col("text"), "\n").alias("ls"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+        .cast("bigint")
+        .alias("n_alnum"),
+        (F.instr(low, "auto-generated") > 0).alias("ag"),
+        lic.alias("license"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.size(F.filter(F.split(sub, r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_subtokens"),
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.array_max(F.transform("ls", lambda l: F.length(l)))
+        .cast("bigint")
+        .alias("max_line_len"),
+        (F.col("n_chars") - F.size("ls") + 1).alias("sum_len"),
+        "n_chars",
+        "n_alnum",
+        "ag",
+        "license",
+        "n_tokens",
+        "n_subtokens",
+    )
+    stack_keep = (
+        (F.col("max_line_len") <= 1000)
+        & (F.col("sum_len") <= 100 * F.col("n_lines"))
+        & (4 * F.col("n_alnum") >= F.col("n_chars"))
+        & ~F.col("ag")
+    )
+    has_license = F.col("license") != "unknown"
+    return stats.select(
+        "doc_id",
+        "n_lines",
+        "max_line_len",
+        F.round(F.col("sum_len") / F.col("n_lines"), 6).alias("avg_line_len"),
+        F.round(F.col("n_alnum") / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
+            "alnum_frac"
+        ),
+        (F.col("max_line_len") > 1000).cast("int").alias("flag_long_line"),
+        (F.col("sum_len") > 100 * F.col("n_lines")).cast("int").alias("flag_avg_line"),
+        (4 * F.col("n_alnum") < F.col("n_chars")).cast("int").alias("flag_low_alnum"),
+        F.col("ag").cast("int").alias("flag_autogen"),
+        "license",
+        has_license.cast("int").alias("has_license"),
+        "n_tokens",
+        "n_subtokens",
+        F.round(
+            F.col("n_subtokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("expansion_rate"),
+        stack_keep.cast("int").alias("stack_keep"),
+        (stack_keep & has_license).cast("int").alias("admit"),
+    )

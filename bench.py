@@ -92,6 +92,9 @@ GATE_QUERIES = [
     # identifier subtokenization (projection) + dependency inventory
     "split_identifiers",
     "extract_imports",
+    # Type-2 (renamed) clone groups + the one-scan admission fusion
+    "type2_clone_groups",
+    "code_admission_report",
 ]
 
 

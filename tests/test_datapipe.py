@@ -1234,3 +1234,75 @@ def test_dup_code_blocks_universal_boilerplate_hot_key(spark):
     assert len(out) == 1  # unique blocks are n_docs=1, filtered
     r = next(iter(out.values()))
     assert (r["n_docs"], r["n_occ"], r["block_chars"]) == (200, 400, len(stanza))
+
+
+# ----------------------------------------------------- type-2 clones
+def test_type2_clone_groups_rename_invariance(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import type2_clone_groups
+
+    docs = _docs(
+        spark,
+        [
+            (1, "total = count + 1\nreturn total"),
+            (2, "summe = zaehler + 9\nreturn summe"),  # renamed + relitered
+            (3, "total = count + 1 + 1\nreturn total"),  # extra token: no clone
+            (4, "x9 = _y + 2\nreturn x9"),  # same shape as 1/2
+        ],
+    )
+    out = {r["doc_id"]: r for r in type2_clone_groups(docs).collect()}
+    assert out[1]["group_size"] == 3 and out[1]["canonical_id"] == 1
+    assert out[2]["is_dup"] == 1 and out[4]["is_dup"] == 1
+    assert out[3]["group_size"] == 1 and out[3]["is_dup"] == 0
+    assert out[1]["n_idents"] == 4  # total, count, return, total
+
+
+def test_type2_clone_groups_hash_only_exchange(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import type2_clone_groups
+
+    docs = _docs(spark, [(1, "a = 1"), (2, "b = 2")])
+    plan = type2_clone_groups(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # the window over h; content stays put
+
+
+# ----------------------------------------------------- fused admission
+def test_code_admission_report_matches_standalone_ops(spark, sf_dir):
+    """The one-scan fusion must agree signal-by-signal with the three
+    standalone operators it fuses (same corpus)."""
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        code_admission_report,
+        license_detect,
+        split_identifiers,
+        stack_code_filters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rep = {r["doc_id"]: r.asDict() for r in code_admission_report(docs).collect()}
+    stk = {r["doc_id"]: r.asDict() for r in stack_code_filters(docs).collect()}
+    lic = {r["doc_id"]: r.asDict() for r in license_detect(docs).collect()}
+    idn = {r["doc_id"]: r.asDict() for r in split_identifiers(docs).collect()}
+    assert set(rep) == set(stk)
+    for d, row in rep.items():
+        for c in ("n_lines", "max_line_len", "avg_line_len", "alnum_frac",
+                  "flag_long_line", "flag_avg_line", "flag_low_alnum",
+                  "flag_autogen"):
+            assert row[c] == stk[d][c], (d, c)
+        assert row["stack_keep"] == stk[d]["keep"], d
+        assert row["license"] == lic[d]["license"], d
+        assert row["has_license"] == lic[d]["has_license"], d
+        for c in ("n_tokens", "n_subtokens", "expansion_rate"):
+            assert row[c] == idn[d][c], (d, c)
+        assert row["admit"] == (row["stack_keep"] and row["has_license"]), d
+
+
+def test_code_admission_report_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        code_admission_report,
+    )
+
+    docs = _docs(spark, [(0, "MIT License\ncode_here()")])
+    plan = code_admission_report(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
