@@ -1645,3 +1645,103 @@ def code_admission_report(docs: DataFrame) -> DataFrame:
         stack_keep.cast("int").alias("stack_keep"),
         (stack_keep & has_license).cast("int").alias("admit"),
     )
+
+
+# Secret patterns: RE2-compatible (no lookarounds) so Spark's Java regex
+# and DuckDB's RE2 agree byte-for-byte. The AWS example key format and
+# the GitHub ghp_ token format are public documentation; the PEM header
+# is RFC 7468.
+SECRET_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("aws", r"AKIA[0-9A-Z]{16}", "<SECRET_AWS_KEY>"),
+    ("github", r"ghp_[A-Za-z0-9]{36}", "<SECRET_GH_TOKEN>"),
+    ("pem", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<SECRET_PEM_KEY>"),
+)
+
+
+def secret_scan(docs: DataFrame) -> DataFrame:
+    """Credential scanning over source files — the code-payload sibling
+    of ``pii_scrub``: count and redact AWS access-key ids, GitHub
+    personal-access tokens, and PEM private-key headers (the three
+    highest-signal fixed-format secrets; the same gate every public
+    code-corpus curation run applies, e.g. The Stack's PII/secret
+    removal step, arXiv:2211.15533 §2.5). Pattern table is the single
+    source of truth: the gate's oracle SQL is GENERATED from
+    ``SECRET_PATTERNS`` exactly like ``license_detect``'s marker chain.
+
+    Returns ``doc_id, n_aws, n_github, n_pem, n_secrets, has_secret,
+    redacted`` — redacted text replaces every match with its typed
+    placeholder (patterns are disjoint by construction, so replacement
+    order cannot change the result).
+
+    100 TB plan: a PURE PROJECTION — three regexp_count + three
+    regexp_replace inside the row; zero shuffles, zero UDFs, content
+    never leaves its partition.
+    """
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in SECRET_PATTERNS
+    ]
+    red = F.col("text")
+    for _, pat, placeholder in SECRET_PATTERNS:
+        red = F.regexp_replace(red, pat, placeholder)
+    base = docs.select("doc_id", *counts, red.alias("redacted"))
+    total = sum((F.col(f"n_{name}") for name, _, _ in SECRET_PATTERNS), F.lit(0))
+    return base.select(
+        "doc_id",
+        "n_aws",
+        "n_github",
+        "n_pem",
+        total.cast("bigint").alias("n_secrets"),
+        (total > 0).cast("int").alias("has_secret"),
+        "redacted",
+    )
+
+
+def indent_profile(docs: DataFrame) -> DataFrame:
+    """Indentation accounting over source files: per-document counts of
+    space-indented vs tab-indented lines, the deepest leading-whitespace
+    run, and the resolved indentation style — the formatting signal a
+    code-corpus curation run reports per file (and the input to
+    style-stratified sampling; minified files show ``flat`` + long
+    lines, generated files show pathological depth).
+
+    A line's indent is the length of its leading ``[ \\t]*`` run; the
+    style is ``tabs`` / ``spaces`` when only one family indents lines,
+    ``mixed`` when both do, ``flat`` when nothing is indented.
+
+    Returns ``doc_id, n_lines, n_space_lines, n_tab_lines, max_indent,
+    indent_style``.
+
+    100 TB plan: a PURE PROJECTION — one line split + per-line regexp
+    inside the row, zero shuffles, zero UDFs.
+    """
+    ls = F.split(F.col("text"), "\n")
+    indents = F.transform(
+        ls, lambda l: F.length(F.regexp_extract(l, r"^[ \t]*", 0))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(ls).cast("bigint").alias("n_lines"),
+        F.size(F.filter(ls, lambda l: l.startswith(" ")))
+        .cast("bigint")
+        .alias("n_space_lines"),
+        F.size(F.filter(ls, lambda l: l.startswith("\t")))
+        .cast("bigint")
+        .alias("n_tab_lines"),
+        F.array_max(indents).cast("bigint").alias("max_indent"),
+    )
+    style = (
+        F.when((F.col("n_space_lines") > 0) & (F.col("n_tab_lines") > 0), "mixed")
+        .when(F.col("n_space_lines") > 0, "spaces")
+        .when(F.col("n_tab_lines") > 0, "tabs")
+        .otherwise("flat")
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_space_lines",
+        "n_tab_lines",
+        "max_indent",
+        style.alias("indent_style"),
+    )
+
