@@ -3065,6 +3065,280 @@ def indent_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indent_profile(planted)
 
 
+# Type-3 clone pairs via the SourcererCC token-bag join at θ = 0.7.
+# The synthetic corpus has a 31-term vocabulary (see oov_rate), so raw
+# unigram bags are non-discriminative (measured: 1,637 natural pairs
+# ≥0.7 at sf0.01); the gate therefore tokenizes at TRIGRAM-UNIT
+# granularity ('_'-joined 3-token shingles — the entropy the 3-gram
+# gates already rely on) and plants a Type-3 clone of every doc with
+# every 10th unit deleted (statement-deletion shape, sim ≈ 0.9).
+# Oracle = brute-force all-pairs multiset overlap — equality with the
+# prefix-filtered Spark join certifies the filter is lossless.
+@_register(
+    "token_bag_clone_pairs",
+    rf"""WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array({_NORM_SQL}, '\s+'), t -> t <> '') AS t
+         FROM documents),
+    g AS (SELECT doc_id, list_transform(range(1, len(t)-1),
+            i -> t[i] || '_' || t[i+1] || '_' || t[i+2]) AS grams
+          FROM toks WHERE len(t) >= 3),
+    corpus AS (SELECT doc_id, grams FROM g
+      UNION ALL
+      SELECT doc_id + 10000000,
+             list_filter(list_transform(range(1, len(grams)+1),
+               i -> CASE WHEN i % 10 <> 0 THEN grams[i] END), x -> x IS NOT NULL)
+      FROM g),
+    tok AS (SELECT doc_id, unnest(grams) AS tok FROM corpus),
+    tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    sz AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+    ov AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+           FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT src, dst, overlap, sa.n AS na, sb.n AS nb,
+           round(overlap * 1.0 / greatest(sa.n, sb.n), 6) AS sim
+    FROM ov JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst
+    WHERE overlap * 10 >= 7 * greatest(sa.n, sb.n)""",
+)
+def token_bag_clone_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        token_bag_clone_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.filter(F.split(normalize_text_col(F.col("text")), r"\s+"), lambda x: x != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            "_",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + F.lit(1)),
+            F.element_at(F.col("t"), i + F.lit(2)),
+        ),
+    )
+    g = base.select("doc_id", grams.alias("grams"))
+    clone = g.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.filter(F.col("grams"), lambda x, i: (i + 1) % 10 != 0).alias("grams"),
+    )
+    corpus = g.unionByName(clone).select(
+        "doc_id", F.array_join("grams", " ").alias("text")
+    )
+    return token_bag_clone_pairs(corpus, theta_num=7, theta_den=10)
+
+
+# Repo-level fork detection at Jaccard ≥ 1/2 over file-hash sets:
+# 37 base repos (doc_id % 37), a fork of each carrying the 80% of its
+# files with doc_id % 5 != 0 (j ≈ 0.8 → detected), and a universal
+# boilerplate file planted in EVERY repo — 74 > cap 10, so the hot
+# hash is dropped before pair expansion on both engines (the
+# boilerplate-idf contract, exercised end-to-end).
+@_register(
+    "repo_file_overlap_pairs",
+    """WITH files AS (
+      SELECT 'r' || CAST(doc_id % 37 AS VARCHAR) AS repo, text FROM documents
+      UNION ALL
+      SELECT 'f' || CAST(doc_id % 37 AS VARCHAR), text
+      FROM documents WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT DISTINCT 'r' || CAST(doc_id % 37 AS VARCHAR), 'MIT boilerplate'
+      FROM documents
+      UNION ALL
+      SELECT DISTINCT 'f' || CAST(doc_id % 37 AS VARCHAR), 'MIT boilerplate'
+      FROM documents WHERE doc_id % 5 <> 0),
+    fh AS (SELECT DISTINCT repo, md5(text) AS h FROM files),
+    hdf AS (SELECT h, count(*) AS nr FROM fh GROUP BY 1),
+    keep AS (SELECT fh.repo, fh.h FROM fh JOIN hdf USING (h) WHERE nr <= 10),
+    sz AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM keep GROUP BY 1),
+    pr AS (SELECT a.repo AS repo_a, b.repo AS repo_b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM keep a JOIN keep b ON a.h = b.h AND a.repo < b.repo
+           GROUP BY 1, 2)
+    SELECT repo_a, repo_b, shared, sa.n AS na, sb.n AS nb,
+           round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pr JOIN sz sa ON sa.repo = repo_a JOIN sz sb ON sb.repo = repo_b
+    WHERE shared * 2 >= sa.n + sb.n - shared""",
+)
+def repo_file_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_file_overlap_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 37).cast("string")).alias("repo"),
+        "text",
+    )
+    f = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 37).cast("string")).alias("repo"),
+        "text",
+    )
+    boiler = (
+        r.select("repo").union(f.select("repo")).distinct()
+        .select("repo", F.lit("MIT boilerplate").alias("text"))
+    )
+    files = r.unionByName(f).unionByName(boiler)
+    return repo_file_overlap_pairs(
+        files, theta_num=1, theta_den=2, max_repos_per_hash=10
+    )
+
+
+def _license_propagation_oracle_sql() -> str:
+    """Marker CASE generated from LICENSE_MARKERS (single source of
+    truth with the Spark operator)."""
+    from autovalidate_backend_api_spark.operators.datapipe import LICENSE_MARKERS
+
+    whens = " ".join(
+        f"WHEN contains(lower(text), '{m}') THEN '{s}'" for m, s in LICENSE_MARKERS
+    )
+    case = f"CASE {whens} ELSE 'unknown' END"
+    return f"""WITH {_LINED_SQL},
+    base AS (SELECT 'r' || CAST(doc_id % 29 AS VARCHAR) AS repo,
+               'src/doc_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+               text || CASE WHEN doc_id % 13 = 0
+                            THEN chr(10) || 'Apache License 2.0' ELSE '' END AS text
+             FROM lined),
+    ks AS (SELECT DISTINCT doc_id % 29 AS k FROM lined),
+    lf AS (SELECT 'r' || CAST(k AS VARCHAR) AS repo, 'LICENSE' AS path,
+                  'MIT License' AS text FROM ks WHERE k % 3 <> 0
+       UNION ALL SELECT 'r' || CAST(k AS VARCHAR), 'vendor/LICENSE',
+                  'BSD 3-Clause License' FROM ks WHERE k % 9 = 0
+       UNION ALL SELECT 'r' || CAST(k AS VARCHAR), 'docs/LICENSE',
+                  'Mozilla Public License text' FROM ks WHERE k % 5 = 0 AND k % 3 <> 0),
+    files AS (SELECT * FROM base UNION ALL SELECT * FROM lf),
+    det AS (SELECT repo, path, {case} AS file_license FROM files),
+    rl AS (SELECT repo, min(file_license) AS repo_license FROM det
+           WHERE (path = 'LICENSE' OR path LIKE '%/LICENSE')
+             AND file_license <> 'unknown' GROUP BY 1),
+    j AS (SELECT d.repo, d.path, d.file_license,
+                 coalesce(rl.repo_license, 'unknown') AS repo_license
+          FROM det d LEFT JOIN rl ON rl.repo = d.repo)
+    SELECT repo, path, file_license, repo_license,
+           CASE WHEN file_license <> 'unknown' THEN file_license
+                ELSE repo_license END AS effective_license,
+           CAST((CASE WHEN file_license <> 'unknown' THEN file_license
+                      ELSE repo_license END) <> 'unknown' AS INT) AS licensed
+    FROM j"""
+
+
+# license propagation over 29 synthesized repos: %3≠0 repos carry a
+# root MIT LICENSE, %9=0 only a nested vendor/LICENSE (BSD), %5∧%3≠0
+# ALSO a docs/LICENSE (MPL — the min rule keeps MIT), %13=0 files
+# declare their own Apache header (file wins over repo), and the
+# remaining repos resolve 'unknown' — all precedence branches land.
+@_register("license_propagation", _license_propagation_oracle_sql())
+def license_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import license_propagation
+
+    lined = _lined_docs(spark, sf_dir)
+    base = lined.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 29).cast("string")).alias("repo"),
+        F.concat(F.lit("src/doc_"), F.col("doc_id").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\nApache License 2.0")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    ks = lined.select((F.col("doc_id") % 29).alias("k")).distinct()
+    mit = ks.filter(F.col("k") % 3 != 0).select(
+        F.concat(F.lit("r"), F.col("k").cast("string")).alias("repo"),
+        F.lit("LICENSE").alias("path"),
+        F.lit("MIT License").alias("text"),
+    )
+    bsd = ks.filter(F.col("k") % 9 == 0).select(
+        F.concat(F.lit("r"), F.col("k").cast("string")).alias("repo"),
+        F.lit("vendor/LICENSE").alias("path"),
+        F.lit("BSD 3-Clause License").alias("text"),
+    )
+    mpl = ks.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 != 0)).select(
+        F.concat(F.lit("r"), F.col("k").cast("string")).alias("repo"),
+        F.lit("docs/LICENSE").alias("path"),
+        F.lit("Mozilla Public License text").alias("text"),
+    )
+    files = base.unionByName(mit).unionByName(bsd).unionByName(mpl)
+    return license_propagation(files)
+
+
+# repo fork clusters: the overlap-gate corpus plus a THIRD generation
+# 'g' (files with doc_id % 5 ≠ 0 AND % 3 ≠ 0 — a fork of the fork).
+# g↔f Jaccard ≈ 0.67 always edges; g↔r ≈ 0.53 straddles θ per repo —
+# either way transitivity puts {r,f,g} in ONE cluster, which is the
+# property under test. Oracle closes the same edges with a recursive
+# CTE and reproduces the min-repo survivor rule.
+@_register(
+    "repo_fork_clusters",
+    """WITH RECURSIVE files AS (
+      SELECT 'r' || CAST(doc_id % 37 AS VARCHAR) AS repo, text FROM documents
+      UNION ALL
+      SELECT 'f' || CAST(doc_id % 37 AS VARCHAR), text
+      FROM documents WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT 'g' || CAST(doc_id % 37 AS VARCHAR), text
+      FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+      UNION ALL
+      SELECT DISTINCT 'r' || CAST(doc_id % 37 AS VARCHAR), 'MIT boilerplate'
+      FROM documents
+      UNION ALL
+      SELECT DISTINCT 'f' || CAST(doc_id % 37 AS VARCHAR), 'MIT boilerplate'
+      FROM documents WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT DISTINCT 'g' || CAST(doc_id % 37 AS VARCHAR), 'MIT boilerplate'
+      FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0),
+    fh AS (SELECT DISTINCT repo, md5(text) AS h FROM files),
+    hdf AS (SELECT h, count(*) AS nr FROM fh GROUP BY 1),
+    keep AS (SELECT fh.repo, fh.h FROM fh JOIN hdf USING (h) WHERE nr <= 10),
+    sz AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM keep GROUP BY 1),
+    pr AS (SELECT a.repo AS ra, b.repo AS rb, CAST(count(*) AS BIGINT) AS shared
+           FROM keep a JOIN keep b ON a.h = b.h AND a.repo < b.repo
+           GROUP BY 1, 2),
+    ed AS (SELECT ra, rb FROM pr
+           JOIN sz sa ON sa.repo = ra JOIN sz sb ON sb.repo = rb
+           WHERE shared * 2 >= sa.n + sb.n - shared),
+    edges AS (SELECT ra AS src, rb AS dst FROM ed
+              UNION SELECT rb, ra FROM ed),
+    verts AS (SELECT DISTINCT repo FROM files),
+    reach(node, lbl) AS (
+      SELECT repo, repo FROM verts
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node AS repo, min(lbl) AS rep FROM reach GROUP BY 1),
+    cs AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY 1)
+    SELECT comp.repo, comp.rep AS canonical_repo, cs.cluster_size,
+           CAST(comp.repo <> comp.rep AS INT) AS is_fork
+    FROM comp JOIN cs ON cs.rep = comp.rep""",
+)
+def repo_fork_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import repo_fork_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 37).cast("string")).alias("repo"),
+        "text",
+    )
+    f = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 37).cast("string")).alias("repo"),
+        "text",
+    )
+    g = docs.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 != 0)).select(
+        F.concat(F.lit("g"), (F.col("doc_id") % 37).cast("string")).alias("repo"),
+        "text",
+    )
+    boiler = (
+        r.select("repo").union(f.select("repo")).union(g.select("repo")).distinct()
+        .select("repo", F.lit("MIT boilerplate").alias("text"))
+    )
+    files = r.unionByName(f).unionByName(g).unionByName(boiler)
+    return repo_fork_clusters(
+        files, theta_num=1, theta_den=2, max_repos_per_hash=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -1745,3 +1745,266 @@ def indent_profile(docs: DataFrame) -> DataFrame:
         style.alias("indent_style"),
     )
 
+def token_bag_clone_pairs(
+    docs: DataFrame, *, theta_num: int = 7, theta_den: int = 10
+) -> DataFrame:
+    """Type-3 (near-miss) clone detection via the SourcererCC bag-of-
+    tokens join (Sajnani et al., ICSE'16, public): two files are clones
+    when their token-MULTISET overlap reaches θ·max(|A|,|B|). Catches
+    statement-level edits (insertions/deletions/reorders) that break
+    every verbatim rung of the clone ladder (dup_code_blocks Type-1,
+    strip_comments_dedup_groups comment-blind, type2_clone_groups
+    renamed) while still penalizing wholesale rewrites.
+
+    The join is the published PREFIX FILTER, made exact: sort each
+    document's tokens by global rarity (document frequency asc, token
+    asc — a total order both engines reproduce), index only tokens
+    whose first multiset position lies within ``|A| - ⌈θ|A|⌉ + 1``
+    (θ as the exact fraction theta_num/theta_den; the ceil is integer
+    arithmetic), generate candidates from prefix-token collisions, and
+    verify with the full multiset overlap. The filter is LOSSLESS —
+    any pair with overlap ≥ ⌈θ·max⌉ shares a prefix token — so the
+    output equals the brute-force all-pairs join (the oracle).
+
+    Returns ``src, dst, overlap, na, nb, sim`` (sim rounded at 6;
+    admission itself is the exact integer test
+    ``overlap·theta_den ≥ theta_num·max(na, nb)``).
+
+    100 TB plan: content tokenizes in place; the exchanges carry
+    (doc_id, token-hash-width) rows. Hot tokens (keywords, stopwords)
+    have high df, so they sort LAST and are never index keys for any
+    document longer than the prefix — the posting lists that drive
+    candidate generation are rare-token lists by construction (this is
+    exactly why SourcererCC scales to 428M files in the paper).
+    Verification is pair-keyed joins; a skewed clone group is many
+    pairs, never a widened row. The token-count table is persisted and
+    reused across the sizing/df/verify branches (one tokenization).
+    """
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    tc = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    sz = tc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    dfreq = tc.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    ceil_theta_n = F.expr(
+        f"CAST(({theta_num} * n + {theta_den} - 1) DIV {theta_den} AS BIGINT)"
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        tc.join(dfreq, "tok")
+        .join(sz, "doc_id")
+        .withColumn("pos", F.sum("c").over(w) - F.col("c") + 1)
+        .filter(F.col("pos") <= F.col("n") - ceil_theta_n + 1)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("src"), "tok")
+        .join(pref.select(F.col("doc_id").alias("dst"), "tok"), "tok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ta = tc.select(F.col("doc_id").alias("src"), "tok", F.col("c").alias("ca"))
+    tb = tc.select(F.col("doc_id").alias("dst"), "tok", F.col("c").alias("cb"))
+    ov = (
+        cand.join(ta, "src")
+        .join(tb, ["dst", "tok"])
+        .groupBy("src", "dst")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap"))
+    )
+    na = sz.select(F.col("doc_id").alias("src"), F.col("n").alias("na"))
+    nb = sz.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb"))
+    mx = F.greatest(F.col("na"), F.col("nb"))
+    return (
+        ov.join(na, "src")
+        .join(nb, "dst")
+        .filter(F.col("overlap") * theta_den >= theta_num * mx)
+        .select(
+            "src",
+            "dst",
+            "overlap",
+            "na",
+            "nb",
+            F.round(F.col("overlap") / mx, 6).alias("sim"),
+        )
+    )
+
+
+def repo_file_overlap_pairs(
+    files: DataFrame,
+    *,
+    theta_num: int = 1,
+    theta_den: int = 2,
+    max_repos_per_hash: int | None = None,
+) -> DataFrame:
+    """Fork/mirror detection at REPOSITORY granularity: two repos are
+    related when the Jaccard of their file-content-hash SETS reaches
+    theta_num/theta_den — the coarse rung above repo_fingerprint_groups
+    (which only catches EXACT mirrors; a fork that added one file
+    escapes it, but shares ~all hashes here). This is the repo-level
+    dedup pass a code-corpus curation run does before file-level LSH:
+    collapsing forks first removes the dominant duplication mode of any
+    GitHub-shaped corpus (The Stack dedups forks the same way,
+    arXiv:2211.15533 §2.3).
+
+    ``max_repos_per_hash`` drops file hashes present in MORE than that
+    many repos before any pair expansion — a universal boilerplate file
+    (empty __init__.py, stock LICENSE/README) is one hot hash whose
+    posting list would otherwise cost Θ(repos²) pairs while carrying
+    zero fork signal (its idf is ~0). The drop is part of the operator
+    CONTRACT (sizes count surviving hashes only), so the oracle
+    reproduces it exactly — same count-first hot-key strategy as the
+    LSH bucket cap, but spec'd rather than best-effort.
+
+    Returns ``repo_a, repo_b, shared, na, nb, jaccard`` (admission is
+    the exact integer test shared·den ≥ num·(na+nb-shared)).
+
+    100 TB plan: content is hashed in place and never shuffles; the
+    distinct and the pair join carry (repo, 16-byte hash) rows; with
+    the cap, per-hash pair expansion is bounded by cap², so the join
+    output is Θ(shared-hash mass), not Θ(hot-hash²). Pair counting is
+    map-side combinable on (repo_a, repo_b).
+    """
+    fh = files.select("repo", F.md5("text").alias("h")).distinct()
+    if max_repos_per_hash is not None:
+        hot = (
+            fh.groupBy("h")
+            .agg(F.count("*").alias("nr"))
+            .filter(F.col("nr") > max_repos_per_hash)
+            .select("h")
+        )
+        fh = fh.join(hot, "h", "left_anti")
+    fh = fh.persist()
+    sz = fh.groupBy("repo").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = (
+        fh.select(F.col("repo").alias("repo_a"), "h")
+        .join(fh.select(F.col("repo").alias("repo_b"), "h"), "h")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("shared")
+    return (
+        pairs.join(sz.select(F.col("repo").alias("repo_a"), F.col("n").alias("na")), "repo_a")
+        .join(sz.select(F.col("repo").alias("repo_b"), F.col("n").alias("nb")), "repo_b")
+        .filter(F.col("shared") * theta_den >= theta_num * union)
+        .select(
+            "repo_a",
+            "repo_b",
+            "shared",
+            "na",
+            "nb",
+            F.round(F.col("shared") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def license_propagation(files: DataFrame) -> DataFrame:
+    """Repo-level license resolution: a file's EFFECTIVE license is its
+    own header license when it declares one, else the repo's license —
+    detected from the repo's root ``LICENSE``-named file(s) via the
+    same ``LICENSE_MARKERS`` chain as ``license_detect``. This is how
+    real corpus builds assign licenses (most source files carry no SPDX
+    header; the repo manifest is the authority — The Stack's
+    per-repo license propagation, arXiv:2211.15533 §2.2).
+
+    Input needs ``repo, path, text``. When several LICENSE files exist
+    in one repo the lexicographically smallest detected license wins
+    (deterministic, engine-agnostic). Returns ``repo, path,
+    file_license, repo_license, effective_license, licensed`` with
+    'unknown' where nothing resolves.
+
+    100 TB plan: file-level detection is in-row; the per-repo license
+    table aggregates only LICENSE-path rows (≈ one row per repo — MBs
+    at 10^8 repos) and BROADCASTS back onto the file table, so content
+    crosses zero exchanges and the only shuffle is the tiny per-repo
+    min-aggregate.
+    """
+    low = F.lower(F.col("text"))
+    chain = None
+    for marker, spdx in LICENSE_MARKERS:
+        cond = F.instr(low, marker) > 0
+        chain = F.when(cond, spdx) if chain is None else chain.when(cond, spdx)
+    lic = chain.otherwise("unknown")
+    detected = files.select("repo", "path", lic.alias("file_license"))
+    is_license_file = (F.col("path") == "LICENSE") | F.col("path").endswith(
+        "/LICENSE"
+    )
+    repo_lic = (
+        detected.filter(is_license_file & (F.col("file_license") != "unknown"))
+        .groupBy("repo")
+        .agg(F.min("file_license").alias("repo_license"))
+    )
+    out = detected.join(F.broadcast(repo_lic), "repo", "left").select(
+        "repo",
+        "path",
+        "file_license",
+        F.coalesce(F.col("repo_license"), F.lit("unknown")).alias("repo_license"),
+    )
+    eff = F.when(F.col("file_license") != "unknown", F.col("file_license")).otherwise(
+        F.col("repo_license")
+    )
+    return out.select(
+        "repo",
+        "path",
+        "file_license",
+        "repo_license",
+        eff.alias("effective_license"),
+        (eff != "unknown").cast("int").alias("licensed"),
+    )
+
+
+def repo_fork_clusters(
+    files: DataFrame,
+    *,
+    theta_num: int = 1,
+    theta_den: int = 2,
+    max_repos_per_hash: int | None = None,
+) -> DataFrame:
+    """Repo-tier cluster assignment — the fork families a curation run
+    collapses before file-level dedup: edges from
+    ``repo_file_overlap_pairs`` (file-hash-set Jaccard ≥ θ), closed
+    under transitivity by Stage D's connected components, one canonical
+    repo (lexicographic min) per family. The repo-granularity twin of
+    the flagship pipeline's cluster stage: same CC operator (size-
+    dispatched driver union-find / distributed min-label), same
+    survivor rule.
+
+    Returns ``repo, canonical_repo, cluster_size, is_fork``.
+
+    100 TB plan: inherits repo_file_overlap_pairs' bounds (hash-width
+    shuffles, cap² pair expansion); the edge set is repo-granularity
+    (orders of magnitude smaller than file pairs), so CC's driver
+    dispatch almost always applies — and the distributed min-label path
+    stands behind it for adversarial fork graphs.
+    """
+    from autovalidate_backend_api_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = repo_file_overlap_pairs(
+        files,
+        theta_num=theta_num,
+        theta_den=theta_den,
+        max_repos_per_hash=max_repos_per_hash,
+    )
+    edges = pairs.select(
+        F.col("repo_a").alias("src"), F.col("repo_b").alias("dst")
+    )
+    vertices = files.select(F.col("repo").alias("key")).distinct()
+    labels = connected_components(vertices, edges, on_exhaustion="star")
+    sizes = labels.groupBy("cluster_rep").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_rep")
+        .select(
+            F.col("key").alias("repo"),
+            F.col("cluster_rep").alias("canonical_repo"),
+            "cluster_size",
+            (F.col("key") != F.col("cluster_rep")).cast("int").alias("is_fork"),
+        )
+    )

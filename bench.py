@@ -95,6 +95,13 @@ GATE_QUERIES = [
     # Type-2 (renamed) clone groups + the one-scan admission fusion
     "type2_clone_groups",
     "code_admission_report",
+    # r5e: Type-3 SourcererCC prefix-filtered token-bag join + repo
+    # fork detection (hash-set overlap with the boilerplate-hash cap);
+    # secret_scan/indent_profile are pure projections, not timed
+    "token_bag_clone_pairs",
+    "repo_file_overlap_pairs",
+    # repo-tier cluster assignment (overlap edges + Stage-D CC)
+    "repo_fork_clusters",
 ]
 
 

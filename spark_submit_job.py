@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--curation-report", action="store_true",
                     help="also write the one-scan curation_report "
                          "(requires --output)")
+    ap.add_argument("--repo-clusters", action="store_true",
+                    help="also write repo-tier fork clusters "
+                         "(file-hash-set overlap + CC; requires --output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -100,6 +103,25 @@ def main() -> None:
         report_back = spark.read.parquet(f"{args.output}/curation_report")
         summary["curation_kept"] = report_back.filter(F.col("keep") == 1).count()
         summary["curation_total"] = report_back.count()
+
+    if args.repo_clusters:
+        if not args.output:
+            ap.error("--repo-clusters requires --output")
+        # Repo-tier dedup pass (the fork collapse a corpus build runs
+        # BEFORE file-level LSH): file-hash-set overlap edges + Stage-D
+        # connected components over the same corpus scan.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.datapipe import (
+            repo_fork_clusters,
+        )
+
+        rfiles = corpus.select("repo", F.col("content").alias("text"))
+        rclusters = repo_fork_clusters(rfiles, max_repos_per_hash=1000)
+        rclusters.write.mode("overwrite").parquet(f"{args.output}/repo_clusters")
+        rc_back = spark.read.parquet(f"{args.output}/repo_clusters")
+        summary["repos"] = rc_back.count()
+        summary["repo_forks"] = rc_back.filter(F.col("is_fork") == 1).count()
 
     print(json.dumps(summary))
     spark.stop()

@@ -1375,3 +1375,232 @@ def test_indent_profile_is_pure_projection(spark):
     plan = indent_profile(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------- token-bag clone pairs
+def test_token_bag_clone_pairs_multiset_overlap_and_threshold(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        token_bag_clone_pairs,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),       # 10 tokens
+            (2, "a b c d e f g h i k"),       # overlap 9/10 = 0.9 -> pair
+            (3, "a a a b b z"),               # multiset: vs 4 -> 3/6 = 0.5
+            (4, "a a b q q q"),
+            (5, "p q r s t u v w x y"),
+            (6, "p q r s t u v 1 2 3"),       # overlap 7/10 = 0.7 boundary
+            (7, ""),                          # tokenless -> excluded
+        ],
+    )
+    out = {(r["src"], r["dst"]): r for r in token_bag_clone_pairs(docs).collect()}
+    assert set(out) == {(1, 2), (5, 6)}
+    assert (out[(1, 2)]["overlap"], out[(1, 2)]["na"], out[(1, 2)]["nb"]) == (9, 10, 10)
+    assert out[(1, 2)]["sim"] == 0.9
+    # the >= boundary is inclusive (exact integer test, no float wobble)
+    assert out[(5, 6)]["sim"] == 0.7
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_token_bag_clone_pairs_matches_brute_force(spark, seed):
+    import random
+    from collections import Counter
+
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        token_bag_clone_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)] + ["the", "def", "return"]
+    rows = []
+    for d in range(24):
+        n = rng.randint(0, 14)
+        # universal hot token present in every non-empty doc: it must
+        # sort last in the rarity order and never drive candidates
+        toks = ["the"] + rng.choices(vocab, k=n) if n else []
+        rows.append((d, " ".join(toks)))
+    # planted near-clone of doc 0: one token replaced
+    base = rows[0][1].split()
+    if len(base) >= 5:
+        base[2] = "zzz"
+    rows.append((100, " ".join(base)))
+
+    want = {}
+    cnt = {d: Counter(t.split()) for d, t in rows}
+    ids = sorted(cnt)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ca, cb = cnt[a], cnt[b]
+            if not ca or not cb:
+                continue
+            o = sum(min(ca[t], cb[t]) for t in ca)
+            na, nb = sum(ca.values()), sum(cb.values())
+            if o * 10 >= 7 * max(na, nb):
+                want[(a, b)] = (o, na, nb)
+
+    got = {
+        (r["src"], r["dst"]): (r["overlap"], r["na"], r["nb"])
+        for r in token_bag_clone_pairs(_docs(spark, rows)).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------- repo file-overlap pairs
+def _repo_files(spark, rows):
+    return spark.createDataFrame(
+        [Row(repo=r, text=t) for r, t in rows], "repo string, text string"
+    )
+
+
+def test_repo_file_overlap_fork_detection_and_cap(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_file_overlap_pairs,
+    )
+
+    rows = (
+        [("ra", f"file{i}") for i in range(10)]
+        + [("rb", f"file{i}") for i in range(8)]      # 8/10 of ra
+        + [("rc", "unrelated1"), ("rc", "unrelated2")]
+        + [("ra", "BOILER"), ("rb", "BOILER"), ("rc", "BOILER")]
+    )
+    files = _repo_files(spark, rows)
+
+    # cap 2: BOILER is in 3 repos -> dropped from shared AND from sizes
+    out = {
+        (r["repo_a"], r["repo_b"]): r
+        for r in repo_file_overlap_pairs(files, max_repos_per_hash=2).collect()
+    }
+    assert set(out) == {("ra", "rb")}
+    r = out[("ra", "rb")]
+    assert (r["shared"], r["na"], r["nb"]) == (8, 10, 8)
+    assert r["jaccard"] == 0.8
+
+    # no cap: BOILER counts everywhere (sizes +1, rc now shares 1 with
+    # each but stays far below theta)
+    out = {
+        (r["repo_a"], r["repo_b"]): r
+        for r in repo_file_overlap_pairs(files).collect()
+    }
+    assert set(out) == {("ra", "rb")}
+    assert out[("ra", "rb")]["shared"] == 9 and out[("ra", "rb")]["na"] == 11
+
+
+def test_repo_file_overlap_duplicate_paths_collapse(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_file_overlap_pairs,
+    )
+
+    # same content twice within one repo is ONE set element
+    files = _repo_files(
+        spark, [("x", "a"), ("x", "a"), ("x", "b"), ("y", "a"), ("y", "b")]
+    )
+    out = repo_file_overlap_pairs(files).collect()
+    assert len(out) == 1
+    assert (out[0]["shared"], out[0]["na"], out[0]["nb"]) == (2, 2, 2)
+    assert out[0]["jaccard"] == 1.0
+
+
+# ---------------------------------------------------- license propagation
+def _files(spark, rows):
+    return spark.createDataFrame(
+        [Row(repo=r, path=p, text=t) for r, p, t in rows],
+        "repo string, path string, text string",
+    )
+
+
+def test_license_propagation_precedence(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import license_propagation
+
+    files = _files(
+        spark,
+        [
+            ("a", "LICENSE", "MIT License"),
+            ("a", "docs/LICENSE", "Mozilla Public License"),  # min -> MIT
+            ("a", "src/x.py", "plain code"),                  # inherits MIT
+            ("a", "src/y.py", "Apache License header"),       # own header wins
+            ("b", "vendor/LICENSE", "BSD 3-Clause"),          # nested path counts
+            ("b", "src/z.py", "code"),
+            ("c", "src/w.py", "code"),                        # nothing anywhere
+            ("c", "NOTLICENSE", "MIT License"),               # wrong filename: file
+                                                              # licensed, repo NOT
+        ],
+    )
+    out = {(r["repo"], r["path"]): r for r in license_propagation(files).collect()}
+    assert out[("a", "src/x.py")]["effective_license"] == "MIT"
+    assert out[("a", "src/y.py")]["effective_license"] == "Apache-2.0"
+    assert out[("a", "docs/LICENSE")]["repo_license"] == "MIT"
+    assert out[("b", "src/z.py")]["effective_license"] == "BSD-3-Clause"
+    assert out[("c", "src/w.py")]["licensed"] == 0
+    assert out[("c", "NOTLICENSE")]["file_license"] == "MIT"
+    assert out[("c", "NOTLICENSE")]["repo_license"] == "unknown"
+
+
+def test_license_propagation_broadcasts_repo_table(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import license_propagation
+
+    files = _files(spark, [("a", "LICENSE", "MIT License"), ("a", "x.py", "c")])
+    plan = license_propagation(files)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------------- repo fork clusters
+def test_repo_fork_clusters_transitive_chain(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import repo_fork_clusters
+
+    # A={1..10}, B={1..8,x,y} (j=0.667 vs A), C={1..6,x,y,p,q} (j=0.667
+    # vs B, j=0.5 vs A exactly on the boundary) -> one cluster either
+    # way; D is unrelated.
+    rows = (
+        [("A", f"f{i}") for i in range(1, 11)]
+        + [("B", f"f{i}") for i in range(1, 9)] + [("B", "x"), ("B", "y")]
+        + [("C", f"f{i}") for i in range(1, 7)] + [("C", "x"), ("C", "y"),
+                                                   ("C", "p"), ("C", "q")]
+        + [("D", "other1"), ("D", "other2")]
+    )
+    files = _repo_files(spark, rows)
+    out = {r["repo"]: r for r in repo_fork_clusters(files).collect()}
+    assert out["A"]["canonical_repo"] == "A" and out["A"]["is_fork"] == 0
+    assert out["B"]["canonical_repo"] == "A" and out["B"]["is_fork"] == 1
+    assert out["C"]["canonical_repo"] == "A"
+    assert out["A"]["cluster_size"] == 3
+    assert out["D"]["canonical_repo"] == "D" and out["D"]["cluster_size"] == 1
+
+
+def test_secret_and_indent_run_as_stream(spark, sf_dir, tmp_path):
+    """secret_scan / indent_profile are pure projections — the same
+    functions must run unmodified on a streaming DataFrame and agree
+    row-for-row with batch (unified-model property)."""
+    import shutil
+
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        indent_profile,
+        secret_scan,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "docs_stream_code5e"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-000.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+
+    for qname, op in [
+        ("secret_stream", secret_scan),
+        ("indent_stream", indent_profile),
+    ]:
+        sdf = op(stream)
+        assert sdf.isStreaming
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+        want = {tuple(r) for r in op(batch).collect()}
+        assert got == want, qname
