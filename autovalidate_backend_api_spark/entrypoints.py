@@ -3339,6 +3339,164 @@ def repo_fork_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _path_filter_oracle_sql() -> str:
+    """Generated from VENDOR_DIRS + EXT_LANG (single source of truth
+    with the Spark operator)."""
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        EXT_LANG,
+        VENDOR_DIRS,
+    )
+
+    seg_re = "(^|/)(" + "|".join(VENDOR_DIRS) + ")/"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN ext = '{e}' THEN '{l}'" for e, l in EXT_LANG)
+        + " ELSE 'unknown' END"
+    )
+    dirs = ["src", "lib", "node_modules", "vendor", "docs"]
+    exts = ["py", "js", "md", "min.js", "rs", "txt", "cpp"]
+    dir_case = (
+        "CASE "
+        + " ".join(f"WHEN doc_id % 5 = {i} THEN '{d}'" for i, d in enumerate(dirs))
+        + " END"
+    )
+    ext_case = (
+        "CASE "
+        + " ".join(f"WHEN doc_id % 7 = {i} THEN '{e}'" for i, e in enumerate(exts))
+        + " END"
+    )
+    return rf"""WITH base AS (
+      SELECT 'r' || CAST(doc_id % 11 AS VARCHAR) AS repo,
+             {dir_case} || '/f' || CAST(doc_id AS VARCHAR) || '.'
+               || {ext_case} AS path
+      FROM documents),
+    e AS (SELECT repo, path,
+            lower(regexp_extract(path, '\.([A-Za-z0-9]+)$', 1)) AS ext
+          FROM base),
+    f AS (SELECT repo, path, ext, {lang_case} AS path_lang,
+            CAST(regexp_matches(path, '{seg_re}') AS INT) AS is_vendored,
+            CAST(ends_with(path, '.min.js') OR ends_with(path, '.min.css')
+                 AS INT) AS is_minified
+          FROM e)
+    SELECT repo, path, ext, path_lang, is_vendored, is_minified,
+           CAST(is_vendored = 0 AND is_minified = 0 AS INT) AS keep
+    FROM f"""
+
+
+# path-classification flags over synthesized paths: directory cycles
+# through src/lib/node_modules/vendor/docs (%5 — two vendored), the
+# extension through py/js/md/min.js/rs/txt/cpp (%7 — one minified, one
+# unmapped), so every flag and the lang map fire on both sides.
+@_register("path_filter_flags", _path_filter_oracle_sql())
+def path_filter_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import path_filter_flags
+
+    dirs = ["src", "lib", "node_modules", "vendor", "docs"]
+    exts = ["py", "js", "md", "min.js", "rs", "txt", "cpp"]
+    dir_col = F.element_at(
+        F.array(*[F.lit(d) for d in dirs]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    ext_col = F.element_at(
+        F.array(*[F.lit(e) for e in exts]), (F.col("doc_id") % 7 + 1).cast("int")
+    )
+    files = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 11).cast("string")).alias("repo"),
+        F.concat(
+            dir_col, F.lit("/f"), F.col("doc_id").cast("string"), F.lit("."), ext_col
+        ).alias("path"),
+    )
+    return path_filter_flags(files)
+
+
+# per-repo language profile over 23 synthesized repos with the table's
+# natural 5-language mix — rank ties inside a repo resolve to the
+# lexicographically smallest language on both engines.
+@_register(
+    "repo_language_profile",
+    """WITH files AS (
+      SELECT 'r' || CAST(doc_id % 23 AS VARCHAR) AS repo, lang FROM documents),
+    cnt AS (SELECT repo, lang, CAST(count(*) AS BIGINT) AS c
+            FROM files GROUP BY 1, 2),
+    rk AS (SELECT repo, lang, c,
+             row_number() OVER (PARTITION BY repo ORDER BY c DESC, lang) AS r,
+             CAST(sum(c) OVER (PARTITION BY repo) AS BIGINT) AS n_files,
+             CAST(count(*) OVER (PARTITION BY repo) AS BIGINT) AS n_langs
+           FROM cnt)
+    SELECT repo, n_files, n_langs, lang AS primary_lang,
+           round(c * 1.0 / n_files, 6) AS primary_frac
+    FROM rk WHERE r = 1""",
+)
+def repo_language_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_language_profile,
+    )
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 23).cast("string")).alias("repo"),
+        "lang",
+    )
+    return repo_language_profile(files)
+
+
+# function-definition inventory over the lined corpus with all four
+# definition syntaxes planted (%2 def / %3 function / %5 fn, indented /
+# %7 func) plus a second def of the SAME name on %6 docs (n_occ >
+# n_docs for parse_json) and a 'definitely not(' decoy line that the
+# anchored keyword+\s+ regex must ignore.
+@_register(
+    "function_def_inventory",
+    rf"""WITH {_LINED_SQL},
+    planted AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'def parse_json(x):' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'function getUser(a, b) {{' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || '  fn compute_hash(v) {{' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'func MainLoop() {{' ELSE '' END
+        || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'def parse_json(y):' ELSE '' END
+        || chr(10) || 'definitely not(' AS text
+      FROM lined),
+    l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM planted),
+    x AS (SELECT doc_id,
+            regexp_extract(ln,
+              '^\s*(?:def|function|fn|func)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(', 1)
+              AS fname
+          FROM l)
+    SELECT fname, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM x WHERE fname <> '' GROUP BY 1""",
+)
+def function_def_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        function_def_inventory,
+    )
+
+    lined = _lined_docs(spark, sf_dir)
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\ndef parse_json(x):")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nfunction getUser(a, b) {")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n  fn compute_hash(v) {")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nfunc MainLoop() {")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("\ndef parse_json(y):")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\ndefinitely not("),
+        ).alias("text"),
+    )
+    return function_def_inventory(planted)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -2008,3 +2008,135 @@ def repo_fork_clusters(
             (F.col("key") != F.col("cluster_rep")).cast("int").alias("is_fork"),
         )
     )
+
+
+# Path-classification tables — single source of truth shared with the
+# gate's generated oracle SQL (the LICENSE_MARKERS pattern).
+VENDOR_DIRS: tuple[str, ...] = (
+    "node_modules", "vendor", "third_party", "dist", "build", "target",
+)
+EXT_LANG: tuple[tuple[str, str], ...] = (
+    ("py", "python"),
+    ("js", "javascript"),
+    ("ts", "typescript"),
+    ("rs", "rust"),
+    ("go", "go"),
+    ("java", "java"),
+    ("c", "c"),
+    ("cpp", "cpp"),
+    ("md", "markdown"),
+)
+
+
+def path_filter_flags(files: DataFrame) -> DataFrame:
+    """Path-based admission signals — the filters a code-corpus build
+    applies BEFORE reading any content (The Stack drops vendored and
+    minified trees by path, arXiv:2211.15533 §2; content-free filters
+    are the cheapest gate in the pipeline, so they run first):
+    vendored-directory detection (any path segment in ``VENDOR_DIRS``),
+    minified-asset detection (``.min.js`` / ``.min.css``), extension →
+    language resolution via ``EXT_LANG``, and the combined
+    ``keep = NOT vendored AND NOT minified``.
+
+    Returns ``repo, path, ext, path_lang, is_vendored, is_minified,
+    keep``.
+
+    100 TB plan: a PURE PROJECTION over path strings only — at Iceberg
+    scale this runs on the metadata/path column without touching
+    content bytes at all; zero shuffles, zero UDFs.
+    """
+    seg_re = "(^|/)(" + "|".join(VENDOR_DIRS) + ")/"
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    chain = None
+    for e, lang in EXT_LANG:
+        cond = F.col("ext") == e
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    vend = F.regexp_count(F.col("path"), F.lit(seg_re)) > 0
+    mini = F.col("path").endswith(".min.js") | F.col("path").endswith(".min.css")
+    return (
+        files.select("repo", "path", ext.alias("ext"))
+        .select(
+            "repo",
+            "path",
+            "ext",
+            chain.otherwise("unknown").alias("path_lang"),
+            vend.cast("int").alias("is_vendored"),
+            mini.cast("int").alias("is_minified"),
+        )
+        .select(
+            "repo",
+            "path",
+            "ext",
+            "path_lang",
+            "is_vendored",
+            "is_minified",
+            ((F.col("is_vendored") == 0) & (F.col("is_minified") == 0))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def repo_language_profile(files: DataFrame) -> DataFrame:
+    """Per-repository language inventory: file counts, distinct
+    languages, and the PRIMARY language (most files; ties break to the
+    lexicographically smallest language — deterministic on both
+    engines) with its share of the repo — the repo-level stratification
+    key a corpus build samples and reports by (language mixture is the
+    headline table of every code-corpus card).
+
+    Input needs ``repo, lang``. Returns ``repo, n_files, n_langs,
+    primary_lang, primary_frac``.
+
+    100 TB plan: one map-side-combinable (repo, lang) count, then a
+    repo-keyed window over the per-repo language rows (bounded by the
+    language vocabulary, ~10²) — the shuffle carries count rows only.
+    """
+    cnt = files.groupBy("repo", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("repo").orderBy(F.col("c").desc(), "lang")
+    wr = Window.partitionBy("repo")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_files", F.sum("c").over(wr).cast("bigint"))
+        .withColumn("n_langs", F.count("*").over(wr).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "repo",
+            "n_files",
+            "n_langs",
+            F.col("lang").alias("primary_lang"),
+            F.round(F.col("c") / F.col("n_files"), 6).alias("primary_frac"),
+        )
+    )
+
+
+def function_def_inventory(docs: DataFrame) -> DataFrame:
+    """Corpus-level function-definition inventory: extract the defined
+    name from ``def X(`` / ``function X(`` / ``fn X(`` / ``func X(``
+    lines (Python/JS/Rust/Go surface syntax) and aggregate document
+    frequency + occurrence count per name — the duplicate-definition
+    table that surfaces copy-pasted helpers across a corpus (the
+    function-granularity sibling of ``extract_imports``).
+
+    Returns ``fname, n_docs, n_occ``.
+
+    100 TB plan: extraction is in-row (line split + one anchored
+    regexp); the ONLY exchange carries ``(doc_id, fname)`` rows keyed
+    by name for the two-phase distinct count — a universally copied
+    helper name is one map-side-combined hot key.
+    """
+    pat = r"^\s*(?:def|function|fn|func)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("
+    names = F.filter(
+        F.transform(
+            F.split(F.col("text"), "\n"),
+            lambda l: F.regexp_extract(l, pat, 1),
+        ),
+        lambda x: x != "",
+    )
+    per = docs.select("doc_id", F.explode(names).alias("fname"))
+    return per.groupBy("fname").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_occ"),
+    )

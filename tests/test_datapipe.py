@@ -1604,3 +1604,87 @@ def test_secret_and_indent_run_as_stream(spark, sf_dir, tmp_path):
         got = {tuple(r) for r in spark.sql(f"SELECT * FROM {qname}").collect()}
         want = {tuple(r) for r in op(batch).collect()}
         assert got == want, qname
+
+
+# ------------------------------------------------------ path filter flags
+def test_path_filter_flags_segments_and_langs(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import path_filter_flags
+
+    rows = [
+        ("a", "node_modules/x/y.js"),
+        ("a", "src/app.min.js"),
+        ("a", "deep/vendor/z.py"),
+        ("a", "distX/f.py"),        # 'distX' is NOT the 'dist' segment
+        ("a", "lib/a.PY"),          # extension lowercased
+        ("a", "Makefile"),          # no extension -> unknown
+        ("a", "build/out.min.css"),
+    ]
+    files = spark.createDataFrame(
+        [Row(repo=r, path=p) for r, p in rows], "repo string, path string"
+    )
+    out = {r["path"]: r for r in path_filter_flags(files).collect()}
+    assert out["node_modules/x/y.js"]["is_vendored"] == 1
+    assert out["node_modules/x/y.js"]["path_lang"] == "javascript"
+    assert out["src/app.min.js"]["is_minified"] == 1
+    assert out["src/app.min.js"]["keep"] == 0
+    assert out["deep/vendor/z.py"]["is_vendored"] == 1
+    assert out["distX/f.py"]["is_vendored"] == 0 and out["distX/f.py"]["keep"] == 1
+    assert out["lib/a.PY"]["ext"] == "py" and out["lib/a.PY"]["path_lang"] == "python"
+    assert out["Makefile"]["path_lang"] == "unknown"
+    assert out["build/out.min.css"]["is_vendored"] == 1
+    assert out["build/out.min.css"]["is_minified"] == 1
+
+
+def test_path_filter_flags_is_pure_projection(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import path_filter_flags
+
+    files = spark.createDataFrame([Row(repo="a", path="x.py")])
+    plan = path_filter_flags(files)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# -------------------------------------------------- repo language profile
+def test_repo_language_profile_tiebreak_and_counts(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        repo_language_profile,
+    )
+
+    rows = (
+        [("a", "python")] * 3 + [("a", "rust")] * 2
+        + [("b", "go")] * 2 + [("b", "c")] * 2          # tie -> 'c'
+        + [("c", "java")]
+    )
+    files = spark.createDataFrame(
+        [Row(repo=r, lang=l) for r, l in rows], "repo string, lang string"
+    )
+    out = {r["repo"]: r for r in repo_language_profile(files).collect()}
+    assert out["a"]["primary_lang"] == "python" and out["a"]["n_files"] == 5
+    assert out["a"]["primary_frac"] == 0.6 and out["a"]["n_langs"] == 2
+    assert out["b"]["primary_lang"] == "c"              # tie broken lexicographically
+    assert out["c"]["n_files"] == 1 and out["c"]["primary_frac"] == 1.0
+
+
+# ------------------------------------------------ function def inventory
+def test_function_def_inventory_syntaxes_and_decoys(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        function_def_inventory,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "def parse(x):\n  return x\ndef parse(y):"),
+            (2, "function getUser(a) {\n  fn helper(b) {"),
+            (3, "func Main() {\ndefinitely not(\nfnX(\nxdef bad("),
+            (4, "def parse(z):"),
+        ],
+    )
+    got = {r["fname"]: (r["n_docs"], r["n_occ"])
+           for r in function_def_inventory(docs).collect()}
+    assert got == {
+        "parse": (2, 3),
+        "getUser": (1, 1),
+        "helper": (1, 1),
+        "Main": (1, 1),
+    }
