@@ -1870,13 +1870,19 @@ def repo_file_overlap_pairs(
     """
     fh = files.select("repo", F.md5("text").alias("h")).distinct()
     if max_repos_per_hash is not None:
-        hot = (
-            fh.groupBy("h")
-            .agg(F.count("*").alias("nr"))
-            .filter(F.col("nr") > max_repos_per_hash)
-            .select("h")
+        # Window count per hash instead of an aggregate + anti-join: one
+        # exchange on h that the pair self-join below REUSES, and — the
+        # reason it's not a join — when a caller's file table derives a
+        # hash from a literal (planted boilerplate), constant folding
+        # leaves the anti-join's left key with no attribute, which
+        # Catalyst can only execute as a nested-loop join (caught by the
+        # plan-audit suite). The window form has no join to degrade.
+        w_h = Window.partitionBy("h")
+        fh = (
+            fh.withColumn("nr", F.count("*").over(w_h))
+            .filter(F.col("nr") <= max_repos_per_hash)
+            .drop("nr")
         )
-        fh = fh.join(hot, "h", "left_anti")
     fh = fh.persist()
     sz = fh.groupBy("repo").agg(F.count("*").cast("bigint").alias("n"))
     pairs = (
