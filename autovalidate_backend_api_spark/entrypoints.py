@@ -3497,6 +3497,133 @@ def function_def_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return function_def_inventory(planted)
 
 
+# snapshot delta between two deterministically derived corpus states:
+# %11=0 files deleted, %11=1 modified (content suffix), %11=2 repos gain
+# a brand-new file — unchanged rows (the other 8/11) must NOT appear.
+@_register(
+    "snapshot_diff",
+    """WITH olds AS (SELECT 'r' || CAST(doc_id % 23 AS VARCHAR) AS repo,
+             'src/doc_' || CAST(doc_id AS VARCHAR) || '.py' AS path, text
+           FROM documents),
+    news AS (SELECT 'r' || CAST(doc_id % 23 AS VARCHAR) AS repo,
+               'src/doc_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+               CASE WHEN doc_id % 11 = 1 THEN text || ' changed'
+                    ELSE text END AS text
+             FROM documents WHERE doc_id % 11 <> 0
+       UNION ALL
+      SELECT 'r' || CAST(doc_id % 23 AS VARCHAR),
+             'src/doc_' || CAST(doc_id AS VARCHAR) || '_new.py', 'new ' || text
+      FROM documents WHERE doc_id % 11 = 2),
+    oh AS (SELECT repo, path, md5(text) AS old_h FROM olds),
+    nh AS (SELECT repo, path, md5(text) AS new_h FROM news)
+    SELECT repo, path,
+           CASE WHEN old_h IS NULL THEN 'added'
+                WHEN new_h IS NULL THEN 'deleted'
+                WHEN old_h <> new_h THEN 'modified' END AS status,
+           old_h, new_h
+    FROM oh FULL OUTER JOIN nh USING (repo, path)
+    WHERE old_h IS NULL OR new_h IS NULL OR old_h <> new_h""",
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    repo = F.concat(F.lit("r"), (F.col("doc_id") % 23).cast("string"))
+    path = F.concat(F.lit("src/doc_"), F.col("doc_id").cast("string"), F.lit(".py"))
+    old = docs.select(repo.alias("repo"), path.alias("path"), "text")
+    kept = docs.filter(F.col("doc_id") % 11 != 0).select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.when(F.col("doc_id") % 11 == 1, F.concat(F.col("text"), F.lit(" changed")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 2).select(
+        repo.alias("repo"),
+        F.concat(
+            F.lit("src/doc_"), F.col("doc_id").cast("string"), F.lit("_new.py")
+        ).alias("path"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, kept.unionByName(added))
+
+
+# repo-level MinHash fork detection over the same 37-repo fork corpus
+# as repo_file_overlap_pairs (sans boilerplate): fork Jaccard ≈ 0.8 so
+# most of the 16 md5 permutations agree; the oracle replays the exact
+# deterministic minwise estimate, not a probabilistic bound.
+@_register(
+    "repo_minhash_pairs",
+    """WITH files AS (
+      SELECT 'r' || CAST(doc_id % 37 AS VARCHAR) AS repo, text FROM documents
+      UNION ALL
+      SELECT 'f' || CAST(doc_id % 37 AS VARCHAR), text
+      FROM documents WHERE doc_id % 5 <> 0),
+    fh AS (SELECT DISTINCT repo, md5(text) AS h FROM files),
+    px AS (SELECT repo, i, md5(CAST(i AS VARCHAR) || ':' || h) AS v
+           FROM fh CROSS JOIN (SELECT unnest(range(16)) AS i)),
+    sig AS (SELECT repo, i, min(v) AS c FROM px GROUP BY 1, 2),
+    m AS (SELECT a.repo AS repo_a, b.repo AS repo_b,
+            CAST(count(*) AS BIGINT) AS matches
+          FROM sig a JOIN sig b ON a.i = b.i AND a.c = b.c AND a.repo < b.repo
+          GROUP BY 1, 2)
+    SELECT repo_a, repo_b, matches, round(matches / 16.0, 6) AS est_jaccard
+    FROM m WHERE matches * 2 >= 16""",
+)
+def repo_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import repo_minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 37).cast("string")).alias("repo"),
+        "text",
+    )
+    f = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 37).cast("string")).alias("repo"),
+        "text",
+    )
+    return repo_minhash_pairs(
+        r.unionByName(f), n_perm=16, theta_num=1, theta_den=2
+    )
+
+
+# per-doc top-k nearest neighbors by shingle Jaccard — the reference's
+# /search over-fetch → threshold → cap shape (search.py:113-125, W3) as
+# a similarity-search operator. The inverted-index candidate join is
+# LOSSLESS for jaccard > 0 (any positive pair shares a shingle), so the
+# top-k set is exact and the oracle is a brute-force window.
+@_register(
+    "ngram_jaccard_topk",
+    _SHINGLES_SQL
+    + """,
+    pr AS (SELECT src, dst, ni * 1.0 / (ca.n + cb.n - ni) AS j
+           FROM inter JOIN cnt ca ON ca.doc_id = src
+                      JOIN cnt cb ON cb.doc_id = dst
+           WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.1),
+    sym AS (SELECT src AS doc_id, dst AS nbr, j FROM pr
+            UNION ALL SELECT dst, src, j FROM pr),
+    rk AS (SELECT doc_id, nbr, j,
+             row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, nbr) AS rk
+           FROM sym)
+    SELECT doc_id, rk, nbr, round(j, 6) AS jaccard FROM rk WHERE rk <= 3""",
+)
+def ngram_jaccard_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shingle_pairs_spark(spark, sf_dir).filter(F.col("jaccard") >= 0.1)
+    sym = pairs.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("nbr"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("dst").alias("doc_id"), F.col("src").alias("nbr"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("nbr"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "nbr", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

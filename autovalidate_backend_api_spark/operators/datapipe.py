@@ -2146,3 +2146,101 @@ def function_def_inventory(docs: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_occ"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus-snapshot delta at (repo, path) granularity: which files
+    were ADDED, DELETED, or MODIFIED between two snapshots of the
+    corpus table — the churn set an incremental ingest run feeds into
+    `plans/incremental.py` instead of re-deduping 10^12 unchanged
+    files. The reference's analog is the feedback write path: only the
+    NEW correction is persisted, never the whole catalog
+    (/root/reference/app/api/core/db_lookup.py:52-83).
+
+    Inputs need ``repo, path, text``. Returns ``repo, path, status,
+    old_h, new_h`` with status ∈ {'added','deleted','modified'} —
+    unchanged files are EXCLUDED, so the output is churn-proportional,
+    not corpus-proportional.
+
+    100 TB plan: content is md5-hashed IN PLACE on each side before the
+    join, so the full-outer join carries only (repo, path, 16-byte
+    hash) rows co-partitioned on the join key; content bytes cross zero
+    exchanges. The unchanged-row drop happens in the join's post-filter
+    (hash equality), bounding the output by the churn rate. On a real
+    Iceberg deployment the old side comes from the snapshot's data
+    files via incremental scan — the operator's join form is the
+    format-agnostic general case.
+    """
+    oh = old.select("repo", "path", F.md5("text").alias("old_h"))
+    nh = new.select("repo", "path", F.md5("text").alias("new_h"))
+    j = oh.join(nh, ["repo", "path"], "full_outer")
+    status = (
+        F.when(F.col("old_h").isNull(), "added")
+        .when(F.col("new_h").isNull(), "deleted")
+        .when(F.col("old_h") != F.col("new_h"), "modified")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("repo", "path", "status", "old_h", "new_h")
+    )
+
+
+def repo_minhash_pairs(
+    files: DataFrame,
+    *,
+    n_perm: int = 16,
+    theta_num: int = 1,
+    theta_den: int = 2,
+) -> DataFrame:
+    """Repo-level fork detection via MinHash over file-content-hash
+    sets — the WEB-SCALE sibling of ``repo_file_overlap_pairs``. The
+    exact variant joins full (repo, file-hash) posting lists (shuffle
+    mass = total distinct file-hash rows, ~10^12 at corpus scale);
+    this one collapses each repo to ``n_perm`` 32-hex-char signature
+    components first, so everything after the per-repo aggregate
+    carries Θ(n_repos · n_perm) tiny rows (~10^9 at 10^8 repos).
+
+    Component i of a repo's signature is ``min(md5(i || ':' || h))``
+    over the repo's distinct file hashes h (Broder's minwise estimate,
+    one independent permutation per salt). Two repos' estimated
+    Jaccard is the fraction of agreeing components; pairs are admitted
+    at est ≥ theta_num/theta_den. Candidate generation equi-joins on
+    (i, component value) — lossless for any pair with ≥1 agreeing
+    component, hence for every pair that can reach a positive
+    threshold. Deterministic (md5 both engines), so the driver oracle
+    reproduces the estimate EXACTLY rather than probabilistically.
+
+    Returns ``repo_a, repo_b, matches, est_jaccard``.
+
+    100 TB plan: the (repo, h) distinct and per-(repo, i) min are both
+    map-side combinable; the pair join's hot-key exposure is a
+    component value shared by MANY repos, which is exactly a fork
+    family — posting lists are fork-family-sized, not boilerplate-
+    sized, because the min is over the WHOLE repo's hash set (a single
+    shared boilerplate file only wins a component with probability
+    1/|repo files|). Verify-by-exact-overlap can be chained downstream
+    on the admitted pairs (increment-proportional).
+    """
+    fh = files.select("repo", F.md5("text").alias("h")).distinct()
+    perms = fh.select(
+        "repo", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("i"), "h"
+    )
+    sig = perms.groupBy("repo", "i").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("i"), F.col("h")))).alias("c")
+    )
+    matches = (
+        sig.select(F.col("repo").alias("repo_a"), "i", "c")
+        .join(sig.select(F.col("repo").alias("repo_b"), "i", "c"), ["i", "c"])
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("bigint").alias("matches"))
+    )
+    return matches.filter(
+        F.col("matches") * theta_den >= theta_num * n_perm
+    ).select(
+        "repo_a",
+        "repo_b",
+        "matches",
+        F.round(F.col("matches") / F.lit(float(n_perm)), 6).alias("est_jaccard"),
+    )

@@ -1688,3 +1688,75 @@ def test_function_def_inventory_syntaxes_and_decoys(spark):
         "helper": (1, 1),
         "Main": (1, 1),
     }
+
+
+# ---------------------------------------------------- snapshot diff
+def test_snapshot_diff_statuses_and_unchanged_excluded(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import snapshot_diff
+
+    old = _files(spark, [("r1", "a", "x"), ("r1", "b", "y"), ("r1", "c", "z")])
+    new = _files(spark, [("r1", "a", "x"), ("r1", "b", "y2"), ("r1", "d", "w")])
+    out = {r["path"]: r for r in snapshot_diff(old, new).collect()}
+    assert set(out) == {"b", "c", "d"}  # unchanged 'a' excluded
+    assert out["b"]["status"] == "modified"
+    assert out["b"]["old_h"] is not None and out["b"]["new_h"] is not None
+    assert out["c"]["status"] == "deleted" and out["c"]["new_h"] is None
+    assert out["d"]["status"] == "added" and out["d"]["old_h"] is None
+
+
+def test_snapshot_diff_rename_is_add_plus_delete(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import snapshot_diff
+
+    # identity is (repo, path): the same content at a new path is a
+    # delete+add pair (rename tracking is a layer above this operator)
+    old = _files(spark, [("r1", "a", "x")])
+    new = _files(spark, [("r1", "b", "x")])
+    out = {r["path"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {"a": "deleted", "b": "added"}
+
+
+# ---------------------------------------------------- repo minhash
+def test_repo_minhash_identical_and_disjoint(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import repo_minhash_pairs
+
+    rows = (
+        [("ra", f"src/{i}", f"file{i}") for i in range(5)]
+        + [("rb", f"other/{i}", f"file{i}") for i in range(5)]  # same CONTENT set
+        + [("rc", f"src/{i}", f"unrelated{i}") for i in range(5)]
+    )
+    files = _files(spark, rows)
+    out = {(r["repo_a"], r["repo_b"]): r for r in repo_minhash_pairs(files).collect()}
+    # identical content sets agree on every permutation; disjoint rc
+    # shares no component with anyone and never pairs
+    assert set(out) == {("ra", "rb")}
+    assert out[("ra", "rb")]["matches"] == 16
+    assert out[("ra", "rb")]["est_jaccard"] == 1.0
+
+
+def test_repo_minhash_within_repo_duplicates_collapse(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import repo_minhash_pairs
+
+    # duplicate content inside one repo is ONE set element — the
+    # signature of {x,x,y} equals the signature of {x,y}
+    a = _files(spark, [("ra", "p1", "x"), ("ra", "p2", "x"), ("ra", "p3", "y")])
+    b = _files(spark, [("rb", "q1", "x"), ("rb", "q2", "y")])
+    out = repo_minhash_pairs(a.unionByName(b)).collect()
+    assert len(out) == 1
+    assert out[0]["matches"] == 16 and out[0]["est_jaccard"] == 1.0
+
+
+def test_repo_minhash_n_perm_and_threshold(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import repo_minhash_pairs
+
+    rows = [("ra", f"p{i}", f"f{i}") for i in range(10)] + [
+        ("rb", f"p{i}", f"f{i}") for i in range(10) if i % 5 != 0  # j = 0.8
+    ]
+    files = _files(spark, rows)
+    out = repo_minhash_pairs(files, n_perm=32, theta_num=1, theta_den=2).collect()
+    assert len(out) == 1
+    m = out[0]["matches"]
+    assert 16 <= m <= 32  # admitted at est >= 1/2; est tracks j = 0.8
+    assert out[0]["est_jaccard"] == round(m / 32.0, 6)
+    # raising the bar above the pair's own estimate rejects it
+    hi = repo_minhash_pairs(files, n_perm=32, theta_num=m + 1, theta_den=32)
+    assert hi.count() == 0
