@@ -3624,6 +3624,111 @@ def ngram_jaccard_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# content-defined chunk dedup over the lined corpus with %13 docs
+# cloned — guaranteed cross-doc duplicate chunks plus whatever natural
+# line-run repeats the corpus carries. The oracle runs the per-doc
+# WINDOW formulation of the same boundary rule (the operator itself
+# folds in-row, zero shuffle) — equivalence of the two formulations is
+# exactly what the gate certifies.
+@_register(
+    "cdc_chunk_dedup",
+    f"""WITH {_LINED_SQL},
+    src AS (SELECT doc_id, text FROM lined
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM lined WHERE doc_id % 13 = 0),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM src),
+    lx AS (SELECT doc_id, i AS pos, l[i] AS ln
+           FROM ls, unnest(generate_series(1, len(l))) AS u(i)),
+    fb AS (SELECT doc_id, pos, ln,
+             CASE WHEN substr(md5(ln), 1, 1) IN ('0','1','2','3')
+                  THEN 1 ELSE 0 END AS b
+           FROM lx),
+    g AS (SELECT doc_id, pos, ln,
+            coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ck
+          FROM fb),
+    ch AS (SELECT doc_id, ck, string_agg(ln, chr(10) ORDER BY pos) AS chunk
+           FROM g GROUP BY 1, 2)
+    SELECT md5(chunk) AS chunk_h, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(len(string_split(chunk, chr(10)))) AS BIGINT) AS n_lines
+    FROM ch GROUP BY 1 HAVING count(*) >= 2""",
+)
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import cdc_chunk_dedup
+
+    lined = _lined_docs(spark, sf_dir)
+    clone = lined.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return cdc_chunk_dedup(lined.unionByName(clone))
+
+
+def _exact_group_canonical_oracle_sql() -> str:
+    """Vendored regex generated from VENDOR_DIRS (single source of
+    truth with the Spark operator)."""
+    from autovalidate_backend_api_spark.operators.datapipe import VENDOR_DIRS
+
+    seg_re = "(^|/)(" + "|".join(VENDOR_DIRS) + ")/"
+    return rf"""WITH base AS (
+      SELECT 'r' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+             'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path, text
+      FROM documents),
+    vcopy AS (SELECT 'v' || CAST(doc_id % 17 AS VARCHAR),
+                'vendor/lib/f' || CAST(doc_id AS VARCHAR) || '.py', text
+              FROM documents WHERE doc_id % 3 = 0),
+    zcopy AS (SELECT 'z' || CAST(doc_id % 17 AS VARCHAR),
+                'f' || CAST(doc_id AS VARCHAR) || '.py', text
+              FROM documents WHERE doc_id % 4 = 0),
+    files AS (SELECT * FROM base UNION ALL SELECT * FROM vcopy
+              UNION ALL SELECT * FROM zcopy),
+    fh AS (SELECT repo, path, md5(text) AS h,
+             CAST(regexp_matches(path, '{seg_re}') AS INT) AS vend
+           FROM files),
+    rk AS (SELECT repo, path, h,
+             row_number() OVER (PARTITION BY h
+               ORDER BY vend, len(path), path, repo) AS r,
+             CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n_copies
+           FROM fh)
+    SELECT h, n_copies, repo AS keep_repo, path AS keep_path
+    FROM rk WHERE r = 1 AND n_copies >= 2"""
+
+
+# canonical-keeper election per exact-dup group: %3 docs gain a
+# VENDORED copy (policy must reject it), %4 docs a shorter-path copy
+# (policy must prefer it), %12 docs both — every policy branch lands;
+# singleton groups are excluded on both engines.
+@_register("exact_group_canonical", _exact_group_canonical_oracle_sql())
+def exact_group_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        exact_group_canonical,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 17).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        "text",
+    )
+    vcopy = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("v"), (F.col("doc_id") % 17).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("vendor/lib/f"), F.col("doc_id").cast("string"), F.lit(".py")
+        ).alias("path"),
+        "text",
+    )
+    zcopy = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("z"), (F.col("doc_id") % 17).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        "text",
+    )
+    return exact_group_canonical(base.unionByName(vcopy).unionByName(zcopy))
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -2244,3 +2244,114 @@ def repo_minhash_pairs(
         "matches",
         F.round(F.col("matches") / F.lit(float(n_perm)), 6).alias("est_jaccard"),
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    *,
+    boundary_hexes: tuple[str, ...] = ("0", "1", "2", "3"),
+    min_occ: int = 2,
+) -> DataFrame:
+    """Content-defined chunking dedup at LINE granularity: lines are
+    folded into chunks whose boundary is content-derived (a line whose
+    md5 starts with one of ``boundary_hexes`` CLOSES its chunk), then
+    identical chunks are counted corpus-wide — the storage-dedup view
+    of duplication (restic/borgbackup-style CDC, FastCDC USENIX ATC'16,
+    recast line-wise for source text). Because boundaries depend only
+    on content, an insertion early in a file re-aligns after ~one chunk
+    and the unchanged tail still dedups — the property fixed-width
+    blocks lack, and the reason incremental corpus storage uses CDC.
+
+    Returns ``chunk_h, n_occ, n_docs, n_lines`` for chunks seen
+    ``min_occ``+ times (the duplicate-chunk inventory).
+
+    100 TB plan: chunking is a PER-ROW array fold (``F.aggregate``) —
+    zero shuffle until the chunk-hash count, which is map-side
+    combinable on 16-byte keys; content leaves the row only as hashes.
+    The per-doc-window formulation (what the SQL oracle runs) would
+    shuffle every line of the corpus instead.
+    """
+    hex_arr = F.array(*[F.lit(h) for h in boundary_hexes])
+    lines = F.split(F.col("text"), "\n")
+    empty_chunks = F.array().cast("array<string>")
+    init = F.struct(
+        empty_chunks.alias("chunks"), F.lit("").alias("cur"), F.lit(0).alias("n")
+    )
+
+    def step(acc, ln):
+        new_cur = F.when(acc["n"] == 0, ln).otherwise(
+            F.concat(acc["cur"], F.lit("\n"), ln)
+        )
+        is_b = F.array_contains(hex_arr, F.substring(F.md5(ln), 1, 1))
+        return F.struct(
+            F.when(is_b, F.array_append(acc["chunks"], new_cur))
+            .otherwise(acc["chunks"])
+            .alias("chunks"),
+            F.when(is_b, F.lit("")).otherwise(new_cur).alias("cur"),
+            F.when(is_b, F.lit(0)).otherwise(acc["n"] + 1).alias("n"),
+        )
+
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["n"] > 0, F.array_append(acc["chunks"], acc["cur"])
+    ).otherwise(acc["chunks"])
+    chunks = docs.select(
+        "doc_id", F.explode(F.aggregate(lines, init, step, fin)).alias("chunk")
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.md5("chunk").alias("chunk_h"),
+            F.size(F.split(F.col("chunk"), "\n")).cast("bigint").alias("nl"),
+        )
+        .groupBy("chunk_h")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("nl").alias("n_lines"),
+        )
+        .filter(F.col("n_occ") >= min_occ)
+    )
+
+
+def exact_group_canonical(files: DataFrame) -> DataFrame:
+    """Canonical-keeper selection per EXACT-duplicate group: every
+    content hash held by ≥2 (repo, path) locations elects exactly one
+    surviving copy by a deterministic curation policy — non-vendored
+    location beats vendored (``VENDOR_DIRS``, same rule as
+    ``path_filter_flags``), then shortest path, then lexicographic
+    (path, repo). This is the keep-one step a corpus build runs after
+    ``exact_dedup_groups``: the policy, not the grouping, decides which
+    provenance the training corpus records (The Stack keeps one file
+    per content hash the same way, arXiv:2211.15533 §2.3).
+
+    Input needs ``repo, path, text``. Returns ``h, n_copies,
+    keep_repo, keep_path`` for groups with ≥2 copies.
+
+    100 TB plan: content is hashed in place; ONE exchange on the
+    16-byte hash serves both the group count and the rank window
+    (same partitioning), carrying (repo, path, hash, flag) rows only.
+    Group width is exact-dup-group-sized — the hottest key is the most
+    copied file in the corpus, still thousands of rows, not 10^12.
+    """
+    seg_re = "(^|/)(" + "|".join(VENDOR_DIRS) + ")/"
+    fh = files.select(
+        "repo",
+        "path",
+        F.md5("text").alias("h"),
+        (F.regexp_count(F.col("path"), F.lit(seg_re)) > 0).cast("int").alias("vend"),
+    )
+    w = Window.partitionBy("h").orderBy(
+        "vend", F.length("path"), "path", "repo"
+    )
+    wh = Window.partitionBy("h")
+    return (
+        fh.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wh).cast("bigint"))
+        .filter((F.col("rk") == 1) & (F.col("n_copies") >= 2))
+        .select(
+            "h",
+            "n_copies",
+            F.col("repo").alias("keep_repo"),
+            F.col("path").alias("keep_path"),
+        )
+    )

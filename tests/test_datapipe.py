@@ -1760,3 +1760,110 @@ def test_repo_minhash_n_perm_and_threshold(spark):
     # raising the bar above the pair's own estimate rejects it
     hi = repo_minhash_pairs(files, n_perm=32, theta_num=m + 1, theta_den=32)
     assert hi.count() == 0
+
+
+# ---------------------------------------------------- CDC chunk dedup
+def _cdc_reference(texts, boundary=("0", "1", "2", "3")):
+    """Independent Python fold of the line-CDC rule (test-only)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    occ, docs = Counter(), defaultdict(set)
+    for doc_id, text in texts:
+        cur = []
+        for ln in text.split("\n"):
+            cur.append(ln)
+            if hashlib.md5(ln.encode()).hexdigest()[0] in boundary:
+                ch = "\n".join(cur)
+                h = hashlib.md5(ch.encode()).hexdigest()
+                occ[h] += 1
+                docs[h].add(doc_id)
+                cur = []
+        if cur:
+            ch = "\n".join(cur)
+            h = hashlib.md5(ch.encode()).hexdigest()
+            occ[h] += 1
+            docs[h].add(doc_id)
+    return {h: (occ[h], len(docs[h])) for h in occ if occ[h] >= 2}
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def test_cdc_chunk_dedup_matches_python_reference_and_realigns(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import cdc_chunk_dedup
+
+    lines = [f"line {i} of shared body content" for i in range(24)]
+    texts = [
+        (1, "\n".join(lines)),
+        # one inserted line at the top: CDC must re-align and dedup the
+        # shared tail (fixed-width blocks would dedup nothing)
+        (2, "\n".join(["inserted preamble line"] + lines)),
+        (3, "totally\nunrelated\ncontent here"),
+    ]
+    out = {
+        r["chunk_h"]: (r["n_occ"], r["n_docs"])
+        for r in cdc_chunk_dedup(_docs_df(spark, texts)).collect()
+    }
+    assert out == _cdc_reference(texts)
+    assert any(nd == 2 for _, nd in out.values())  # the re-aligned tail
+
+
+def test_cdc_chunk_dedup_empty_lines_and_min_occ(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import cdc_chunk_dedup
+
+    texts = [(1, "a\n\nb\n\na\n\nb"), (2, "a\n\nb"), (3, "solo")]
+    df = _docs_df(spark, texts)
+    assert {
+        r["chunk_h"]: (r["n_occ"], r["n_docs"])
+        for r in cdc_chunk_dedup(df).collect()
+    } == _cdc_reference(texts)
+    # min_occ raises the inventory bar
+    hi = cdc_chunk_dedup(df, min_occ=3).collect()
+    ref3 = {
+        h: v
+        for h, v in _cdc_reference(texts).items()
+        if v[0] >= 3
+    }
+    assert {r["chunk_h"]: (r["n_occ"], r["n_docs"]) for r in hi} == ref3
+
+
+def test_cdc_chunking_is_in_row(spark):
+    """The fold must not shuffle lines: exactly the chunk-hash count
+    aggregation exchanges (no Window, no per-doc sort)."""
+    from autovalidate_backend_api_spark.operators.datapipe import cdc_chunk_dedup
+
+    df = cdc_chunk_dedup(_docs_df(spark, [(1, "a\nb"), (2, "a\nb")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------- canonical keeper
+def test_exact_group_canonical_policy_branches(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        exact_group_canonical,
+    )
+
+    files = _files(
+        spark,
+        [
+            # vendored copy must lose to the src copy
+            ("a", "src/f1.py", "X"),
+            ("b", "vendor/lib/f1.py", "X"),
+            # shorter path wins over deeper one
+            ("c", "deep/nested/f2.py", "Y"),
+            ("d", "f2.py", "Y"),
+            # full tie on (vend, len): lexicographic path breaks it
+            ("e", "aa.py", "Z"),
+            ("e", "ab.py", "Z"),
+            # singleton group: excluded
+            ("f", "only.py", "W"),
+        ],
+    )
+    out = {r["keep_path"]: r for r in exact_group_canonical(files).collect()}
+    assert set(out) == {"src/f1.py", "f2.py", "aa.py"}
+    assert out["src/f1.py"]["keep_repo"] == "a"
+    assert out["f2.py"]["n_copies"] == 2
