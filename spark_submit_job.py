@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--repo-clusters", action="store_true",
                     help="also write repo-tier fork clusters "
                          "(file-hash-set overlap + CC; requires --output)")
+    ap.add_argument("--snapshot-diff", metavar="PREV_CORPUS",
+                    help="parquet path of the PREVIOUS corpus snapshot; "
+                         "writes the churn-proportional added/deleted/"
+                         "modified delta (requires --output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -122,6 +126,28 @@ def main() -> None:
         rc_back = spark.read.parquet(f"{args.output}/repo_clusters")
         summary["repos"] = rc_back.count()
         summary["repo_forks"] = rc_back.filter(F.col("is_fork") == 1).count()
+
+    if args.snapshot_diff:
+        if not args.output:
+            ap.error("--snapshot-diff requires --output")
+        # Temporal axis: the churn set between the previous snapshot and
+        # this corpus — the increment a production run would feed into
+        # plans/incremental.py instead of re-deduping the whole table.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.datapipe import snapshot_diff
+
+        prev = spark.read.parquet(args.snapshot_diff).select(
+            "repo", "path", F.col("content").alias("text")
+        )
+        cur = corpus.select("repo", "path", F.col("content").alias("text"))
+        diff = snapshot_diff(prev, cur)
+        diff.write.mode("overwrite").parquet(f"{args.output}/snapshot_diff")
+        back = spark.read.parquet(f"{args.output}/snapshot_diff")
+        counts = {r["status"]: r["n"] for r in
+                  back.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        summary["churn"] = {s: int(counts.get(s, 0))
+                            for s in ("added", "deleted", "modified")}
 
     print(json.dumps(summary))
     spark.stop()
