@@ -3730,6 +3730,210 @@ def exact_group_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch gates (operators/sketches.py): HLL, KMV, Bloom, Count-Min,
+# frequency spectrum — the fixed-size corpus-inventory summaries. Every
+# sketch is deterministic (md5 hash families) with exact integer
+# arithmetic up to one final float expression, so the ESTIMATES
+# themselves are oracle-checked, not just the plumbing. Shared hex→int
+# convention: Spark conv(hex, 16, 10) ≡ DuckDB ('0x' || hex)::BIGINT.
+# ---------------------------------------------------------------------------
+
+_SKETCH_TOK_SQL = f"""tok AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+      FROM documents),
+    uni AS (SELECT g FROM (SELECT unnest(t) AS g FROM tok) WHERE g <> ''),
+    tri AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))) AS g FROM tok)"""
+
+
+def _hll_oracle_sql() -> str:
+    """Generated from the SAME constants as operators/sketches.py (the
+    alpha*m^2*2^49 numerator is one shared python float literal, so the
+    final double division is the identical IEEE operation on both
+    engines)."""
+    from autovalidate_backend_api_spark.operators import sketches as sk
+
+    a = repr(sk.HLL_ALPHA_NUM)
+    m = sk.HLL_M
+    p49 = 1 << 49
+    bound = repr(sk.HLL_LINEAR_BOUND)
+
+    def one(src: str, label: str) -> str:
+        s = f"s_nz + ({m} - nz) * {p49}"
+        raw = f"{a} * 2.0 / ({s})"
+        return f"""{src}1 AS (SELECT
+        CAST('0x' || substr(md5(g), 1, 3) AS BIGINT) % {m} AS bucket,
+        CAST('0x' || substr(md5(g), 4, 12) AS BIGINT) AS w FROM {src}),
+    {src}2 AS (SELECT bucket,
+        CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END AS rho FROM {src}1),
+    {src}3 AS (SELECT bucket, max(rho) AS M FROM {src}2 GROUP BY 1),
+    {src}4 AS (SELECT CAST(count(*) AS BIGINT) AS nz,
+        CAST(coalesce(sum((1::BIGINT) << CAST(49 - M AS INT)), 0) AS BIGINT)
+          AS s_nz FROM {src}3),
+    {src}e AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_exact FROM {src}),
+    {src}r AS (SELECT '{label}' AS granularity, n_exact,
+        CAST({m} AS BIGINT) AS m, CAST({m} - nz AS BIGINT) AS n_empty,
+        CAST({s} AS BIGINT) AS reg_sum,
+        CASE WHEN ({raw}) <= {bound} AND ({m} - nz) > 0
+             THEN round({m}.0 * ln({m}.0 / ({m} - nz)), 3)
+             ELSE round({raw}, 3) END AS hll_estimate
+      FROM {src}4, {src}e)"""
+
+    return f"""WITH {_SKETCH_TOK_SQL},
+    {one("uni", "unigram")},
+    {one("tri", "trigram3")}
+    SELECT * FROM unir UNION ALL SELECT * FROM trir"""
+
+
+# HLL over the unigram vocabulary (31 terms at driver scale → the
+# linear-counting small-range branch) AND trigram shingles (≫ 2.5m
+# distinct → the raw bias-corrected branch) — both estimator branches
+# land on both engines, with n_exact riding along as the truth column.
+@_register("hll_distinct_report", _hll_oracle_sql())
+def hll_distinct_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import hll_distinct_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct_report(docs, normalize_text_col(F.col("text")))
+
+
+def _kmv_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import sketches as sk
+
+    k = sk.KMV_K
+    num = repr(sk.KMV_NUM)
+    return f"""WITH {_SKETCH_TOK_SQL},
+    kh AS (SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS v
+           FROM tri),
+    kb AS (SELECT v FROM kh ORDER BY v ASC LIMIT {k}),
+    ks AS (SELECT CAST(count(*) AS BIGINT) AS n_k, max(v) AS v_k FROM kb),
+    ke AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM kh)
+    SELECT CAST({k} AS BIGINT) AS k, n_exact,
+           CAST(v_k AS BIGINT) AS kth_min_hash,
+           round(CASE WHEN n_k < {k} THEN CAST(n_exact AS DOUBLE)
+                      ELSE {num} / v_k END, 3) AS kmv_estimate
+    FROM ks, ke"""
+
+
+# bottom-k (KMV) distinct estimator over trigram shingles: the k
+# smallest 48-bit hashes via TakeOrderedAndProject; estimate
+# (k-1)*2^48/v_k is one double division shared with the oracle.
+@_register("kmv_distinct_trigrams", _kmv_oracle_sql())
+def kmv_distinct_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import kmv_distinct_trigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_distinct_trigrams(docs, normalize_text_col(F.col("text")))
+
+
+def _bloom_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import sketches as sk
+
+    m = sk.BLOOM_M_BITS
+    kk = sk.BLOOM_K
+
+    def pos(key: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || {key}), 1, 12)"
+            f" AS BIGINT) % {m}"
+        )
+
+    return f"""WITH keys AS (SELECT DISTINCT sha256({_NORM_SQL}) AS key
+      FROM documents),
+    bits AS (SELECT DISTINCT {pos("key")} AS pos
+             FROM keys, range(1, {kk + 1}) r(i)),
+    probes AS (SELECT key AS probe_key, 1 AS actual FROM keys
+               UNION ALL
+               SELECT 'absent_' || CAST(doc_id AS VARCHAR), 0 FROM documents),
+    pp AS (SELECT probe_key, actual, {pos("probe_key")} AS pos
+           FROM probes, range(1, {kk + 1}) r(i))
+    SELECT probe_key, CAST(actual AS INT) AS actual,
+           CAST(min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hit
+    FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+    GROUP BY 1, 2"""
+
+
+# Bloom membership over content shas (the Redis existence-check shape,
+# db_lookup.py:24-50, as a broadcast bit-table join): every present sha
+# must hit (no false negatives); 'absent_<doc_id>' probes exercise the
+# miss path, with any deterministic false positive reproduced by the
+# oracle bit-for-bit.
+@_register("bloom_membership_probe", _bloom_oracle_sql())
+def bloom_membership_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import bloom_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.sha2(normalize_text_col(F.col("text")), 256).alias("key")
+    ).distinct()
+    probes = keys.select(
+        F.col("key").alias("probe_key"), F.lit(1).alias("actual")
+    ).unionByName(
+        docs.select(
+            F.concat(F.lit("absent_"), F.col("doc_id").cast("string")).alias(
+                "probe_key"
+            ),
+            F.lit(0).alias("actual"),
+        )
+    )
+    return bloom_membership(keys, probes)
+
+
+def _cms_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import sketches as sk
+
+    w = sk.CMS_WIDTH
+    d = sk.CMS_DEPTH
+    pos = (
+        f"CAST('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || g), 1, 12)"
+        f" AS BIGINT) % {w}"
+    )
+    return f"""WITH {_SKETCH_TOK_SQL},
+    tc AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    cells AS (SELECT row, pos, CAST(sum(c) AS BIGINT) AS cell_sum FROM
+        (SELECT i AS row, {pos} AS pos, c
+         FROM tc, range(1, {d + 1}) r(i)) GROUP BY 1, 2),
+    top AS (SELECT g, c FROM tc ORDER BY c DESC, g ASC LIMIT 16),
+    probe AS (SELECT g, c, i AS row, {pos} AS pos
+              FROM top, range(1, {d + 1}) r(i))
+    SELECT probe.g AS term, probe.c AS exact_count,
+           min(cell_sum) AS cm_estimate,
+           CAST(min(cell_sum) - probe.c AS BIGINT) AS overcount
+    FROM probe JOIN cells ON probe.row = cells.row AND probe.pos = cells.pos
+    GROUP BY 1, 2"""
+
+
+# Count-Min sketch probed at the exact top-16 unigrams: estimate = min
+# over d hash rows, overcount = estimate - exact ≥ 0 (the one-sided
+# error bound is part of the oracle-checked output).
+@_register("countmin_heavy_hitters", _cms_oracle_sql())
+def countmin_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return countmin_heavy_hitters(docs, normalize_text_col(F.col("text")))
+
+
+# count-of-counts spectrum (Zipf/Good-Turing inventory)
+@_register(
+    "term_frequency_spectrum",
+    f"""WITH {_SKETCH_TOK_SQL},
+    tc AS (SELECT g, count(*) AS c FROM uni GROUP BY 1)
+    SELECT CAST(c AS BIGINT) AS occ_count,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM tc GROUP BY 1""",
+)
+def term_frequency_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        term_frequency_spectrum,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_frequency_spectrum(docs, normalize_text_col(F.col("text")))
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

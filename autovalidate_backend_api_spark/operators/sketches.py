@@ -1,0 +1,355 @@
+"""Deterministic sketch operators: HLL, KMV, Bloom, Count-Min, spectrum.
+
+At 10^12 files the corpus-inventory questions ("how many distinct
+shingles?", "is this sha already ingested?", "what are the heavy
+terms?") cannot be answered with exact distincts or exact count tables
+— the sketch IS the operator. The reference answers the membership
+question with a Redis frequent-typo cache (/root/reference/app/api/
+core/db_lookup.py:24-50); these are the batch, mergeable equivalents.
+
+Every sketch here is DETERMINISTIC (md5-derived hash families, no RNG)
+and uses exact integer arithmetic up to a single final float expression,
+so each operator has a bit-exact DuckDB oracle in entrypoints.py — the
+estimate itself is oracle-checked, not just the plumbing. Scale rules:
+
+- register/cell/bit state is FIXED-SIZE (2^p registers, d*w cells,
+  m bits) regardless of corpus size, reached through one map-side-
+  combinable aggregation (max for HLL, sum for CMS, distinct for
+  Bloom) — the shuffle carries at most partitions * state rows;
+- all sketch states are mergeable (max/sum/or) so per-partition or
+  per-day sketches union with the same code path;
+- probes join against the sketch state with a broadcast equi-join
+  (state ≤ a few MB by construction), never a nested loop;
+- nothing collects to the driver.
+
+Hash family: ``H(f, s) = md5(f || ':' || s)`` hex; slices of the hex
+are parsed as 48-bit integers (both engines: Spark ``conv(_, 16, 10)``,
+DuckDB ``('0x' || _)::BIGINT``). 48 bits keeps every intermediate exact
+in BIGINT and exactly representable in DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared hash helpers
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                      # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 48                 # rho window width
+# alpha_m * m^2 * 2^48 folded into ONE python float literal so the
+# final estimate is a single double division, identical on both sides.
+HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << HLL_W_BITS)
+HLL_LINEAR_BOUND = 2.5 * HLL_M
+
+KMV_K = 256
+KMV_NUM = float(KMV_K - 1) * float(1 << 48)
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+
+
+def _hex48(col: Column, start: int) -> Column:
+    """48-bit BIGINT from 12 hex chars of an md5 column (1-based start)."""
+    return F.conv(F.substring(col, start, 12), 16, 10).cast("bigint")
+
+
+def _bucket12(col: Column, start: int, mod: int) -> Column:
+    """12 hex bits (exact multiple of any power-of-two mod ≤ 4096)."""
+    return (F.conv(F.substring(col, start, 3), 16, 10).cast("bigint") % mod).cast(
+        "int"
+    )
+
+
+def _keyed_md5(family: str, col: Column) -> Column:
+    return F.md5(F.concat(F.lit(family + ":"), col))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _hll_one(terms: DataFrame, label: str) -> DataFrame:
+    """One HLL row over a 1-column DataFrame ``g`` of term occurrences.
+
+    Registers: bucket = 12 hash bits % m, rho = leading-zero run of a
+    48-bit window + 1. groupBy(bucket).max(rho) is map-side combinable
+    — the exchange carries ≤ partitions * m rows however large the
+    input. The register sum is kept EXACT: sum(1 << (49 - M)) is the
+    harmonic denominator scaled by 2^49, a BIGINT (≤ 1024 * 2^48), so
+    the only float op is the final division / the linear-counting ln —
+    both single expressions the oracle repeats verbatim.
+    """
+    h = F.md5(F.col("g"))
+    w = _hex48(h, 4)
+    reg = (
+        terms.select(
+            _bucket12(h, 1, HLL_M).alias("bucket"),
+            # bin() drops leading zeros: length(bin(w)) = floor(log2 w)+1,
+            # so rho = (48 - that) + 1; w = 0 => all zeros => rho = 49
+            F.when(w > 0, F.lit(49) - F.length(F.bin(w)))
+            .otherwise(F.lit(49))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+        .agg(
+            F.count("*").cast("bigint").alias("nz"),
+            # shiftleft()'s python signature takes only a literal bit
+            # count — the column-valued shift needs the SQL form
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - M)"))
+            .cast("bigint")
+            .alias("s_nz"),
+        )
+    )
+    exact = terms.agg(F.countDistinct("g").cast("bigint").alias("n_exact"))
+    # merge the two 1-row aggs join-free (tagged union + max-collapse;
+    # a 1-row broadcast side would plan as the banned nested loop)
+    left = reg.withColumn("n_exact", F.lit(None).cast("bigint"))
+    right = exact.select(
+        F.lit(None).cast("bigint").alias("nz"),
+        F.lit(None).cast("bigint").alias("s_nz"),
+        "n_exact",
+    )
+    merged = left.unionByName(right).agg(
+        F.max("nz").alias("nz"), F.max("s_nz").alias("s_nz"),
+        F.max("n_exact").alias("n_exact"),
+    )
+    n_empty = (F.lit(HLL_M) - F.col("nz")).cast("bigint")
+    reg_sum = (
+        F.coalesce(F.col("s_nz"), F.lit(0)) + n_empty * F.lit(1 << 49)
+    ).cast("bigint")
+    raw = F.lit(HLL_ALPHA_NUM) * F.lit(2.0) / reg_sum  # alpha*m^2*2^49 / S
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_empty)
+    est = F.when(
+        (raw <= F.lit(HLL_LINEAR_BOUND)) & (n_empty > 0), F.round(linear, 3)
+    ).otherwise(F.round(raw, 3))
+    return merged.select(
+        F.lit(label).alias("granularity"),
+        "n_exact",
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        n_empty.alias("n_empty"),
+        reg_sum.alias("reg_sum"),
+        est.alias("hll_estimate"),
+    )
+
+
+def unigrams(docs: DataFrame, text_col: Column) -> DataFrame:
+    t = F.split(text_col, " ")
+    return (
+        docs.select(F.explode(t).alias("g")).filter(F.col("g") != "")
+    )
+
+
+def trigrams(docs: DataFrame, text_col: Column) -> DataFrame:
+    """3-token shingle occurrences (the Stage-B shingle unit)."""
+    t = F.split(text_col, " ")
+    docs = docs.select(t.alias("t"))
+    n = F.size(F.col("t")) - F.lit(2)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(F.col("t"), i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.explode(grams).alias("g"))
+
+
+def hll_distinct_report(docs: DataFrame, text_col: Column) -> DataFrame:
+    """Two-row HLL report: unigram vocabulary (exercises the linear-
+    counting small-range branch at gate scale — the driver corpus has a
+    ~31-term vocabulary) and trigram shingles (exercises the raw
+    bias-corrected branch: ≫ 2.5m distinct). ``hll_estimate`` is the
+    oracle-checked value; ``n_exact`` rides along so the gate also
+    certifies the estimator lands within its published error envelope.
+    At 100 TB drop the n_exact branch — the registers are the product.
+    """
+    return _hll_one(unigrams(docs, text_col), "unigram").unionByName(
+        _hll_one(trigrams(docs, text_col), "trigram3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct estimator
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct_trigrams(docs: DataFrame, text_col: Column, *, k: int = KMV_K) -> DataFrame:
+    """Bottom-k (KMV) distinct estimate over trigram shingles: keep the
+    k smallest 48-bit hash values of the distinct shingles; the k-th
+    smallest v_k estimates distinct ≈ (k-1) * 2^48 / v_k.
+
+    The k smallest are taken with orderBy(limit) — Spark plans
+    TakeOrderedAndProject (per-partition top-k, no single-partition
+    sort), and the distinct before it is map-side combinable, so the
+    exchange carries hash ints only. The bottom-k set is itself
+    mergeable state (union two sets, re-take k), which is how daily
+    corpus snapshots compose. Falls back to the exact count when the
+    corpus has fewer than k distinct values (v_k undefined).
+    """
+    v = _hex48(F.md5(F.col("g")), 1)
+    hashes = trigrams(docs, text_col).select(v.alias("v")).distinct()
+    bottom = hashes.orderBy(F.col("v").asc()).limit(k)
+    bstats = bottom.agg(
+        F.count("*").cast("bigint").alias("n_k"), F.max("v").alias("v_k")
+    )
+    exact = hashes.agg(F.count("*").cast("bigint").alias("n_exact"))
+    left = bstats.withColumn("n_exact", F.lit(None).cast("bigint"))
+    right = exact.select(
+        F.lit(None).cast("bigint").alias("n_k"),
+        F.lit(None).cast("bigint").alias("v_k"),
+        "n_exact",
+    )
+    merged = left.unionByName(right).agg(
+        F.max("n_k").alias("n_k"), F.max("v_k").alias("v_k"),
+        F.max("n_exact").alias("n_exact"),
+    )
+    est = F.when(
+        F.col("n_k") < k, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << 48)) / F.col("v_k"))
+    return merged.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "n_exact",
+        F.col("v_k").cast("bigint").alias("kth_min_hash"),
+        F.round(est, 3).alias("kmv_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: Column) -> Column:
+    """array<int> of the k bit positions for a key (independent md5
+    families '1:'..'k:'; 48-bit slice % 2^16 is exactly uniform)."""
+    return F.array(
+        *[
+            (_hex48(_keyed_md5(str(i), key), 1) % BLOOM_M_BITS).cast("int")
+            for i in range(1, BLOOM_K + 1)
+        ]
+    )
+
+
+def bloom_membership(build_keys: DataFrame, probes: DataFrame) -> DataFrame:
+    """Build an m-bit/k-hash Bloom filter from ``build_keys.key`` and
+    classify ``probes(probe_key, actual)`` — ``hit`` = every one of the
+    k positions set. No false negatives by construction (tested);
+    false positives are deterministic and the oracle reproduces them.
+
+    The filter state is the DISTINCT set-bit table (≤ m rows ≈ 64Ki —
+    a few hundred KB), built with one combinable distinct and
+    BROADCAST to the probe side: membership is an equi-join on the bit
+    position, the shape that replaces the reference's Redis existence
+    check (db_lookup.py:24-50) at 10^12 keys. Bit tables are mergeable
+    by union (bitwise OR).
+    """
+    bits = (
+        build_keys.select(F.explode(_bloom_positions(F.col("key"))).alias("pos"))
+        .distinct()
+        .withColumn("found", F.lit(1))
+    )
+    probe_pos = probes.select(
+        "probe_key", "actual", F.explode(_bloom_positions(F.col("probe_key"))).alias("pos")
+    )
+    joined = probe_pos.join(F.broadcast(bits), "pos", "left")
+    return (
+        joined.groupBy("probe_key", "actual")
+        .agg(F.min(F.coalesce(F.col("found"), F.lit(0))).alias("hit"))
+        .select(
+            "probe_key",
+            F.col("actual").cast("int").alias("actual"),
+            F.col("hit").cast("int").alias("hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def countmin_heavy_hitters(
+    docs: DataFrame,
+    text_col: Column,
+    *,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    top_k: int = 16,
+) -> DataFrame:
+    """Count-Min sketch over unigram occurrences, probed at the exact
+    top-k terms: per depth row d, cell = hash_d(term) % width summed
+    over occurrences; estimate = min over rows. ``overcount`` =
+    estimate - exact ≥ 0 (CMS never undercounts — pinned in tests and
+    visible to the oracle).
+
+    The sketch is d*w cells built by ONE combinable sum aggregation —
+    fixed-size state however large the corpus (the per-term exact
+    counts here exist only because the gate also reports the truth; at
+    100 TB the sketch replaces them). Probing broadcasts the ≤ d*w
+    cell table; min-over-rows is a tiny grouped agg on top_k * d rows.
+    """
+    tc = (
+        unigrams(docs, text_col)
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tc = tc.persist()
+    rows = F.array(*[F.lit(i) for i in range(1, depth + 1)])
+    exploded = tc.select("g", "c", F.explode(rows).alias("row"))
+    pos = (
+        _hex48(
+            F.md5(F.concat(F.lit("cms"), F.col("row").cast("string"), F.lit(":"), F.col("g"))),
+            1,
+        )
+        % width
+    ).cast("int")
+    cells = (
+        exploded.select("row", pos.alias("pos"), "c")
+        .groupBy("row", "pos")
+        .agg(F.sum("c").cast("bigint").alias("cell_sum"))
+    )
+    top = tc.orderBy(F.col("c").desc(), F.col("g").asc()).limit(top_k)
+    probe = top.select("g", "c", F.explode(rows).alias("row")).select(
+        "g", "c", "row", pos.alias("pos")
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["row", "pos"], "inner")
+        .groupBy("g", "c")
+        .agg(F.min("cell_sum").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("g").alias("term"),
+        F.col("c").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("c")).cast("bigint").alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# frequency spectrum
+# ---------------------------------------------------------------------------
+
+
+def term_frequency_spectrum(docs: DataFrame, text_col: Column) -> DataFrame:
+    """Count-of-counts: for each occurrence count c, how many distinct
+    unigrams occur exactly c times. The Zipf/Good-Turing inventory a
+    curation run reports next to `corpus_summary`; two combinable
+    aggregations, term-hash-width rows on the single exchange."""
+    return (
+        unigrams(docs, text_col)
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("n_terms"))
+        .select(F.col("c").cast("bigint").alias("occ_count"), "n_terms")
+    )

@@ -1,0 +1,106 @@
+"""Invariants of the deterministic sketch operators (operators/sketches.py)
+that the value-hash oracle can't express: estimator error envelopes,
+one-sided error signs, mergeability, and no-false-negative membership.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.functions.normalize import normalize_text_col
+from autovalidate_backend_api_spark.operators import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hll_both_branches_and_error_envelope(docs):
+    rows = {
+        r["granularity"]: r
+        for r in sk.hll_distinct_report(docs, normalize_text_col(F.col("text"))).collect()
+    }
+    uni, tri = rows["unigram"], rows["trigram3"]
+    # small vocabulary → linear-counting branch: raw <= 2.5m AND empties exist
+    assert uni["n_empty"] > 0
+    # linear counting on a ~31-term vocabulary is near-exact
+    assert abs(uni["hll_estimate"] - uni["n_exact"]) <= max(2, 0.05 * uni["n_exact"])
+    # trigram shingles ≫ 2.5m distinct → bias-corrected raw branch; the
+    # published relative error for p=10 is 1.04/sqrt(1024) ≈ 3.25%; allow 4σ
+    assert tri["n_exact"] > 2.5 * sk.HLL_M
+    assert abs(tri["hll_estimate"] - tri["n_exact"]) <= 0.13 * tri["n_exact"]
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Union-then-sketch ≡ sketch-is-mergeable contract: the register
+    table of A∪B equals the elementwise max of A's and B's registers,
+    so per-partition/per-day sketches compose with the same code."""
+    a = spark.createDataFrame([(f"t{i}",) for i in range(200)], "g string")
+    b = spark.createDataFrame([(f"t{i}",) for i in range(100, 400)], "g string")
+
+    def regs(df):
+        h = F.md5(F.col("g"))
+        w = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
+        rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+        return (
+            df.select(
+                (F.conv(F.substring(h, 1, 3), 16, 10).cast("bigint") % sk.HLL_M).alias("bucket"),
+                rho.cast("int").alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("M"))
+        )
+
+    union_regs = {r["bucket"]: r["M"] for r in regs(a.unionByName(b)).collect()}
+    merged = {}
+    for df in (a, b):
+        for r in regs(df).collect():
+            merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["M"])
+    assert union_regs == merged
+
+
+def test_kmv_estimate_within_envelope(docs):
+    row = sk.kmv_distinct_trigrams(docs, normalize_text_col(F.col("text"))).collect()[0]
+    if row["n_exact"] < sk.KMV_K:
+        assert row["kmv_estimate"] == float(row["n_exact"])
+    else:
+        # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4σ
+        assert abs(row["kmv_estimate"] - row["n_exact"]) <= 0.25 * row["n_exact"]
+
+
+def test_bloom_no_false_negatives_and_miss_path(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    probes = keys.select(F.col("key").alias("probe_key"), F.lit(1).alias("actual")).unionByName(
+        spark.createDataFrame(
+            [(f"absent{i}", 0) for i in range(500)], "probe_key string, actual int"
+        )
+    )
+    out = sk.bloom_membership(keys, probes).collect()
+    present = [r for r in out if r["actual"] == 1]
+    absent = [r for r in out if r["actual"] == 0]
+    assert len(present) == 500 and all(r["hit"] == 1 for r in present)
+    # m=64Ki bits, k=4, n=500 → fp rate ≈ (1-e^{-kn/m})^k ≈ 8e-7: expect ~all misses
+    assert sum(r["hit"] for r in absent) <= 2
+
+
+def test_countmin_never_undercounts(docs):
+    rows = sk.countmin_heavy_hitters(docs, normalize_text_col(F.col("text"))).collect()
+    assert len(rows) == 16
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cm_estimate"] >= r["exact_count"] for r in rows)
+
+
+def test_spectrum_mass_conservation(docs):
+    """sum(occ_count * n_terms) over the spectrum == total unigram
+    occurrences; sum(n_terms) == distinct vocabulary."""
+    text = normalize_text_col(F.col("text"))
+    spec = sk.term_frequency_spectrum(docs, text)
+    got = spec.agg(
+        F.sum(F.col("occ_count") * F.col("n_terms")).alias("tokens"),
+        F.sum("n_terms").alias("vocab"),
+    ).collect()[0]
+    uni = sk.unigrams(docs, text)
+    assert got["tokens"] == uni.count()
+    assert got["vocab"] == uni.distinct().count()
