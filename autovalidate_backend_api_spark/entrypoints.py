@@ -3933,6 +3933,159 @@ def term_frequency_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequency_spectrum(docs, normalize_text_col(F.col("text")))
 
 
+def _priority_sample_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import datapipe as dp  # noqa: F401
+
+    k = 64
+    p48 = 1 << 48
+    u = (
+        f"(CAST('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 12)"
+        f" AS BIGINT) + 1)"
+    )
+    return f"""WITH w AS (SELECT doc_id,
+        CAST(greatest(length({_NORM_SQL}), 1) AS BIGINT) AS weight
+      FROM documents),
+    p AS (SELECT doc_id, weight,
+        CAST(weight AS DOUBLE) /
+          (CAST({u} AS DOUBLE) / CAST({p48} AS DOUBLE)) AS priority
+      FROM w),
+    top AS (SELECT * FROM p ORDER BY priority DESC, doc_id ASC LIMIT {k + 1}),
+    t2 AS (SELECT *,
+        row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn,
+        count(*) OVER () AS n_top, min(priority) OVER () AS mn FROM top)
+    SELECT doc_id, weight, priority,
+        greatest(CAST(weight AS DOUBLE),
+                 CASE WHEN n_top = {k + 1} THEN mn
+                      ELSE CAST(0 AS DOUBLE) END) AS est_weight
+    FROM t2 WHERE rn <= {k}"""
+
+
+# priority sampling (Duffield–Lund–Thorup): weight = normalized char
+# length; every float op is IEEE-exactly-rounded on exactly
+# representable integers, so the SAMPLE SELECTION itself (not just the
+# plumbing) is the oracle-checked value.
+@_register("priority_sample_docs", _priority_sample_oracle_sql())
+def priority_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id",
+        F.greatest(F.length(normalize_text_col(F.col("text"))), F.lit(1)).alias(
+            "weight"
+        ),
+    )
+    return priority_sample(rows, id_col="doc_id", weight_col="weight", k=64)
+
+
+# src residue mod 41, dst residue mod 37 (coprime moduli → by CRT the
+# 500 consecutive doc_ids hit ~500 distinct (src, dst) combos): nodes
+# r37-r40 take no in-edges from the fwd direction, so degrees — and
+# therefore the ranks the oracle must match — are genuinely non-uniform
+# (a permutation-derived edge map is 2-regular and its PageRank is the
+# vacuous uniform vector).
+_PR_EDGES_SQL = """e AS (
+      SELECT DISTINCT 'r' || CAST(doc_id % 41 AS VARCHAR) AS src,
+             'r' || CAST((doc_id * 13) % 37 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 41 <> (doc_id * 13) % 37
+      UNION
+      SELECT DISTINCT 'r' || CAST((doc_id * 13) % 37 AS VARCHAR),
+             'r' || CAST(doc_id % 41 AS VARCHAR)
+      FROM documents WHERE doc_id % 41 <> (doc_id * 13) % 37)"""
+
+
+def _pagerank_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, iters=5, damping=0.85, n_nodes=41)
+
+
+# fixed-iteration PageRank over the 41-node repo dependency graph
+# (symmetrized so no node is a sink — the operator contract). The
+# oracle replays all 5 join-aggregate iterations with identical
+# Python-injected double constants; the gate certifies the RANKS.
+@_register("repo_pagerank", _pagerank_oracle_sql())
+def repo_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = F.concat(F.lit("r"), (F.col("doc_id") % 41).cast("string"))
+    b = F.concat(F.lit("r"), ((F.col("doc_id") * 13) % 37).cast("string"))
+    fwd = docs.filter(
+        (F.col("doc_id") % 41) != ((F.col("doc_id") * 13) % 37)
+    ).select(a.alias("src"), b.alias("dst"))
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iters=5, damping=0.85)
+
+
+def _kmv_set_algebra_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import sketches as sk
+
+    k = sk.KMV_K
+    num = repr(sk.KMV_NUM)
+    return f"""WITH olds AS (SELECT text AS key FROM documents),
+    news AS (SELECT CASE WHEN doc_id % 11 = 1 THEN text || ' changed'
+                         ELSE text END AS key
+             FROM documents WHERE doc_id % 11 <> 0
+             UNION ALL
+             SELECT 'new ' || text FROM documents WHERE doc_id % 11 = 2),
+    va AS (SELECT DISTINCT CAST('0x' || substr(md5(key), 1, 12) AS BIGINT) AS v
+           FROM olds),
+    vb AS (SELECT DISTINCT CAST('0x' || substr(md5(key), 1, 12) AS BIGINT) AS v
+           FROM news),
+    uni AS (SELECT v FROM va UNION SELECT v FROM vb),
+    bottom AS (SELECT v FROM uni ORDER BY v ASC LIMIT {k}),
+    s AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM bottom) AS n_k,
+        (SELECT max(v) FROM bottom) AS v_k,
+        (SELECT CAST(count(*) AS BIGINT) FROM bottom
+          WHERE v IN (SELECT v FROM va) AND v IN (SELECT v FROM vb))
+          AS n_shared_k,
+        (SELECT CAST(count(*) AS BIGINT) FROM va) AS na,
+        (SELECT CAST(count(*) AS BIGINT) FROM vb) AS nb,
+        (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_union)
+    SELECT CAST({k} AS BIGINT) AS k, na, nb, n_union,
+        CAST(na + nb - n_union AS BIGINT) AS n_inter, n_shared_k,
+        round(CASE WHEN n_union < {k} THEN CAST(n_union AS DOUBLE)
+                   ELSE {num} / v_k END, 3) AS union_est,
+        round(CASE WHEN n_union < {k}
+                   THEN CAST(na + nb - n_union AS DOUBLE) / n_union
+                   ELSE CAST(n_shared_k AS DOUBLE) / {float(k)!r} END, 6)
+          AS jaccard_est,
+        round((CASE WHEN n_union < {k}
+                    THEN CAST(na + nb - n_union AS DOUBLE) / n_union
+                    ELSE CAST(n_shared_k AS DOUBLE) / {float(k)!r} END)
+              * (CASE WHEN n_union < {k} THEN CAST(n_union AS DOUBLE)
+                      ELSE {num} / v_k END), 3) AS inter_est
+    FROM s"""
+
+
+# KMV set algebra between the same two snapshot corpora as
+# snapshot_diff: union/intersection/Jaccard ESTIMATES from the merged
+# bottom-k sketch, exact truths riding along — sizing tomorrow's dedup
+# from yesterday's k-row sketch instead of an exact anti-join.
+@_register("kmv_snapshot_jaccard", _kmv_set_algebra_oracle_sql())
+def kmv_snapshot_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import kmv_set_algebra
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.select(F.col("text").alias("key"))
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            F.when(F.col("doc_id") % 11 == 1, F.concat(F.col("text"), F.lit(" changed")))
+            .otherwise(F.col("text"))
+            .alias("key")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 2).select(
+                F.concat(F.lit("new "), F.col("text")).alias("key")
+            )
+        )
+    )
+    return kmv_set_algebra(old, new)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

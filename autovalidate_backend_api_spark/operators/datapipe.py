@@ -2355,3 +2355,69 @@ def exact_group_canonical(files: DataFrame) -> DataFrame:
             F.col("path").alias("keep_path"),
         )
     )
+
+
+def priority_sample(
+    rows: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    k: int = 64,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a weighted
+    without-replacement sample of ``k`` rows whose ``est_weight`` column
+    is an unbiased estimator of any subset-sum — THE way a curation run
+    takes a size-weighted corpus sample whose token counts still add up
+    (uniform sampling under-represents long documents; Bernoulli-per-row
+    has unbounded sample size).
+
+    Priority q = w / u with u ∈ (0,1] a deterministic per-id uniform
+    ((48-bit md5 slice + 1) / 2^48). The k largest priorities are kept;
+    τ = the (k+1)-th priority; est_weight = max(w, τ). Every arithmetic
+    step is a single IEEE-exactly-rounded double op on exactly
+    representable integers (48-bit hash, integer weight, power-of-two
+    divisor), so the SELECTION — not just the values — is bit-identical
+    on any IEEE engine and the DuckDB oracle checks the sample itself.
+
+    Returns ``<id>, weight, priority, est_weight`` (k rows; all rows
+    with est_weight = weight when the input has ≤ k rows, τ = 0).
+
+    100 TB plan: priority is a pure projection; the k+1 cut is
+    orderBy+limit → TakeOrderedAndProject (per-partition top-k, no
+    global sort, driver holds k+1 rows); the τ attachment is a window
+    over those k+1 rows only. Bottom-k states merge (union, re-take
+    k+1), so per-partition / per-day samples compose.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ps:"), F.col(id_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 48))
+    base = rows.select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    top = base.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(k + 1)
+    # the windows run on ≤ k+1 rows (post-limit) — single tiny partition
+    wfull = Window.partitionBy(F.lit(1))
+    worder = wfull.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    tau = F.when(
+        F.count("*").over(wfull) == k + 1, F.min("priority").over(wfull)
+    ).otherwise(F.lit(0.0))
+    return (
+        top.withColumn("rn", F.row_number().over(worder))
+        .withColumn("tau", tau)
+        .filter(F.col("rn") <= k)
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

@@ -353,3 +353,84 @@ def term_frequency_spectrum(docs: DataFrame, text_col: Column) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_terms"))
         .select(F.col("c").cast("bigint").alias("occ_count"), "n_terms")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra across snapshots
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_algebra(a: DataFrame, b: DataFrame, *, k: int = KMV_K) -> DataFrame:
+    """Union / intersection / Jaccard estimates for two key sets from
+    their merged bottom-k sketch (Beyer et al., SIGMOD'07) — how an
+    ingest sizes the dedup between two corpus SNAPSHOTS (today vs
+    yesterday: "how much is new?") without the exact anti-join that
+    `snapshot_diff` pays. Inputs are 1-column DataFrames ``key``.
+
+    The merged sketch K = bottom-k of hash(A ∪ B); v_k = max(K);
+    union_est = (k-1)·2^48 / v_k; jaccard_est = |{v ∈ K : v ∈ A ∧ v ∈ B}|
+    / k; inter_est = jaccard_est · union_est. Deterministic md5 hashing
+    → the ESTIMATES are oracle-checked; exact truths ride along at gate
+    scale so the error envelope is pinned too. Falls back to exact when
+    |A ∪ B| < k (v_k undefined at rank k).
+
+    Scale: the sets shrink to 48-bit hashes before any exchange; the
+    bottom-k cut is TakeOrderedAndProject; membership flags come from
+    semi-joins of the FULL sides against the BROADCAST k-row sketch
+    (≤ k surviving rows each); everything downstream of the sketch is
+    k-sized. The five 1-row aggregates merge join-free via the
+    tagged-union max-collapse (a 1-row join side plans as the banned
+    nested loop).
+    """
+    va = a.select(_hex48(F.md5(F.col("key")), 1).alias("v")).distinct().persist()
+    vb = b.select(_hex48(F.md5(F.col("key")), 1).alias("v")).distinct().persist()
+    uni = va.unionByName(vb).distinct().persist()
+    bottom = uni.orderBy(F.col("v").asc()).limit(k).persist()
+    # full sides stream; only the ≤k-row sketch/survivor sets broadcast
+    in_a = va.join(F.broadcast(bottom), "v", "left_semi")
+    shared = vb.join(F.broadcast(in_a), "v", "left_semi")
+
+    def one(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+        return df.agg(*[expr.alias(name) for name, expr in aggs.items()])
+
+    cols = ["n_k", "v_k", "n_shared_k", "na", "nb", "n_union"]
+    parts = [
+        one(bottom, {"n_k": F.count("*").cast("bigint"), "v_k": F.max("v")}),
+        one(shared, {"n_shared_k": F.count("*").cast("bigint")}),
+        one(va, {"na": F.count("*").cast("bigint")}),
+        one(vb, {"nb": F.count("*").cast("bigint")}),
+        one(uni, {"n_union": F.count("*").cast("bigint")}),
+    ]
+    tagged = [
+        p.select(
+            *[
+                (F.col(c) if c in p.columns else F.lit(None).cast("bigint")).alias(c)
+                for c in cols
+            ]
+        )
+        for p in parts
+    ]
+    merged = tagged[0]
+    for t in tagged[1:]:
+        merged = merged.unionByName(t)
+    s = merged.agg(*[F.max(c).alias(c) for c in cols])
+
+    exact_mode = F.col("n_union") < k
+    union_est = F.when(exact_mode, F.col("n_union").cast("double")).otherwise(
+        F.lit(KMV_NUM) / F.col("v_k")
+    )
+    inter_exact = (F.col("na") + F.col("nb") - F.col("n_union")).cast("bigint")
+    jacc_est = F.when(
+        exact_mode, inter_exact.cast("double") / F.col("n_union")
+    ).otherwise(F.col("n_shared_k").cast("double") / F.lit(float(k)))
+    return s.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "na",
+        "nb",
+        "n_union",
+        inter_exact.alias("n_inter"),
+        F.col("n_shared_k"),
+        F.round(union_est, 3).alias("union_est"),
+        F.round(jacc_est, 6).alias("jaccard_est"),
+        F.round(jacc_est * union_est, 3).alias("inter_est"),
+    )

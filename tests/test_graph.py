@@ -1,0 +1,73 @@
+"""PageRank (operators/graph.py) and priority-sampling invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.operators.datapipe import priority_sample
+from autovalidate_backend_api_spark.operators.graph import pagerank
+
+
+def test_pagerank_two_cycle_is_uniform(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    ranks = {r["node"]: r["pagerank"] for r in pagerank(e, iters=5).collect()}
+    assert ranks["a"] == pytest.approx(0.5, abs=1e-12)
+    assert ranks["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    leaves = [f"l{i}" for i in range(6)]
+    edges = [("c", l) for l in leaves] + [(l, "c") for l in leaves]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = pagerank(e, iters=8).collect()
+    ranks = {r["node"]: r["pagerank"] for r in rows}
+    assert all(ranks["c"] > ranks[l] for l in leaves)
+    # sink-free graph: total mass conserved each iteration
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    # leaves are symmetric → identical ranks
+    assert len({round(ranks[l], 12) for l in leaves}) == 1
+
+
+def test_pagerank_fixed_iterations_deterministic(spark):
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 11}") for i in range(11)]
+        + [(f"n{(i * 3 + 1) % 11}", f"n{i}") for i in range(11)],
+        "src string, dst string",
+    )
+    a = sorted((r["node"], r["pagerank"]) for r in pagerank(e, iters=5).collect())
+    b = sorted((r["node"], r["pagerank"]) for r in pagerank(e, iters=5).collect())
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # weights 1..300 with a heavy tail doc
+    rows = [(i, (i % 17) * 20 + 1) for i in range(300)] + [(1000, 50_000)]
+    return spark.createDataFrame(rows, "doc_id bigint, weight bigint")
+
+
+def test_priority_sample_shape_and_bounds(weighted):
+    out = priority_sample(weighted, k=64).collect()
+    assert len(out) == 64
+    assert all(r["est_weight"] >= r["weight"] for r in out)
+    # the dominant-weight row is sampled with near-certainty
+    assert any(r["doc_id"] == 1000 for r in out)
+
+
+def test_priority_sample_total_estimator(weighted):
+    """sum(est_weight) over the sample estimates the total weight
+    (unbiased per DLT; relative error ~1/sqrt(k) — allow a wide band)."""
+    total = weighted.agg(F.sum("weight")).collect()[0][0]
+    est = sum(r["est_weight"] for r in priority_sample(weighted, k=64).collect())
+    assert abs(est - total) <= 0.5 * total
+
+
+def test_priority_sample_small_input_exact(spark):
+    rows = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_id bigint, weight bigint"
+    )
+    out = priority_sample(rows, k=64).collect()
+    assert len(out) == 10
+    # τ = 0 → est_weight == weight exactly
+    assert all(r["est_weight"] == float(r["weight"]) for r in out)

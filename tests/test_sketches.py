@@ -104,3 +104,33 @@ def test_spectrum_mass_conservation(docs):
     uni = sk.unigrams(docs, text)
     assert got["tokens"] == uni.count()
     assert got["vocab"] == uni.distinct().count()
+
+
+def test_kmv_set_algebra_identical_and_disjoint(spark):
+    a = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "key string")
+    b = spark.createDataFrame([(f"y{i}",) for i in range(2000)], "key string")
+    same = sk.kmv_set_algebra(a, a).collect()[0]
+    assert same["jaccard_est"] == 1.0 and same["n_inter"] == 2000
+    disj = sk.kmv_set_algebra(a, b).collect()[0]
+    assert disj["jaccard_est"] == 0.0 and disj["n_inter"] == 0
+    # union estimate within the KMV envelope (~1/sqrt(k-2) ≈ 6.3%, 4σ)
+    assert abs(disj["union_est"] - disj["n_union"]) <= 0.25 * disj["n_union"]
+
+
+def test_kmv_set_algebra_small_exact_path(spark):
+    a = spark.createDataFrame([(f"x{i}",) for i in range(100)], "key string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(50, 150)], "key string")
+    row = sk.kmv_set_algebra(a, b).collect()[0]
+    # |A ∪ B| = 150 < k → exact fallback
+    assert row["n_union"] == 150 and row["union_est"] == 150.0
+    assert row["jaccard_est"] == pytest.approx(50 / 150, abs=1e-6)
+
+
+def test_kmv_set_algebra_partial_overlap_estimate(spark):
+    a = spark.createDataFrame([(f"k{i}",) for i in range(3000)], "key string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(1500, 4500)], "key string")
+    row = sk.kmv_set_algebra(a, b).collect()[0]
+    true_j = row["n_inter"] / row["n_union"]  # = 1500/4500
+    # Jaccard from k=256 shared-in-sketch counts: binomial σ ≈ sqrt(j(1-j)/k) ≈ 0.03
+    assert abs(row["jaccard_est"] - true_j) <= 0.12
+    assert abs(row["inter_est"] - row["n_inter"]) <= 0.3 * row["n_inter"]
