@@ -51,6 +51,10 @@ def main() -> None:
                     help="parquet path of the PREVIOUS corpus snapshot; "
                          "writes the churn-proportional added/deleted/"
                          "modified delta (requires --output)")
+    ap.add_argument("--corpus-sketches", action="store_true",
+                    help="also write the fixed-size corpus inventory "
+                         "(HLL distinct report + Count-Min heavy hitters "
+                         "+ frequency spectrum; requires --output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -148,6 +152,35 @@ def main() -> None:
                   back.groupBy("status").agg(F.count("*").alias("n")).collect()}
         summary["churn"] = {s: int(counts.get(s, 0))
                             for s in ("added", "deleted", "modified")}
+
+    if args.corpus_sketches:
+        if not args.output:
+            ap.error("--corpus-sketches requires --output")
+        # Fixed-size corpus inventory: register/cell state is constant-
+        # size however large the corpus, so this is the per-snapshot
+        # report a 10^12-file ingest can afford to recompute daily.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.sketches import (
+            countmin_heavy_hitters,
+            hll_distinct_report,
+            term_frequency_spectrum,
+        )
+
+        text = F.col("content")
+        sdocs = corpus.select(text.alias("text"))
+        hll = hll_distinct_report(sdocs, F.col("text"))
+        hll.write.mode("overwrite").parquet(f"{args.output}/sketch_hll")
+        countmin_heavy_hitters(sdocs, F.col("text")).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/sketch_heavy_hitters")
+        term_frequency_spectrum(sdocs, F.col("text")).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/sketch_spectrum")
+        back = spark.read.parquet(f"{args.output}/sketch_hll")
+        summary["sketch_distinct"] = {
+            r["granularity"]: r["hll_estimate"] for r in back.collect()
+        }
 
     print(json.dumps(summary))
     spark.stop()

@@ -134,3 +134,84 @@ def test_kmv_set_algebra_partial_overlap_estimate(spark):
     # Jaccard from k=256 shared-in-sketch counts: binomial σ ≈ sqrt(j(1-j)/k) ≈ 0.03
     assert abs(row["jaccard_est"] - true_j) <= 0.12
     assert abs(row["inter_est"] - row["n_inter"]) <= 0.3 * row["n_inter"]
+
+
+def test_sketch_state_builds_under_streaming(spark, sf_dir, tmp_path):
+    """The HLL register table and the Count-Min cell table are each ONE
+    map-side-combinable aggregation, so the same expressions build the
+    sketch state from a readStream in complete mode — per-batch corpus
+    ingest can maintain the inventory incrementally instead of
+    rescanning. State must equal the batch-built state row-for-row."""
+    import shutil
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "docs_stream_sketch"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-000.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+
+    def hll_regs(docs):
+        terms = sk.unigrams(docs, normalize_text_col(F.col("text")))
+        h = F.md5(F.col("g"))
+        w = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
+        rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+        return (
+            terms.select(
+                (F.conv(F.substring(h, 1, 3), 16, 10).cast("bigint") % sk.HLL_M).alias(
+                    "bucket"
+                ),
+                rho.cast("int").alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("M"))
+        )
+
+    def cms_cells(docs):
+        # single-aggregation form: occurrence rows exploded across the d
+        # hash rows, count per (row, pos) ≡ the batch sum-of-counts cells
+        occ = sk.unigrams(docs, normalize_text_col(F.col("text"))).select(
+            "g", F.explode(F.array(*[F.lit(i) for i in range(1, sk.CMS_DEPTH + 1)])).alias("row")
+        )
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms"), F.col("row").cast("string"), F.lit(":"), F.col("g"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % sk.CMS_WIDTH
+        ).cast("int")
+        return (
+            occ.select("row", pos.alias("pos"))
+            .groupBy("row", "pos")
+            .agg(F.count("*").cast("bigint").alias("cell_sum"))
+        )
+
+    for qname, builder, keys in [
+        ("hll_regs_stream", hll_regs, ("bucket",)),
+        ("cms_cells_stream", cms_cells, ("row", "pos")),
+    ]:
+        sdf = builder(stream)
+        assert sdf.isStreaming
+        q = (
+            sdf.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            tuple(r[k] for k in keys): r[sdf.columns[-1]]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        want = {
+            tuple(r[k] for k in keys): r[sdf.columns[-1]]
+            for r in builder(batch).collect()
+        }
+        assert got == want, qname
