@@ -1,0 +1,70 @@
+"""Bucketed-table layout: pre-shuffled storage for co-located joins.
+
+The dedup pipeline's expensive joins are all keyed by a content/file
+hash (verify joins on ``file_key``, signature back-joins, incremental
+anti-joins against the previous snapshot's state). At 100 TB those keys
+are stable across runs, so the shuffle that a SortMergeJoin pays on
+EVERY run can instead be paid ONCE at write time: Spark's bucketed
+tables (``bucketBy(n, key)`` + ``saveAsTable``) record the hash
+partitioning in the catalog, and the planner drops the Exchange (and,
+with ``sortBy``, the Sort) on both sides of a same-bucketing equi-join.
+That is the single biggest recurring-cost lever for the incremental
+path: the corpus-state table is read every day and joined on the same
+key every day.
+
+This is the HASH-key layout counterpart to partitioned layout
+(``partitionBy`` directories prune SCANS on low-cardinality columns;
+buckets co-locate JOINS on high-cardinality keys — a corpus table uses
+both: partition by snapshot/lang, bucket by file key).
+
+Caveats encoded here rather than rediscovered:
+- bucket COUNTS must match between join sides, or Spark re-shuffles
+  the smaller-bucketed side (both sides here come from this writer, so
+  the count is an explicit shared parameter);
+- one file per bucket per writing task — repartition by the bucket key
+  before writing so each bucket is one file, not ``tasks × buckets``
+  small files;
+- bucketed tables live in the session catalog (``saveAsTable``); plain
+  ``.parquet(path)`` writes LOSE the bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a parquet table bucketed (and bucket-sorted) by
+    ``key``. Repartitions by the key first so each bucket is a single
+    file per write (the small-files guard above). ``path`` makes it an
+    external table (data at ``path``, bucket metadata in the catalog) —
+    without it the session warehouse dir is used."""
+    w = df.repartition(buckets, key).write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join two same-bucketed catalog tables on their bucket key.
+    With matching bucket counts the plan contains NO Exchange on either
+    side (pinned by test_bucketed_layout) — the join runs bucket-by-
+    bucket on the stored layout."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

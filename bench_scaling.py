@@ -55,6 +55,9 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 PROTOCOL_HISTORY = [
     ("2026-08-17", "round 4", 0.815, 146.98, 45.08),
     ("2026-08-17", "round 5 (identical pipeline code)", 0.680, 149.13, 54.85),
+    # noisy window: BOTH levels elevated on identical pipeline code
+    # (local[2] saw 293/295 s outlier trials) — interference, not code
+    ("2026-08-18", "round 5g (identical pipeline code)", 0.645, 176.40, 68.35),
 ]
 
 CHILD = r"""

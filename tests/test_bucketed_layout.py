@@ -1,0 +1,94 @@
+"""Bucketed-table layout (sources/bucketed.py): the write-once shuffle.
+
+Pins the property the module exists for: an equi-join of two tables
+bucketed on the join key with the SAME bucket count plans with ZERO
+Exchange nodes, while the same join over plain parquet pays a shuffle
+on both sides.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
+
+
+class _no_broadcast:
+    """Force the SortMergeJoin path (broadcast would hide the layout
+    property) and freeze AQE so the static plan is what's inspected."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev_aqe)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = docs.select(
+        F.md5("text").alias("file_key"), F.col("doc_id").alias("old_id")
+    )
+    incoming = docs.select(
+        F.md5("text").alias("file_key"), F.length("text").alias("n_chars2")
+    )
+    write_bucketed(state, "t_state", key="file_key", buckets=8, path=str(root / "s"))
+    write_bucketed(
+        incoming, "t_incoming", key="file_key", buckets=8, path=str(root / "i")
+    )
+    yield "t_state", "t_incoming"
+    spark.sql("DROP TABLE IF EXISTS t_state")
+    spark.sql("DROP TABLE IF EXISTS t_incoming")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    a, b = bucketed_tables
+    with _no_broadcast(spark):
+        df = bucketed_join(spark, a, b, "file_key")
+        plan = _plan(df)
+        rows = df.count()
+    assert "Exchange" not in plan, plan
+    assert rows > 0
+
+
+def test_plain_parquet_join_pays_the_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = docs.select(F.md5("text").alias("file_key"), "doc_id")
+    right = docs.select(F.md5("text").alias("file_key"), "n_chars")
+    with _no_broadcast(spark):
+        plan = _plan(left.join(right, "file_key"))
+    assert "Exchange" in plan
+
+
+def test_bucketed_roundtrip_values(spark, sf_dir, bucketed_tables):
+    a, b = bucketed_tables
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # join cardinality over a key = sum over keys of n_left·n_right = Σn²
+    want = (
+        docs.select(F.md5("text").alias("file_key"))
+        .groupBy("file_key")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    with _no_broadcast(spark):
+        got = bucketed_join(spark, a, b, "file_key").count()
+    assert got == want
