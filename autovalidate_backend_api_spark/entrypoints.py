@@ -4086,6 +4086,54 @@ def kmv_snapshot_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_algebra(old, new)
 
 
+def _hll_by_lang_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import sketches as sk
+
+    a = repr(sk.HLL_ALPHA_NUM)
+    m = sk.HLL_M
+    p49 = 1 << 49
+    bound = repr(sk.HLL_LINEAR_BOUND)
+    s = f"s_nz + ({m} - nz) * {p49}"
+    raw = f"{a} * 2.0 / ({s})"
+    return f"""WITH tok AS (SELECT lang AS grp,
+        string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    tri AS (SELECT grp, unnest(list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))) AS g FROM tok),
+    h1 AS (SELECT grp,
+        CAST('0x' || substr(md5(g), 1, 3) AS BIGINT) % {m} AS bucket,
+        CAST('0x' || substr(md5(g), 4, 12) AS BIGINT) AS w FROM tri),
+    h2 AS (SELECT grp, bucket,
+        CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END AS rho FROM h1),
+    h3 AS (SELECT grp, bucket, max(rho) AS M FROM h2 GROUP BY 1, 2),
+    h4 AS (SELECT grp, CAST(count(*) AS BIGINT) AS nz,
+        CAST(sum((1::BIGINT) << CAST(49 - M AS INT)) AS BIGINT) AS s_nz
+      FROM h3 GROUP BY 1),
+    he AS (SELECT grp, CAST(count(DISTINCT g) AS BIGINT) AS n_exact
+           FROM tri GROUP BY 1)
+    SELECT h4.grp AS lang, n_exact,
+        CAST({m} - nz AS BIGINT) AS n_empty,
+        CAST({s} AS BIGINT) AS reg_sum,
+        CASE WHEN ({raw}) <= {bound} AND ({m} - nz) > 0
+             THEN round({m}.0 * ln({m}.0 / ({m} - nz)), 3)
+             ELSE round({raw}, 3) END AS hll_estimate
+    FROM h4 JOIN he ON h4.grp = he.grp"""
+
+
+# grouped HLL: distinct trigram shingles PER LANGUAGE in one pass —
+# per-lang shingle counts straddle the 2.5m linear/raw boundary at
+# gate scale, so both branches land PER GROUP on both engines.
+@_register("hll_distinct_by_lang", _hll_by_lang_oracle_sql())
+def hll_distinct_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        hll_distinct_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct_by_group(
+        docs, normalize_text_col(F.col("text")), group_col="lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -434,3 +434,70 @@ def kmv_set_algebra(a: DataFrame, b: DataFrame, *, k: int = KMV_K) -> DataFrame:
         F.round(jacc_est, 6).alias("jaccard_est"),
         F.round(jacc_est * union_est, 3).alias("inter_est"),
     )
+
+
+def hll_distinct_by_group(
+    docs: DataFrame, text_col: Column, group_col: str = "lang"
+) -> DataFrame:
+    """Grouped HLL: distinct trigram shingles PER GROUP (lang/source/
+    snapshot) in one pass — the realistic sketch shape at corpus scale,
+    where per-partition vocabulary reports feed the curation mixture
+    decisions. Same register construction as :func:`_hll_one`, keyed by
+    (group, bucket): the exchange carries ≤ groups × m register rows
+    regardless of corpus size, and each group's estimator picks its own
+    linear-counting / raw branch (both branches land at gate scale —
+    per-lang shingle counts straddle the 2.5m boundary). The reg↔exact
+    merge is a group-keyed equi-join, not the 1-row union trick.
+
+    Returns ``<group>, n_exact, n_empty, reg_sum, hll_estimate``.
+    """
+    t = F.split(text_col, " ")
+    d = docs.select(F.col(group_col).alias("grp"), t.alias("t"))
+    n = F.size(F.col("t")) - F.lit(2)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(F.col("t"), i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = d.select("grp", F.explode(grams).alias("g"))
+    h = F.md5(F.col("g"))
+    w = _hex48(h, 4)
+    reg = (
+        terms.select(
+            "grp",
+            _bucket12(h, 1, HLL_M).alias("bucket"),
+            F.when(w > 0, F.lit(49) - F.length(F.bin(w)))
+            .otherwise(F.lit(49))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("M"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("nz"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - M)"))
+            .cast("bigint")
+            .alias("s_nz"),
+        )
+    )
+    exact = terms.groupBy("grp").agg(
+        F.countDistinct("g").cast("bigint").alias("n_exact")
+    )
+    j = reg.join(exact, "grp")
+    n_empty = (F.lit(HLL_M) - F.col("nz")).cast("bigint")
+    reg_sum = (F.col("s_nz") + n_empty * F.lit(1 << 49)).cast("bigint")
+    raw = F.lit(HLL_ALPHA_NUM) * F.lit(2.0) / reg_sum
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_empty)
+    est = F.when(
+        (raw <= F.lit(HLL_LINEAR_BOUND)) & (n_empty > 0), F.round(linear, 3)
+    ).otherwise(F.round(raw, 3))
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n_exact",
+        n_empty.alias("n_empty"),
+        reg_sum.alias("reg_sum"),
+        est.alias("hll_estimate"),
+    )

@@ -68,3 +68,20 @@ def bucketed_join(
     side (pinned by test_bucketed_layout) — the join runs bucket-by-
     bucket on the stored layout."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+) -> None:
+    """Directory-partitioned parquet layout (``partitionBy``): the SCAN
+    counterpart to bucketing — a filter on a partition column prunes
+    whole directories at planning time (zero I/O for excluded values),
+    which is how a 100 TB corpus keeps per-snapshot / per-lang queries
+    from scanning the other snapshots. Partition columns must be
+    low-cardinality (snapshot, lang, source) — high-cardinality keys
+    belong in buckets, not directories (a directory per file key is
+    a small-files catastrophe)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -92,3 +92,22 @@ def test_bucketed_roundtrip_values(spark, sf_dir, bucketed_tables):
     with _no_broadcast(spark):
         got = bucketed_join(spark, a, b, "file_key").count()
     assert got == want
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    from autovalidate_backend_api_spark.sources.bucketed import write_partitioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "part_docs")
+    write_partitioned(docs, path, partition_cols=["lang"])
+    back = spark.read.parquet(path)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    one = langs[0]
+    q = back.filter(F.col("lang") == one).select("doc_id")
+    plan = _plan(q)
+    # the filter must land as a PARTITION filter (directory pruning at
+    # planning time), not a data filter evaluated after reading; note
+    # DataFilters stays empty — nothing is read then discarded
+    assert f" = {one})" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "DataFilters: []" in plan
+    assert q.count() == docs.filter(F.col("lang") == one).count()

@@ -215,3 +215,20 @@ def test_sketch_state_builds_under_streaming(spark, sf_dir, tmp_path):
             for r in builder(batch).collect()
         }
         assert got == want, qname
+
+
+def test_hll_by_group_matches_per_group_singleton(docs):
+    """The grouped sketch must equal running the single-set sketch on
+    each group's slice — register construction is group-independent."""
+    text = normalize_text_col(F.col("text"))
+    grouped = {
+        r["lang"]: (r["n_exact"], r["hll_estimate"])
+        for r in sk.hll_distinct_by_group(docs, text, group_col="lang").collect()
+    }
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert set(grouped) == set(langs)
+    for lang in langs:
+        one = sk._hll_one(
+            sk.trigrams(docs.filter(F.col("lang") == lang), text), "trigram3"
+        ).collect()[0]
+        assert grouped[lang] == (one["n_exact"], one["hll_estimate"]), lang
