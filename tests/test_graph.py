@@ -71,3 +71,61 @@ def test_priority_sample_small_input_exact(spark):
     assert len(out) == 10
     # τ = 0 → est_weight == weight exactly
     assert all(r["est_weight"] == float(r["weight"]) for r in out)
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Independent in-test reference: plain-dict power iteration with
+    the identical constants must agree to ~1e-12 (sum-order float noise
+    only)."""
+    edges = [(f"n{i}", f"n{(i * 5 + 2) % 13}") for i in range(13)] + [
+        (f"n{(i * 5 + 2) % 13}", f"n{i}") for i in range(13)
+    ] + [("n0", "n7"), ("n7", "n0")]
+    edges = sorted(set((s, d) for s, d in edges if s != d))
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pagerank"] for r in pagerank(e, iters=6).collect()}
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    d_f = 0.85
+    base = (1.0 - d_f) / n
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        contrib = {v: 0.0 for v in nodes}
+        for s, dsts in out.items():
+            share = r[s] / len(dsts)
+            for dd in dsts:
+                contrib[dd] += share
+        r = {v: base + d_f * contrib[v] for v in nodes}
+    assert set(got) == set(r)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-12), v
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """Independent reference selection: hashlib md5 + the same IEEE
+    double ops in pure Python must pick the IDENTICAL sample (the
+    bit-exact-selection claim, checked off-engine)."""
+    import hashlib
+
+    rows = [(i, (i * 7) % 23 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, weight bigint")
+    got = [
+        (r["doc_id"], r["weight"], r["priority"], r["est_weight"])
+        for r in priority_sample(df, k=32).collect()
+    ]
+
+    def pri(doc_id, w):
+        h = hashlib.md5(f"ps:{doc_id}".encode()).hexdigest()
+        v = int(h[:12], 16) + 1
+        u = float(v) / float(1 << 48)
+        return float(w) / u
+
+    ref = sorted(
+        ((i, w, pri(i, w)) for i, w in rows), key=lambda t: (-t[2], t[0])
+    )
+    tau = ref[32][2]
+    want = [(i, w, p, max(float(w), tau)) for i, w, p in ref[:32]]
+    assert sorted(got) == sorted(want)
