@@ -4015,7 +4015,10 @@ def repo_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 41) != ((F.col("doc_id") * 13) % 37)
     ).select(a.alias("src"), b.alias("dst"))
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges, iters=5, damping=0.85)
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    # round like the oracle: the iteration sums carry ~1e-17 summation-
+    # order noise and the driver hashes stringified raw doubles
+    return ranks.select("node", F.round("pagerank", 9).alias("pagerank"))
 
 
 def _kmv_set_algebra_oracle_sql() -> str:

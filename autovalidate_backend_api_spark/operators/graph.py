@@ -78,13 +78,26 @@ def pagerank(
 
 
 def pagerank_oracle_sql(
-    edges_cte: str, *, iters: int = 5, damping: float = 0.85, n_nodes: int
+    edges_cte: str,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+    n_nodes: int,
+    round_digits: int = 9,
 ) -> str:
     """DuckDB SQL replaying :func:`pagerank` step-for-step. ``edges_cte``
     must define a CTE named ``e(src, dst)`` (already distinct). The
     caller supplies ``n_nodes`` (structurally known for the gate's
     mod-derived graph); every float constant is a Python ``repr`` so
-    both engines parse the identical double."""
+    both engines parse the identical double.
+
+    The FINAL ranks are rounded to ``round_digits`` (the gate rounds the
+    Spark side identically): the per-iteration contribution sums are the
+    one place the two engines' doubles can differ — summation order is
+    partition-/vectorization-dependent, measured ~1e-17 — and the
+    driver's value hash stringifies raw values, so unrounded ranks would
+    hash-mismatch on bit noise. 1e-17 noise against a 1e-9 rounding
+    step flips a rounded value only within ~2e-8 of a half-boundary."""
     r0 = repr(1.0 / n_nodes)
     base = repr((1.0 - damping) / n_nodes)
     d = repr(damping)
@@ -106,5 +119,5 @@ def pagerank_oracle_sql(
     return (
         f"WITH {edges_cte},\n    "
         + ",\n    ".join(steps)
-        + f"\n    SELECT node, r AS pagerank FROM r{iters}"
+        + f"\n    SELECT node, round(r, {round_digits}) AS pagerank FROM r{iters}"
     )

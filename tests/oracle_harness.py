@@ -63,11 +63,17 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
     for c in a.columns:
         if a[c].dtype == "float64":
-            import numpy as np
-
-            if not np.allclose(a[c].fillna(-1e308), b[c].fillna(-1e308), rtol=0, atol=1e-9):
-                bad = (a[c].fillna(-1e308) - b[c].fillna(-1e308)).abs().idxmax()
-                return False, f"value mismatch col={c} row={bad}: {a[c][bad]} vs {b[c][bad]}"
+            # EXACT equality, not a tolerance: the real driver hashes
+            # STRINGIFIED values, so a 1-ulp float difference is a
+            # driver FAIL. Every float a gate emits must be either the
+            # product of IEEE-exactly-rounded ops on identical inputs
+            # or rounded coarsely enough to collapse engine noise
+            # (repo_pagerank's 1e-17 summation-order drift passed the
+            # old atol=1e-9 compare while being a real driver risk).
+            av, bv = a[c].fillna(-1e308), b[c].fillna(-1e308)
+            if not (av == bv).all():
+                bad = (av != bv).idxmax()
+                return False, f"value mismatch col={c} row={bad}: {a[c][bad]!r} vs {b[c][bad]!r}"
         else:
             if not (a[c] == b[c]).all():
                 bad = (a[c] != b[c]).idxmax()
