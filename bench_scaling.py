@@ -58,6 +58,12 @@ PROTOCOL_HISTORY = [
     # noisy window: BOTH levels elevated on identical pipeline code
     # (local[2] saw 293/295 s outlier trials) — interference, not code
     ("2026-08-18", "round 5g (identical pipeline code)", 0.645, 176.40, 68.35),
+    # second 5g run, hours later: 0.647 ≈ 0.645 — the two same-day runs
+    # agree with each other while both levels sit 14-44% above the
+    # 08-17 minima, i.e. a stable-but-degraded substrate day, not a
+    # regression (a local[8] probe of the identical pipeline hit 22.5 s
+    # vs the r4-tail 23 s known-good between the runs)
+    ("2026-08-18", "round 5g run 2 (identical pipeline code)", 0.647, 167.77, 64.87),
 ]
 
 CHILD = r"""
