@@ -4137,6 +4137,232 @@ def hll_distinct_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic degree-varying graph over 101 nodes: two edge families
+# (quadratic-residue + affine maps mod 101) give ~10% density, hundreds
+# of triangles, and genuinely non-uniform degrees/coefficients. The
+# oracle enumerates each triangle once as an ordered triple x<y<z over
+# the canonical a<b edge set — orientation-free, so it cross-checks the
+# Spark side's degree-oriented (compact-forward) enumeration.
+# affine families (k, c): edge (r, k*r + c mod 101) — each family is a
+# near-permutation; six of them overlap into ~10% density with degree
+# spread, plus the quadratic family for irregularity
+_TRI_FAMS = ((3, 7), (5, 1), (2, 11), (7, 3), (11, 17), (13, 29))
+
+_TRI_EDGES_SQL = (
+    """raw AS (
+      SELECT doc_id % 101 AS u, (doc_id * doc_id + 1) % 101 AS v FROM documents
+"""
+    + "".join(
+        f"      UNION ALL\n      SELECT doc_id % 101, (doc_id * {k} + {c}) % 101 FROM documents\n"
+        for k, c in _TRI_FAMS
+    )
+    + """    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v)"""
+)
+
+_TRI_ORACLE_SQL = f"""WITH {_TRI_EDGES_SQL},
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+            (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+           (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY 1)
+    SELECT d.node, d.degree,
+           CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN CAST(2 * coalesce(tn.triangles, 0) AS DOUBLE)
+                           / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS local_cc
+    FROM deg d LEFT JOIN tn ON d.node = tn.node"""
+
+
+# per-node triangle count + local clustering coefficient over the repo
+# graph — the local-cohesion signal next to repo_pagerank's global one
+# (fork cliques cluster, boilerplate hubs don't). Spark runs the
+# degree-oriented wedge enumeration; the oracle counts ordered triples.
+@_register("graph_triangle_stats", _TRI_ORACLE_SQL)
+def graph_triangle_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    edges = docs.select((d % 101).alias("u"), ((d * d + 1) % 101).alias("v"))
+    for k, c in _TRI_FAMS:
+        edges = edges.unionByName(
+            docs.select((d % 101).alias("u"), ((d * k + c) % 101).alias("v"))
+        )
+    return triangle_stats(edges)
+
+
+# borderline-pair calibration corpus shared by the evaluation gates:
+# each doc gains one variant (token-prefix retention 40-90% by
+# doc_id % 6, three unique junk tokens) so pair similarities SPREAD
+# across the thresholds instead of the natural bimodal (>=0.9 | <=0.1)
+# distribution. `d` = the distinct (doc_id, s) trigram-shingle table.
+_VARIANT_CORPUS_SQL = """base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    var AS (SELECT doc_id + 1000000 AS vid,
+          t[1:greatest(3, (len(t) * (4 + doc_id % 6)) // 10)]
+          || ['q' || CAST(doc_id + 1000000 AS VARCHAR) || 'a',
+              'q' || CAST(doc_id + 1000000 AS VARCHAR) || 'b',
+              'q' || CAST(doc_id + 1000000 AS VARCHAR) || 'c'] AS t
+        FROM base),
+    toks AS (SELECT doc_id, t FROM base UNION ALL SELECT vid AS doc_id, t FROM var),
+    sh AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+           WHERE len(t) >= 3),
+    d AS (SELECT DISTINCT doc_id, s FROM sh)"""
+
+
+def _variant_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _VARIANT_CORPUS_SQL's `d` table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", F.split("text", " ").alias("t"))
+    vid = (F.col("doc_id") + F.lit(1000000)).cast("bigint")
+    var = base.select(
+        vid.alias("doc_id"),
+        F.expr(
+            "concat(slice(t, 1, cast(greatest(3, (size(t) * (4 + doc_id % 6)) div 10) as int)), "
+            "array(concat('q', cast(doc_id + 1000000 as string), 'a'), "
+            "concat('q', cast(doc_id + 1000000 as string), 'b'), "
+            "concat('q', cast(doc_id + 1000000 as string), 'c')))"
+        ).alias("t"),
+    )
+    toks = base.unionByName(var)
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + F.lit(1)),
+            F.element_at(t, i + F.lit(2)),
+        ),
+    )
+    return (
+        toks.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(grams).alias("s"))
+        .distinct()
+    )
+
+
+def _lsh_recall_oracle_sql() -> str:
+    """Generated from the SAME config constants as operators/dedup_eval.py:
+    the md5 MinHash family, band-key string construction, and the integer
+    cross-multiplied truth threshold are replayed verbatim, so the
+    recall/precision NUMBERS are the oracle-checked values."""
+    from autovalidate_backend_api_spark.operators import dedup_eval as de
+
+    num, den = _RECALL_THETA
+    corpus = _VARIANT_CORPUS_SQL
+    shared = f"""cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS ni
+              FROM d a JOIN d b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    truth AS (SELECT src, dst FROM inter
+              JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst
+              WHERE ni * {den} >= {num} * (ca.n + cb.n - ni)),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    px AS (SELECT doc_id, i,
+             min(CAST('0x' || substr(md5('mh' || CAST(i AS VARCHAR) || ':' || s),
+                                     1, 12) AS BIGINT)) AS m
+           FROM d CROSS JOIN (SELECT unnest(range({de.N_PERM})) AS i)
+           GROUP BY 1, 2)"""
+    cfg_ctes, selects = [], []
+    for bands, rows in de.CONFIGS:
+        lb = f"b{bands}r{rows}"
+        cfg_ctes.append(
+            f"""bk_{lb} AS (SELECT doc_id,
+          md5('{lb}' || ':' || CAST(i // {rows} AS VARCHAR) || ':' ||
+              string_agg(CAST(m AS VARCHAR), ':' ORDER BY i)) AS bk
+        FROM px GROUP BY doc_id, i // {rows}),
+    cand_{lb} AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+        FROM bk_{lb} x JOIN bk_{lb} y USING (bk) WHERE x.doc_id < y.doc_id),
+    row_{lb} AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+          CAST(coalesce(sum(CASE WHEN t.src IS NOT NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_detected_pairs
+        FROM cand_{lb} c LEFT JOIN truth t ON c.src = t.src AND c.dst = t.dst)"""
+        )
+        selects.append(
+            f"""SELECT '{lb}' AS config, {bands} AS n_bands, {rows} AS rows_per_band,
+           nt.n_truth AS n_truth_pairs, n_candidate_pairs, n_detected_pairs,
+           round(CAST(n_detected_pairs AS DOUBLE) / CAST(nt.n_truth AS DOUBLE), 6)
+             AS recall,
+           round(CASE WHEN n_candidate_pairs > 0
+                      THEN CAST(n_detected_pairs AS DOUBLE)
+                           / CAST(n_candidate_pairs AS DOUBLE)
+                      ELSE 0.0 END, 6) AS candidate_precision
+        FROM row_{lb}, nt"""
+        )
+    return (
+        f"WITH {corpus},\n    {shared},\n    "
+        + ",\n    ".join(cfg_ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+_RECALL_THETA = (3, 5)  # jaccard >= 0.6, integer cross-multiplied
+
+
+# the north rule's "dup-pair recall >= 0.99" as an OPERATOR: exact truth
+# set (inverted-index join) vs per-banding-config LSH candidates, recall
+# and candidate precision oracle-checked per config. The corpus plants a
+# borderline variant per doc (token-prefix retention 40-90% + unique
+# junk tokens) so truth pairs straddle θ = 0.6 and the two configs'
+# detection probabilities genuinely separate (b4r4 ≈ 0.42 per pair at
+# j = 0.6 vs b8r2 ≈ 0.96) — the report's recall column shows the
+# banding tradeoff, not a vacuous 1.0.
+@_register("lsh_recall_report", _lsh_recall_oracle_sql())
+def lsh_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import lsh_recall_report
+
+    num, den = _RECALL_THETA
+    return lsh_recall_report(
+        _variant_shingles(spark, sf_dir), theta_num=num, theta_den=den
+    )
+
+
+def _simhash_hamming_oracle_sql() -> str:
+    """Brute-force all-pairs oracle over the replayed md5-SimHash —
+    orientation- and blocking-free, so it certifies the pigeonhole
+    chunk join loses nothing."""
+    from autovalidate_backend_api_spark.operators import dedup_eval as de
+
+    return f"""WITH {_VARIANT_CORPUS_SQL},
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h
+          FROM d),
+    bits AS (SELECT doc_id, j,
+               sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+             FROM h CROSS JOIN (SELECT unnest(range({de.SIMHASH_BITS})) AS j)
+             GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+              CAST(sum(CASE WHEN sm > 0
+                            THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+                   AS BIGINT) AS sig
+            FROM bits GROUP BY 1)
+    SELECT a.doc_id AS src, b.doc_id AS dst,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {de.HAM_MAX}"""
+
+
+# SimHash near-dup join made LOSSLESS: 4x12-bit chunk blocking finds
+# every pair at hamming <= 3 by pigeonhole (Manku WWW'07), verified
+# with one native bit_count(xor). The md5-SimHash is pure relational
+# algebra, so the oracle brute-forces ALL pairs — equality certifies
+# the blocked join misses nothing (23 pairs spanning hamming 0-3 at
+# sf0.01 on the variant corpus).
+@_register("simhash_hamming_pairs", _simhash_hamming_oracle_sql())
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        simhash_hamming_pairs,
+    )
+
+    return simhash_hamming_pairs(_variant_shingles(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

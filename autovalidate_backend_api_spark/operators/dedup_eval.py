@@ -1,0 +1,272 @@
+"""Dedup-quality evaluation: LSH recall/precision as a first-class operator.
+
+The north rule's acceptance bar is "dup-pair recall >= 0.99" at a given
+signature config. At 10^12 files you cannot eyeball that — the recall
+MEASUREMENT itself must be a distributed operator a curation run executes
+next to the pipeline: compute the exact-duplicate truth set (at small
+calibration scale, or over a labeled sample at corpus scale), run the
+candidate generator at each banding config under evaluation, and report
+per-config recall / candidate precision. The reference hand-tunes its
+fuzzy threshold against 50 stored eval cases
+(/root/reference/evals/fuzzy_threshold_evals.ipynb); this is that
+calibration loop as a batch operator over a corpus.
+
+Everything is DETERMINISTIC (md5 hash family, the same convention as
+operators/sketches.py) and exact-integer up to single final divisions,
+so the recall/precision NUMBERS are oracle-checked by DuckDB replaying
+the identical MinHash + banding arithmetic — the gate certifies the
+measurement, not just the plumbing.
+
+Scale contract:
+- the truth side is the exact inverted-index similarity join — the
+  calibration-corpus path (a labeled sample at 100 TB), Θ(postings²
+  per shingle), never a cross join;
+- the signature side is one combinable groupBy(doc).agg(16 mins);
+  candidates per config are band-key equi-joins, the same shape as
+  stage_b_lsh at full scale;
+- per-config reductions are single-row aggregates; the only driver
+  value is the bounded n_truth scalar (one BIGINT, same dispensation
+  as pagerank's node count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# band configs under evaluation: (n_bands, rows_per_band); n_bands *
+# rows_per_band = N_PERM for each. b4r4 is precision-leaning (P[detect]
+# = 1-(1-j^4)^4), b8r2 recall-leaning (1-(1-j^2)^8) — at j = 0.6 those
+# are ~0.42 vs ~0.96, so a truth set with borderline mass separates
+# the configs and the reported recalls are genuinely informative.
+N_PERM = 16
+CONFIGS = ((4, 4), (8, 2))
+
+
+def _hex48(col: Column, start: int) -> Column:
+    return F.conv(F.substring(col, start, 12), 16, 10).cast("bigint")
+
+
+def exact_pairs(shingles: DataFrame) -> DataFrame:
+    """(src, dst, ni, na, nb) for every doc pair sharing >= 1 shingle.
+
+    ``shingles`` is a DISTINCT (doc_id, s) table. Inverted-index join:
+    lossless for jaccard > 0, so thresholded truth sets derived from it
+    are exact. Integer columns only — thresholding is done by the
+    caller via cross-multiplication, never a float compare.
+    """
+    cnt = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        shingles.alias("a")
+        .join(shingles.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(
+            cnt.withColumnRenamed("doc_id", "src").withColumnRenamed("n", "na"),
+            "src",
+        )
+        .join(
+            cnt.withColumnRenamed("doc_id", "dst").withColumnRenamed("n", "nb"),
+            "dst",
+        )
+    )
+
+
+def minhash_sigs(shingles: DataFrame, *, n_perm: int = N_PERM) -> DataFrame:
+    """Per-doc MinHash signature as ``n_perm`` 48-bit integer columns
+    m0..m{n-1} (md5 hash family ``mh{p}:`` — deterministic, so DuckDB
+    reproduces every component). One map-side-combinable aggregation;
+    the exchange carries doc-keyed signature rows only."""
+    mins = [
+        F.min(_hex48(F.md5(F.concat(F.lit(f"mh{p}:"), F.col("s"))), 1)).alias(f"m{p}")
+        for p in range(n_perm)
+    ]
+    return shingles.groupBy("doc_id").agg(*mins)
+
+
+def _band_keys(label: str, bands: int, rows: int) -> Column:
+    keys = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows + j}").cast("string") for j in range(rows)]
+        keys.append(
+            F.md5(F.concat_ws(":", F.lit(label), F.lit(str(b)), *cols))
+        )
+    return F.array(*keys)
+
+
+SIMHASH_BITS = 48
+SIMHASH_CHUNKS = 4          # 4 x 12-bit chunks
+_CHUNK_W = SIMHASH_BITS // SIMHASH_CHUNKS
+HAM_MAX = SIMHASH_CHUNKS - 1  # pigeonhole: <= chunks-1 flips can't miss all chunks
+
+
+def simhash48(shingles: DataFrame) -> DataFrame:
+    """Per-doc 48-bit SimHash from the md5 hash family — the
+    ORACLE-REPRODUCIBLE simhash (the production OPH/SimHash signatures
+    live in functions/hashing.py behind an Arrow UDF; this one is pure
+    relational algebra so DuckDB replays the VALUE, not just the
+    determinism invariant that `simhash_selfcheck` pins).
+
+    bit_j = 1 iff sum over distinct shingles of sign_j(md5(s)) > 0
+    (sign = +1 when hash bit j set, else -1; ties -> 0). The per-bit
+    sums are 48 map-side-combinable agg COLUMNS (not a 48x explode):
+    the exchange carries one doc-width row per doc per partition,
+    Θ(|docs|) however large the shingle table.
+    """
+    h = _hex48(F.md5(F.col("s")), 1)
+    hh = shingles.select("doc_id", h.alias("h"))
+    sums = [
+        F.sum(
+            F.expr(f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END")
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hh.groupBy("doc_id").agg(*sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("sig"))
+
+
+def simhash_hamming_pairs(
+    shingles: DataFrame, *, ham_max: int = HAM_MAX
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= ``ham_max`` — LOSSLESS
+    by pigeonhole: the 48-bit signature splits into ``SIMHASH_CHUNKS``
+    12-bit chunks, and a pair differing in <= chunks-1 bits must agree
+    on at least one whole chunk, so the chunk equi-join finds every
+    qualifying pair (this is how SimHash dedup stays exact at corpus
+    scale — Manku et al., WWW'07, the Google near-dup crawler design).
+    Candidates are verified with one bit_count(xor) — native JVM ops.
+
+    Scale: the chunk join is the only exchange beyond the signature
+    agg; hot chunks (a common bit pattern) are the skew surface — at
+    10^12 files add the count-first hot-bucket cap exactly as
+    stage_b_lsh does. Requires ``ham_max <= SIMHASH_CHUNKS - 1`` to
+    keep the pigeonhole guarantee."""
+    if ham_max > SIMHASH_CHUNKS - 1:
+        raise ValueError("pigeonhole guarantee needs ham_max <= chunks-1")
+    sigs = simhash48(shingles).persist()
+    chunk_rows = []
+    for c in range(SIMHASH_CHUNKS):
+        chunk_rows.append(
+            F.struct(
+                F.lit(c).alias("c"),
+                F.expr(f"(sig >> {c * _CHUNK_W}) & {(1 << _CHUNK_W) - 1}").alias(
+                    "v"
+                ),
+            )
+        )
+    ct = sigs.select(
+        "doc_id", F.explode(F.array(*chunk_rows)).alias("ch")
+    ).select("doc_id", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    cand = (
+        ct.alias("x")
+        .join(ct.alias("y"), ["c", "v"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("src"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("dst"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "src")
+        .join(sb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
+def lsh_recall_report(
+    shingles: DataFrame,
+    *,
+    theta_num: int = 3,
+    theta_den: int = 5,
+    n_perm: int = N_PERM,
+    configs: tuple[tuple[int, int], ...] = CONFIGS,
+) -> DataFrame:
+    """Per-banding-config recall/precision report against the exact
+    truth set ``jaccard >= theta_num/theta_den`` (integer
+    cross-multiplied — no float threshold compare).
+
+    Returns one row per config:
+    ``config, n_bands, rows_per_band, n_truth_pairs, n_candidate_pairs,
+    n_detected_pairs, recall, candidate_precision`` where detected = candidate
+    pairs that are true pairs (the exact-verify stage downstream of
+    candidate generation keeps exactly these). recall and precision are
+    single IEEE divisions of exactly representable BIGINTs, rounded at
+    6 per the house float-oracle contract.
+    """
+    sh = shingles.persist()
+    pairs = exact_pairs(sh)
+    is_dup = (
+        F.col("ni") * theta_den >= theta_num * (F.col("na") + F.col("nb") - F.col("ni"))
+    )
+    truth = pairs.select("src", "dst", is_dup.alias("is_dup")).filter("is_dup").persist()
+    n_truth = truth.count()  # bounded scalar: one BIGINT to the driver
+    sigs = minhash_sigs(sh, n_perm=n_perm).persist()
+
+    out = None
+    for bands, rows in configs:
+        label = f"b{bands}r{rows}"
+        bt = sigs.select(
+            "doc_id", F.explode(_band_keys(label, bands, rows)).alias("bk")
+        )
+        cand = (
+            bt.alias("x")
+            .join(bt.alias("y"), "bk")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst")
+            )
+            .distinct()
+        )
+        row = (
+            cand.join(truth, ["src", "dst"], "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_candidate_pairs"),
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("is_dup").cast("int"), F.lit(0))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_detected_pairs"),
+            )
+            .select(
+                F.lit(label).alias("config"),
+                F.lit(bands).alias("n_bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.lit(n_truth).cast("bigint").alias("n_truth_pairs"),
+                "n_candidate_pairs",
+                "n_detected_pairs",
+                (
+                    F.lit(0.0)
+                    if n_truth == 0
+                    else F.round(
+                        F.col("n_detected_pairs").cast("double")
+                        / F.lit(float(n_truth)),
+                        6,
+                    )
+                ).alias("recall"),
+                F.round(
+                    F.when(
+                        F.col("n_candidate_pairs") > 0,
+                        F.col("n_detected_pairs").cast("double")
+                        / F.col("n_candidate_pairs").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("candidate_precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -77,6 +77,93 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("pagerank"))
 
 
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as ``edges(u, v)`` (any orientation,
+    multi-edges/self-loops tolerated — canonicalized and deduped here).
+
+    The repo-graph sibling of :func:`pagerank`: where PageRank scores
+    global authority, the clustering coefficient scores local cohesion
+    — fork families and vendored-copy cliques in the repo-overlap graph
+    are near-cliques (cc → 1), while hub-and-spoke boilerplate sharing
+    is triangle-free (cc → 0) — a structural signal a curation run uses
+    to separate "genuine fork cluster" from "everyone vendors this
+    file" before keep-one election.
+
+    Enumeration is DEGREE-ORIENTED (compact-forward; Schank & Wagner
+    2005, the node-iterator++ of Suri & Vassilvitskii WWW'11): each
+    canonical edge is directed from its lower-(degree, id) endpoint to
+    the higher, wedges are built only among OUT-neighbors (out-degree
+    ≤ O(sqrt(2m)) by construction, so the wedge join is
+    Θ(Σ outdeg²) = Θ(m^1.5) worst-case instead of Θ(Σ deg²), which a
+    hub node makes quadratic), and each wedge is closed with one
+    equi-join against the canonical edge set. Every join is an
+    equi-join on node keys — shuffle-partitioned, AQE-skew-handled,
+    nothing broadcast, nothing collected.
+
+    local_cc = 2·T(v) / (deg(v)·(deg(v)−1)) is one IEEE-exact division
+    of exactly representable BIGINTs (rounded at 6 per the house float
+    contract), so the coefficients themselves are oracle-checkable.
+    """
+    a, b = F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .persist()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).persist()
+    # wedges among out-neighbors; close against the canonical edge set
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, "src")
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select(
+            F.col("src").alias("apex"),
+            F.col("x.dst").alias("a"),
+            F.col("y.dst").alias("b"),
+        )
+    )
+    tri = wedges.join(e, ["a", "b"], "inner")
+    tcount = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("a").alias("node")))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    out = deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2) * F.coalesce(F.col("triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("local_cc"),
+    )
+    return out
+
+
 def pagerank_oracle_sql(
     edges_cte: str,
     *,

@@ -102,6 +102,13 @@ GATE_QUERIES = [
     "repo_file_overlap_pairs",
     # repo-tier cluster assignment (overlap edges + Stage-D CC)
     "repo_fork_clusters",
+    # r5g: the sketch layer (fixed-size state: HLL registers over all
+    # trigram shingles) and the weighted corpus sample (priority cut)
+    "hll_distinct_report",
+    "priority_sample_docs",
+    # r5h: the recall measurement itself as an operator (exact truth
+    # join + two banding configs — the north-rule number, oracle-checked)
+    "lsh_recall_report",
 ]
 
 

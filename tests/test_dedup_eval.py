@@ -1,0 +1,145 @@
+"""triangle_stats (operators/graph.py) and lsh_recall_report
+(operators/dedup_eval.py) invariants on hand-checkable graphs/corpora."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from autovalidate_backend_api_spark.operators.dedup_eval import (
+    exact_pairs,
+    lsh_recall_report,
+)
+from autovalidate_backend_api_spark.operators.graph import triangle_stats
+
+
+def _rows(df):
+    return {r["node"]: r for r in df.collect()}
+
+
+def test_triangle_stats_k4_plus_pendant(spark):
+    k4 = list(combinations([1, 2, 3, 4], 2))
+    e = spark.createDataFrame(k4 + [(5, 1)], "u bigint, v bigint")
+    out = _rows(triangle_stats(e))
+    # nodes 2,3,4: deg 3 inside K4, every neighbor pair adjacent
+    for n in (2, 3, 4):
+        assert (out[n]["degree"], out[n]["triangles"]) == (3, 3)
+        assert out[n]["local_cc"] == 1.0
+    # node 1: deg 4 (K4 + pendant), 3 triangles of 6 possible wedges
+    assert (out[1]["degree"], out[1]["triangles"]) == (4, 3)
+    assert out[1]["local_cc"] == 0.5
+    # pendant: no wedge
+    assert (out[5]["degree"], out[5]["triangles"], out[5]["local_cc"]) == (1, 0, 0.0)
+
+
+def test_triangle_stats_canonicalizes_input(spark):
+    """Reversed duplicates and self-loops must not change any count."""
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 1), (2, 2), (1, 2)]
+    a = sorted(triangle_stats(spark.createDataFrame(base, "u int, v int")).collect())
+    b = sorted(triangle_stats(spark.createDataFrame(noisy, "u int, v int")).collect())
+    assert a == b
+
+
+def _shingles(spark, docs: dict[int, list[str]]):
+    rows = [(d, s) for d, ss in docs.items() for s in ss]
+    return spark.createDataFrame(rows, "doc_id bigint, s string").distinct()
+
+
+def test_lsh_recall_identical_pair_always_detected(spark):
+    """Identical shingle sets produce identical signatures, hence the
+    same band keys in EVERY config: truth=detected=1, recall 1.0."""
+    sh = _shingles(
+        spark,
+        {
+            1: ["a b c", "b c d", "c d e", "d e f", "e f g"],
+            2: ["a b c", "b c d", "c d e", "d e f", "e f g"],
+            3: ["x y z", "y z w", "z w v", "w v u", "v u t"],
+        },
+    )
+    out = {r["config"]: r for r in lsh_recall_report(sh).collect()}
+    assert set(out) == {"b4r4", "b8r2"}
+    for r in out.values():
+        assert r["n_truth_pairs"] == 1
+        assert r["n_detected_pairs"] == 1
+        assert r["recall"] == 1.0
+        assert r["n_candidate_pairs"] >= r["n_detected_pairs"]
+
+
+def test_lsh_recall_sub_threshold_pair_not_truth(spark):
+    """A pair at jaccard 0.25 (< theta 0.6) contributes to candidates at
+    most, never to truth/detected."""
+    sh = _shingles(
+        spark,
+        {
+            1: ["a b c", "b c d", "c d e", "d e f", "e f g"],
+            2: ["a b c", "b c d", "p q r", "q r s", "r s t"],
+        },
+    )
+    for r in lsh_recall_report(sh).collect():
+        assert r["n_truth_pairs"] == 0
+        assert r["n_detected_pairs"] == 0
+        assert r["recall"] == 0.0
+
+
+def test_exact_pairs_matches_python_reference(spark):
+    """exact_pairs against an in-test brute-force over random-ish sets."""
+    docs = {
+        i: [f"g{(i * j + k) % 17}" for j in (1, 3, 5) for k in range(4)]
+        for i in range(8)
+    }
+    sets = {i: set(ss) for i, ss in docs.items()}
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        ni = len(sets[a] & sets[b])
+        if ni:
+            expected[(a, b)] = (ni, len(sets[a]), len(sets[b]))
+    got = {
+        (r["src"], r["dst"]): (r["ni"], r["na"], r["nb"])
+        for r in exact_pairs(_shingles(spark, docs)).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_hamming_pairs_lossless_vs_bruteforce(spark):
+    """The chunk-blocked join must find EXACTLY the brute-force pairs at
+    hamming <= 3 (pigeonhole: 4 chunks, <= 3 flips)."""
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        simhash48,
+        simhash_hamming_pairs,
+    )
+
+    docs = {
+        i: [f"t{(i * j + k) % 29} u{(i + j * k) % 31} v{k}" for j in (1, 2, 3) for k in range(6)]
+        for i in range(24)
+    }
+    # identical cluster (hamming 0 — one changed shingle in a small set
+    # flips ~10 of 48 bits, so near-identical is NOT near in hamming)
+    for i in (100, 101, 102):
+        docs[i] = [f"c{k} c{k+1} c{k+2}" for k in range(12)]
+    sh = _shingles(spark, docs)
+    sigs = {r["doc_id"]: r["sig"] for r in simhash48(sh).collect()}
+    ids = sorted(sigs)
+    expected = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(ids, 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in simhash_hamming_pairs(sh).collect()
+    }
+    assert got == expected
+    # the planted identical cluster appears as hamming-0 pairs
+    assert got[(100, 101)] == 0 and got[(100, 102)] == 0 and got[(101, 102)] == 0
+
+
+def test_simhash_hamming_ham_max_guard(spark):
+    import pytest as _pytest
+
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        simhash_hamming_pairs,
+    )
+
+    sh = _shingles(spark, {1: ["a b c"], 2: ["a b c"]})
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(sh, ham_max=4)
