@@ -4363,6 +4363,51 @@ def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(_variant_shingles(spark, sf_dir))
 
 
+def _bbit_minhash_oracle_sql() -> str:
+    """Brute-force all-pairs replay of the b-bit estimator: the
+    candidate equi-join is lossless for full_matches >= 1, so the
+    oracle's >= min_matches filter selects the identical pair set; the
+    debias constants are Python-repr'd so both engines run the same
+    dyadic-exact subtraction + one division."""
+    from autovalidate_backend_api_spark.operators import dedup_eval as de
+
+    mask = (1 << de.BBIT_B) - 1
+    c = repr(2.0 ** (-de.BBIT_B))
+    one_minus_c = repr(1.0 - 2.0 ** (-de.BBIT_B))
+    np = float(de.N_PERM)
+    return f"""WITH {_VARIANT_CORPUS_SQL},
+    px AS (SELECT doc_id, i,
+             min(CAST('0x' || substr(md5('mh' || CAST(i AS VARCHAR) || ':' || s),
+                                     1, 12) AS BIGINT)) AS m
+           FROM d CROSS JOIN (SELECT unnest(range({de.N_PERM})) AS i)
+           GROUP BY 1, 2),
+    pm AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+             CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_matches,
+             CAST(sum(CASE WHEN (a.m & {mask}) = (b.m & {mask})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bbit_matches
+           FROM px a JOIN px b ON a.i = b.i AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT src, dst, full_matches, bbit_matches,
+           round(CAST(full_matches AS DOUBLE) / {np!r}, 6) AS est_full,
+           round((CAST(bbit_matches AS DOUBLE) / {np!r} - {c})
+                 / {one_minus_c}, 6) AS est_bbit
+    FROM pm WHERE full_matches >= {de.BBIT_MIN_MATCHES}"""
+
+
+# b-bit minwise hashing (Li & König WWW'10) over the same calibration
+# corpus: full-width vs debiased 8-bit estimates side by side, both
+# value-hash-checked — the signature-storage lever at 10^12 files
+# (6x smaller signatures, same candidate join shape).
+@_register("bbit_minhash_pairs", _bbit_minhash_oracle_sql())
+def bbit_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        bbit_minhash_pairs,
+    )
+
+    return bbit_minhash_pairs(_variant_shingles(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -97,6 +97,110 @@ def _band_keys(label: str, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+BBIT_B = 8                    # low bits kept per component
+BBIT_MIN_MATCHES = 4          # emit pairs with >= 4/16 full-component hits
+
+
+def bbit_minhash_pairs(
+    shingles: DataFrame,
+    *,
+    b: int = BBIT_B,
+    min_matches: int = BBIT_MIN_MATCHES,
+    n_perm: int = N_PERM,
+) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW'10): keep only the low
+    ``b`` bits of each MinHash component — a 6× signature-storage cut
+    at b=8/48-bit components, THE lever when 10^12 signatures must stay
+    on fast storage — and report, per candidate pair, the full-width
+    estimate next to the debiased b-bit estimate:
+
+        est_bbit = (frac_collisions − C) / (1 − C),  C = 2^−b
+
+    (random low-bit collisions happen at rate C even for unrelated
+    sets; the published estimator removes that bias). frac = k/16 and C
+    are exact dyadic doubles, their difference is exact, and the final
+    division is one IEEE rounding — so the DuckDB oracle reproduces the
+    ESTIMATES bit-for-bit and the gate certifies the estimator, not
+    just the plumbing.
+
+    Candidates come from the full-component equi-join (share >= 1 of
+    n_perm component VALUES — lossless for any ``min_matches`` >= 1,
+    so the brute-force oracle's >= min_matches filter selects the
+    identical pair set); match counts are then recomputed componentwise
+    from the two signature rows (merge-join width, no re-shuffle of the
+    component table).
+    """
+    sigs = minhash_sigs(shingles, n_perm=n_perm).persist()
+    comp = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"m{i}").alias("m")
+                    )
+                    for i in range(n_perm)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.i").alias("i"), F.col("c.m").alias("m"))
+    cand = (
+        comp.alias("x")
+        .join(comp.alias("y"), ["i", "m"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("src"),
+        *[F.col(f"m{i}").alias(f"ma{i}") for i in range(n_perm)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("dst"),
+        *[F.col(f"m{i}").alias(f"mb{i}") for i in range(n_perm)],
+    )
+    mask = (1 << b) - 1
+    full = sum(
+        F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
+        for i in range(n_perm)
+    )
+    bbit = sum(
+        F.when(
+            F.expr(f"(ma{i} & {mask}) = (mb{i} & {mask})"), 1
+        ).otherwise(0)
+        for i in range(n_perm)
+    )
+    c_bias = 2.0 ** (-b)
+    return (
+        cand.join(sa, "src")
+        .join(sb, "dst")
+        .select(
+            "src",
+            "dst",
+            full.cast("bigint").alias("full_matches"),
+            bbit.cast("bigint").alias("bbit_matches"),
+        )
+        .filter(F.col("full_matches") >= min_matches)
+        .select(
+            "src",
+            "dst",
+            "full_matches",
+            "bbit_matches",
+            F.round(
+                F.col("full_matches").cast("double") / F.lit(float(n_perm)), 6
+            ).alias("est_full"),
+            F.round(
+                (
+                    F.col("bbit_matches").cast("double") / F.lit(float(n_perm))
+                    - F.lit(c_bias)
+                )
+                / F.lit(1.0 - c_bias),
+                6,
+            ).alias("est_bbit"),
+        )
+    )
+
+
 SIMHASH_BITS = 48
 SIMHASH_CHUNKS = 4          # 4 x 12-bit chunks
 _CHUNK_W = SIMHASH_BITS // SIMHASH_CHUNKS

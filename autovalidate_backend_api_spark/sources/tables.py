@@ -85,3 +85,22 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = df.filter(F.col("_corrupt").isNotNull())
     return clean, bad
+
+
+def write_orc(df: DataFrame, path: str, *, compression: str = "zstd") -> None:
+    """ORC corpus sink — the other columnar format an Iceberg warehouse
+    commonly carries (Iceberg tables can mix parquet and ORC data
+    files). Same pruning/pushdown story as parquet: stripe-level
+    min/max indexes serve predicate pushdown, and the columnar layout
+    serves projection pruning, so downstream dedup scans read only
+    (repo, path, content-hash) widths."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Explicit-schema ORC read. ORC files are self-describing; the
+    explicit schema is still applied so column order/types are pinned
+    by code (schema drift fails loudly at read time, not later at a
+    join). No corrupt-record channel: ORC is binary-framed, so a bad
+    file fails the scan rather than yielding quarantine rows."""
+    return spark.read.schema(schema).orc(path)

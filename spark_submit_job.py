@@ -55,6 +55,10 @@ def main() -> None:
                     help="also write the fixed-size corpus inventory "
                          "(HLL distinct report + Count-Min heavy hitters "
                          "+ frequency spectrum; requires --output)")
+    ap.add_argument("--recall-report", action="store_true",
+                    help="also write the per-banding-config LSH "
+                         "recall/precision calibration report against "
+                         "the exact pair truth set (requires --output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -180,6 +184,45 @@ def main() -> None:
         back = spark.read.parquet(f"{args.output}/sketch_hll")
         summary["sketch_distinct"] = {
             r["granularity"]: r["hll_estimate"] for r in back.collect()
+        }
+
+    if args.recall_report:
+        if not args.output:
+            ap.error("--recall-report requires --output")
+        # Calibration loop as a job step: exact truth (the labeled-
+        # sample path at corpus scale) vs each banding config, so the
+        # recall >= 0.99 acceptance number is MEASURED per run, not
+        # assumed. Doc identity = repo:path; shingles = token trigrams.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.dedup_eval import (
+            lsh_recall_report,
+        )
+
+        toks = corpus.select(
+            F.concat_ws(":", "repo", "path").alias("doc_id"),
+            F.split("content", "\\s+").alias("t"),
+        )
+        t = F.col("t")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + F.lit(1)),
+                F.element_at(t, i + F.lit(2)),
+            ),
+        )
+        shingles = (
+            toks.filter(F.size(t) >= 3)
+            .select("doc_id", F.explode(grams).alias("s"))
+            .distinct()
+        )
+        rep = lsh_recall_report(shingles)
+        rep.write.mode("overwrite").parquet(f"{args.output}/recall_report")
+        back = spark.read.parquet(f"{args.output}/recall_report")
+        summary["recall"] = {
+            r["config"]: r["recall"] for r in back.collect()
         }
 
     print(json.dumps(summary))

@@ -143,3 +143,55 @@ def test_simhash_hamming_ham_max_guard(spark):
     sh = _shingles(spark, {1: ["a b c"], 2: ["a b c"]})
     with _pytest.raises(ValueError):
         simhash_hamming_pairs(sh, ham_max=4)
+
+
+def test_bbit_minhash_matches_python_reference(spark):
+    """Operator vs an independent in-test Python replay of the md5
+    MinHash family and the published debiased b-bit estimator."""
+    import hashlib
+
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        N_PERM,
+        bbit_minhash_pairs,
+    )
+
+    docs = {
+        1: [f"s{k}" for k in range(20)],
+        2: [f"s{k}" for k in range(20)],          # identical to 1
+        3: [f"s{k}" for k in range(10)] + [f"z{k}" for k in range(10)],
+        4: [f"w{k}" for k in range(20)],           # disjoint
+    }
+
+    def comp(shingle_set, i):
+        return min(
+            int(hashlib.md5(f"mh{i}:{s}".encode()).hexdigest()[:12], 16)
+            for s in shingle_set
+        )
+
+    sigs = {d: [comp(set(ss), i) for i in range(N_PERM)] for d, ss in docs.items()}
+    c = 2.0 ** -8
+    expected = {}
+    for a, b in combinations(sorted(docs), 2):
+        full = sum(sigs[a][i] == sigs[b][i] for i in range(N_PERM))
+        bbit = sum(
+            (sigs[a][i] & 255) == (sigs[b][i] & 255) for i in range(N_PERM)
+        )
+        if full >= 1:
+            expected[(a, b)] = (
+                full,
+                bbit,
+                round(full / 16.0, 6),
+                round((bbit / 16.0 - c) / (1.0 - c), 6),
+            )
+    got = {
+        (r["src"], r["dst"]): (
+            r["full_matches"],
+            r["bbit_matches"],
+            r["est_full"],
+            r["est_bbit"],
+        )
+        for r in bbit_minhash_pairs(_shingles(spark, docs), min_matches=1).collect()
+    }
+    assert got == expected
+    # identical docs: both estimators saturate at exactly 1.0
+    assert got[(1, 2)] == (16, 16, 1.0, 1.0)

@@ -48,3 +48,35 @@ def test_corpus_json_lines_explicit_schema(spark, tmp_path):
     assert [f.name for f in clean.schema.fields] == [
         "repo", "path", "commit", "lang", "content",
     ]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write → explicit-schema read roundtrip; filters and
+    projections reach the ORC scan (PushedFilters / narrow ReadSchema)."""
+    from autovalidate_backend_api_spark.sources.tables import (
+        CORPUS_SCHEMA,
+        read_orc,
+        write_orc,
+    )
+
+    rows = [
+        (f"r{i % 3}", f"src/f{i}.py", f"c{i}", "py", f"def f{i}(): pass")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    path = str(tmp_path / "corpus_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, CORPUS_SCHEMA)
+    assert back.schema == CORPUS_SCHEMA
+    assert sorted(r["path"] for r in back.collect()) == sorted(
+        r[1] for r in rows
+    )
+    plan = (
+        back.filter(back.repo == "r1")
+        .select("repo", "path")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(repo), EqualTo(repo,r1)]" in plan
+    assert "content" not in plan.split("ReadSchema")[1][:120]
