@@ -4408,6 +4408,164 @@ def bbit_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbit_minhash_pairs(_variant_shingles(spark, sf_dir))
 
 
+_PQ_ORACLE_SQL = """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  sub AS (SELECT vec_id, mi, v[mi*16+1 : mi*16+16] AS xv
+          FROM e CROSS JOIN (SELECT unnest(range(4)) AS mi)),
+  cb AS (SELECT vec_id AS cid, mi, xv AS cv FROM sub WHERE vec_id < 16),
+  codes AS (SELECT nid, mi, cid FROM (
+      SELECT s.vec_id AS nid, s.mi, c.cid,
+        row_number() OVER (PARTITION BY s.vec_id, s.mi
+          ORDER BY round(list_dot_product(s.xv, c.cv)
+                         - list_dot_product(c.cv, c.cv) / 2.0, 9) DESC,
+                   c.cid) AS r
+      FROM sub s JOIN cb c ON s.mi = c.mi) WHERE r = 1),
+  qp AS (SELECT s.vec_id AS qid, s.mi, c.cid,
+           list_dot_product(s.xv, c.cv) AS pdot
+         FROM sub s JOIN cb c ON s.mi = c.mi WHERE s.vec_id < 20),
+  one AS (SELECT qp.qid, codes.nid,
+            max(CASE WHEN codes.mi = 0 THEN pdot END) AS p0,
+            max(CASE WHEN codes.mi = 1 THEN pdot END) AS p1,
+            max(CASE WHEN codes.mi = 2 THEN pdot END) AS p2,
+            max(CASE WHEN codes.mi = 3 THEN pdot END) AS p3
+          FROM codes JOIN qp ON codes.mi = qp.mi AND codes.cid = qp.cid
+          WHERE qp.qid <> codes.nid GROUP BY 1, 2),
+  b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+  est AS (SELECT qid, nid, round(((p0 + p1) + p2) + p3, 6) AS est_dot FROM one),
+  sc AS (SELECT est.qid, est.nid, est.est_dot,
+           round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS exact_cos
+         FROM est JOIN b q ON q.vec_id = est.qid JOIN b n ON n.vec_id = est.nid)
+  SELECT qid, nid, est_dot, exact_cos, CAST(rnk AS INT) AS rnk FROM (
+    SELECT qid, nid, est_dot, exact_cos,
+           row_number() OVER (PARTITION BY qid ORDER BY est_dot DESC, nid) AS rnk
+    FROM sc) WHERE rnk <= 5"""
+
+
+# product-quantization ADC top-k (Jégou et al. TPAMI'11): vectors stored
+# as 4 codebook codes (2 bytes vs 256 — the embedding-side compression
+# sibling of bbit_minhash_pairs); query-vector dots estimated as one
+# explicit left-assoc sum of 4 precomputed query-centroid partials, so
+# the oracle reproduces the ESTIMATE bit-for-bit; exact cosine rides
+# along pinning the error envelope.
+@_register("pq_adc_topk", _PQ_ORACLE_SQL)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, m=4, ks=16
+    )
+
+
+def _ann_recall_oracle_sql(k: int = 5, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Four-way replay: exact brute-force top-k + all three approximate
+    paths (sign-LSH, IVF-flat, PQ/ADC — verbatim adaptations of their
+    standalone gate oracles under per-method CTE prefixes), reduced to
+    the per-method hits/recall row. The recall NUMBERS are the
+    value-hash-checked output."""
+    from autovalidate_backend_api_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    probe_masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(n_planes)])
+
+    def report_row(name: str, topk_cte: str) -> str:
+        return f"""SELECT '{name}' AS method, {k} AS k, ne.n AS n_exact_pairs,
+         h.n_hits,
+         round(CAST(h.n_hits AS DOUBLE) / CAST(ne.n AS DOUBLE), 6) AS recall_at_k
+       FROM (SELECT CAST(count(*) AS BIGINT) AS n_hits
+             FROM {topk_cte} t JOIN ex ON t.qid = ex.qid AND t.nid = ex.nid) h, ne"""
+
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+  q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM b WHERE vec_id < 20),
+  ex AS (SELECT qid, nid FROM (
+     SELECT q.qid, bb.vec_id AS nid,
+       row_number() OVER (PARTITION BY q.qid
+         ORDER BY round(list_dot_product(q.qv, bb.v) / (q.qn * bb.nrm), 6) DESC,
+                  bb.vec_id) AS rnk
+     FROM q JOIN b bb ON bb.vec_id != q.qid) WHERE rnk <= {k}),
+  ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+  ab AS (SELECT vec_id, v, nrm, ({bucket_terms}) AS bucket FROM b),
+  aq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
+         FROM ab WHERE vec_id < 20),
+  ap AS (SELECT qid, qv, qn, xor(qbucket, m) AS bucket
+         FROM aq, (SELECT unnest([{probe_masks}]) AS m)),
+  ac AS (SELECT DISTINCT p.qid, bb.vec_id AS nid,
+                round(list_dot_product(p.qv, bb.v) / (p.qn * bb.nrm), 6) AS cos
+         FROM ap p JOIN ab bb USING (bucket) WHERE bb.vec_id != p.qid),
+  ak AS (SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+     FROM ac) WHERE rnk <= {k}),
+  ic AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM b WHERE vec_id < 32),
+  ia AS (SELECT nid, nv, nn, cell FROM (
+     SELECT bb.vec_id AS nid, bb.v AS nv, bb.nrm AS nn, ic.cid AS cell,
+            row_number() OVER (PARTITION BY bb.vec_id
+              ORDER BY round(list_dot_product(bb.v, ic.cv) / (bb.nrm * ic.cn), 9) DESC,
+                       ic.cid) AS r
+     FROM b bb CROSS JOIN ic) WHERE r = 1),
+  ip AS (SELECT qid, qv, qn, cell FROM (
+     SELECT q.qid, q.qv, q.qn, ic.cid AS cell,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY round(list_dot_product(q.qv, ic.cv) / (q.qn * ic.cn), 9) DESC,
+                       ic.cid) AS r
+     FROM q CROSS JOIN ic) WHERE r <= 4),
+  icc AS (SELECT DISTINCT p.qid, a.nid,
+                 round(list_dot_product(p.qv, a.nv) / (p.qn * a.nn), 6) AS cos
+          FROM ip p JOIN ia a USING (cell) WHERE a.nid != p.qid),
+  ik AS (SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+     FROM icc) WHERE rnk <= {k}),
+  psub AS (SELECT vec_id, mi, v[mi*16+1 : mi*16+16] AS xv
+           FROM e CROSS JOIN (SELECT unnest(range(4)) AS mi)),
+  pcb AS (SELECT vec_id AS cid, mi, xv AS cv FROM psub WHERE vec_id < 16),
+  pcodes AS (SELECT nid, mi, cid FROM (
+      SELECT s.vec_id AS nid, s.mi, c.cid,
+        row_number() OVER (PARTITION BY s.vec_id, s.mi
+          ORDER BY round(list_dot_product(s.xv, c.cv)
+                         - list_dot_product(c.cv, c.cv) / 2.0, 9) DESC,
+                   c.cid) AS r
+      FROM psub s JOIN pcb c ON s.mi = c.mi) WHERE r = 1),
+  pqp AS (SELECT s.vec_id AS qid, s.mi, c.cid,
+            list_dot_product(s.xv, c.cv) AS pdot
+          FROM psub s JOIN pcb c ON s.mi = c.mi WHERE s.vec_id < 20),
+  pone AS (SELECT pqp.qid, pcodes.nid,
+             max(CASE WHEN pcodes.mi = 0 THEN pdot END) AS p0,
+             max(CASE WHEN pcodes.mi = 1 THEN pdot END) AS p1,
+             max(CASE WHEN pcodes.mi = 2 THEN pdot END) AS p2,
+             max(CASE WHEN pcodes.mi = 3 THEN pdot END) AS p3
+           FROM pcodes JOIN pqp ON pcodes.mi = pqp.mi AND pcodes.cid = pqp.cid
+           WHERE pqp.qid <> pcodes.nid GROUP BY 1, 2),
+  pest AS (SELECT qid, nid, round(((p0 + p1) + p2) + p3, 6) AS est_dot FROM pone),
+  pk AS (SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY est_dot DESC, nid) AS rnk
+     FROM pest) WHERE rnk <= {k})
+  {report_row("sign_lsh", "ak")}
+  UNION ALL {report_row("ivf_flat", "ik")}
+  UNION ALL {report_row("pq_adc", "pk")}"""
+
+
+# recall@k of every approximate vector-search path (sign-LSH multiprobe,
+# IVF-flat, PQ/ADC) against the exact brute-force top-k — the
+# vector-side calibration report next to lsh_recall_report: the
+# approximation/recall tradeoff as a measured, oracle-checked number
+# per method instead of a claim.
+@_register("ann_recall_report", _ann_recall_oracle_sql())
+def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

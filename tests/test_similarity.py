@@ -377,3 +377,42 @@ def test_ivf_empty_sampled_codebook_falls_back_to_bruteforce(spark):
     truth = {(r["qid"], r["nid"]) for r in
              cosine_topk_bruteforce(shifted, queries, k=3).collect()}
     assert got == truth and len(got) == 15
+
+
+def test_pq_adc_exact_for_codebook_members(spark):
+    """A vector with vec_id < ks is its own nearest centroid in every
+    subspace (||x-c||=0 maximizes the assignment score), so ADC between
+    two codebook members reduces to the exact dot product — pinned
+    against a Python replay of the same left-assoc double arithmetic."""
+    from autovalidate_backend_api_spark.operators.similarity import pq_adc_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = pq_adc_topk(emb, emb.filter("vec_id < 4"), k=11, m=4, ks=4)
+    got = {(r["qid"], r["nid"]): r["est_dot"] for r in out.collect()}
+    vecs = {i: v for i, v in rows}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + float(x) * float(y)
+        return s
+
+    for (q, n), est in got.items():
+        if q < 4 and n < 4:
+            assert est == round(dot(vecs[q], vecs[n]), 6), (q, n)
+
+
+def test_pq_adc_dim_guard(spark):
+    import pytest as _pytest
+
+    from autovalidate_backend_api_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        pq_adc_topk(emb, emb, m=2)
