@@ -4197,6 +4197,65 @@ def graph_triangle_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+# k-core gate graph over 53 nodes, engineered for a genuinely multi-round
+# peel (measured at k=5: five rounds to fixpoint): threshold-gated affine
+# families (edge r → a·r+c mod 53 only for residues r < T, so degree
+# varies with r — an ungated affine family is a near-permutation and
+# peels in zero or one round) plus a 10-node offset-1..4 circulant
+# (degree 8) that survives the k=5 peel as the core.
+_KCORE_FAMS = ((1, 1, 53), (2, 3, 34), (7, 5, 28), (3, 11, 21), (11, 2, 13), (5, 7, 9))
+_KCORE_K, _KCORE_ROUNDS = 5, 8
+
+_KCORE_EDGES_SQL = (
+    "raw AS (\n"
+    + "      UNION ALL\n".join(
+        f"      SELECT doc_id % 53 AS u, ((doc_id % 53) * {a} + {c}) % 53 AS v\n"
+        f"      FROM documents WHERE doc_id % 53 < {t}\n"
+        for a, c, t in _KCORE_FAMS
+    )
+    + "".join(
+        f"      UNION ALL\n"
+        f"      SELECT doc_id % 53, ((doc_id % 53) + {d}) % 10\n"
+        f"      FROM documents WHERE doc_id % 53 < 10\n"
+        for d in (1, 2, 3, 4)
+    )
+    + """    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v)"""
+)
+
+
+def _kcore_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_KCORE_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# k-core membership over the repo graph — the cohesion gate next to
+# graph_triangle_stats: parallel peeling drops boilerplate-hub spokes
+# round by round; the surviving 5-core is the fork-family nucleus. The
+# oracle replays all 8 peel rounds; pure BIGINT arithmetic, exact by
+# construction. Fixpoint by round 8 is pinned in tests (rounds ≡
+# rounds−1 on this edge set).
+@_register("graph_kcore", _kcore_oracle_sql())
+def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import kcore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 53
+    edges = None
+    for a, c, t in _KCORE_FAMS:
+        fam = docs.filter(r < t).select(
+            r.alias("u"), ((r * a + c) % 53).alias("v")
+        )
+        edges = fam if edges is None else edges.unionByName(fam)
+    for d in (1, 2, 3, 4):
+        edges = edges.unionByName(
+            docs.filter(r < 10).select(r.alias("u"), ((r + d) % 10).alias("v"))
+        )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 # borderline-pair calibration corpus shared by the evaluation gates:
 # each doc gains one variant (token-prefix retention 40-90% by
 # doc_id % 6, three unique junk tokens) so pair similarities SPREAD

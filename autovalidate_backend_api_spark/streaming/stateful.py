@@ -1,0 +1,182 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The built-in stateful operators cover exact dedup
+(``dropDuplicatesWithinWatermark``, streaming/events.py) and windowed
+aggregation; everything whose per-key state is NOT one of those shapes
+needs the arbitrary-state API. Two operators here, chosen so each pins
+a different half of the stateful contract:
+
+- :func:`sessionize_stateful` — ORDER-SENSITIVE state (last event time
+  + session count per user). Correct when files/batches arrive in
+  event-time order per key (the commit-log shape); the batch
+  counterpart ``sessionize_batch`` is the backfill for unordered
+  history. Pinned against it row-for-row under ordered replay.
+- :func:`kmv_state_distinct` — ORDER-INSENSITIVE mergeable-sketch state
+  (bottom-k hash set per group, the KMV estimator of
+  operators/sketches.py). Union-then-retake-k is associative and
+  commutative, so the final state is EXACTLY the batch bottom-k no
+  matter how the stream was sliced — the strongest batch ≡ stream
+  contract an operator can make, pinned exactly in tests.
+
+Scale shape: state lives in the state store partitioned by group key —
+per-key state is O(1) (two longs) for sessions and O(k) longs for KMV;
+a trigger shuffles only that batch's rows, keyed by group. Nothing
+collects. Both functions raise on batch DataFrames: the batch
+counterparts (sessionize_batch, kmv bottom-k in operators/sketches.py)
+are separate, plan-optimal implementations.
+
+Reference analog: the closest the reference has to per-key streaming
+state is its fire-and-forget background revalidation
+(/root/reference/app/api/app.py background tasks); this layer is what
+that becomes when the corpus arrives as a stream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from autovalidate_backend_api_spark.operators.sketches import KMV_K, KMV_NUM
+
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events_seen", T.LongType()),
+    ]
+)
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events_seen", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session counting with explicit gap state.
+
+    State per user: (epoch seconds of last event, session count, event
+    count). Each micro-batch sorts ITS OWN rows by (ts, event_id) —
+    intra-batch disorder is absorbed; a batch whose earliest event
+    precedes the stored last_ts is from an out-of-order source and
+    belongs to the batch backfill instead (documented contract, same
+    as the incremental dedup path). Emits one updated row per touched
+    user per batch (update semantics): ``user_id, n_sessions,
+    n_events_seen`` — n_events_seen is monotone, so "latest row per
+    user" is selectable without a batch id.
+    """
+    if not events.isStreaming:
+        raise ValueError("sessionize_stateful is streaming-only; "
+                         "use sessionize_batch for batch DataFrames")
+    gap_s = gap_minutes * 60
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"].astype("int64") // 1_000_000_000:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > gap_s:
+                n_sessions += 1
+            last_ts = ts
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events_seen": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, SESSION_OUT, SESSION_STATE, "update", "NoTimeout"
+    )
+
+
+KMV_OUT = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("n_k", T.LongType()),
+        T.StructField("kth_min_hash", T.LongType()),
+        T.StructField("kmv_estimate", T.DoubleType()),
+        T.StructField("n_term_occurrences", T.LongType()),
+    ]
+)
+KMV_STATE = T.StructType(
+    [
+        T.StructField("bottom", T.ArrayType(T.LongType())),
+        T.StructField("n_occ", T.LongType()),
+    ]
+)
+
+
+def hash48(term: str) -> int:
+    """48-bit md5 prefix — the Python twin of sketches._hex48(md5(g), 1),
+    byte-for-byte (utf-8, lowercase hex, first 12 chars, base 16)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def kmv_state_distinct(
+    terms: DataFrame, *, group_col: str = "grp", k: int = KMV_K
+) -> DataFrame:
+    """Streaming per-group KMV distinct-count: state is the bottom-k
+    48-bit term hashes per group. ``terms`` must be a streaming frame
+    with ``group_col`` and a ``terms array<string>`` column (tokenize
+    upstream in Spark — this operator only hashes and merges).
+
+    Because bottom-k union is order-insensitive, the post-stream state
+    — and therefore the last emitted row per group — equals the batch
+    bottom-k over the union of all batches EXACTLY, however the stream
+    was sliced. The estimate is the sketch formula shared with
+    ``kmv_distinct_trigrams``: (k−1)·2^48 / v_k once n_k == k, exact
+    count below (one double division, rounded at 3 — both engines and
+    both modes compute the identical IEEE double).
+    """
+    if not terms.isStreaming:
+        raise ValueError("kmv_state_distinct is streaming-only; "
+                         "use operators/sketches.py bottom-k for batch")
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        bottom, n_occ = state.get if state.exists else ([], 0)
+        seen = set(bottom)
+        for pdf in pdfs:
+            for arr in pdf["terms"]:
+                n_occ += len(arr)
+                seen.update(hash48(t) for t in arr)
+        bottom = sorted(seen)[:k]
+        state.update((bottom, n_occ))
+        n_k = len(bottom)
+        v_k = bottom[-1] if bottom else None
+        est = float(n_k) if n_k < k else KMV_NUM / float(v_k)
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "k": [k],
+                "n_k": [n_k],
+                "kth_min_hash": [v_k],
+                "kmv_estimate": [round(est, 3)],
+                "n_term_occurrences": [n_occ],
+            }
+        )
+
+    return terms.groupBy(group_col).applyInPandasWithState(
+        update, KMV_OUT, KMV_STATE, "update", "NoTimeout"
+    )

@@ -129,3 +129,57 @@ def test_priority_sample_matches_python_reference(spark):
     tau = ref[32][2]
     want = [(i, w, p, max(float(w), tau)) for i, w, p in ref[:32]]
     assert sorted(got) == sorted(want)
+
+
+def _py_kcore(pairs, k):
+    """Independent reference: parallel peel to fixpoint."""
+    E = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    while True:
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        E2 = {(a, b) for a, b in E if a in keep and b in keep}
+        if E2 == E:
+            break
+        E = E2
+    out = {}
+    for a, b in E:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def test_kcore_hub_dies_clique_survives(spark):
+    """A degree-10 star hub is NOT in the 2-core (spokes are degree-1 →
+    peel kills them, then the hub); a 4-clique is the whole 3-core."""
+    from autovalidate_backend_api_spark.operators.graph import kcore
+
+    star = [(100, 200 + i) for i in range(10)]
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    e = spark.createDataFrame(star + clique, "u bigint, v bigint")
+    core2 = {r["node"]: r["core_degree"] for r in kcore(e, k=2, rounds=4).collect()}
+    assert set(core2) == {0, 1, 2, 3}
+    core3 = {r["node"]: r["core_degree"] for r in kcore(e, k=3, rounds=4).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_matches_python_reference_and_fixpoint(spark):
+    """The gate's 53-node edge family: Spark k-core == independent Python
+    peel-to-fixpoint, AND round 8 ≡ round 7 (the fixpoint claim the gate
+    relies on), AND the peel is genuinely multi-round (round 1 ≠ round 8)."""
+    from autovalidate_backend_api_spark.operators.graph import kcore
+
+    fams = ((1, 1, 53), (2, 3, 34), (7, 5, 28), (3, 11, 21), (11, 2, 13), (5, 7, 9))
+    pairs = [(r, (a * r + c) % 53) for a, c, t in fams for r in range(t)]
+    pairs += [(r, (r + d) % 10) for d in (1, 2, 3, 4) for r in range(10)]
+    e = spark.createDataFrame(pairs, "u bigint, v bigint")
+    want = _py_kcore(pairs, 5)
+    got8 = {r["node"]: r["core_degree"] for r in kcore(e, k=5, rounds=8).collect()}
+    got7 = {r["node"]: r["core_degree"] for r in kcore(e, k=5, rounds=7).collect()}
+    got1 = {r["node"]: r["core_degree"] for r in kcore(e, k=5, rounds=1).collect()}
+    assert got8 == want
+    assert got7 == got8  # fixpoint reached with a round to spare
+    assert got1 != got8  # ...and not trivially in one round
+    assert len(got8) == 10  # the planted circulant core

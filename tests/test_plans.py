@@ -21,7 +21,17 @@ QUERIES = entrypoints.queries()
 # - ivf_cosine_topk / semdedup_prune: every vector scores against a
 #   broadcast 32-row centroid table — the IVF assignment shape,
 #   O(n·32), not O(n²)
-_NL_WHITELIST = {"cosine_topk", "ivf_cosine_topk", "ann_cosine_topk", "semdedup_prune"}
+# - ann_recall_report: composes the whitelisted shapes — the exact
+#   brute-force truth side (bounded query sample) and the IVF centroid
+#   broadcast; its approximate sides (sign-LSH buckets, PQ code join)
+#   stay equi-joins
+_NL_WHITELIST = {
+    "cosine_topk",
+    "ivf_cosine_topk",
+    "ann_cosine_topk",
+    "semdedup_prune",
+    "ann_recall_report",
+}
 
 
 def _plan_of(name, spark, sf_dir) -> str:

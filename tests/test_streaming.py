@@ -85,3 +85,165 @@ def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
     out = run_streaming_dedup(spark, src, schema, query_name="dedup_t1")
     contents = sorted(r["content"] for r in out.collect())
     assert contents == ["alpha", "beta", "gamma"]
+
+
+def _stream_to_memory(spark, src, schema, build, name):
+    """Drive a stateful transformation file-by-file into a memory sink
+    (update mode); returns all emitted rows across batches."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        build(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect(), n_batches
+
+
+def test_sessionize_stateful_matches_batch_on_ordered_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer ≡ sessionize_batch when files
+    arrive in event-time order: a session CONTINUES across a batch
+    boundary (user 1, 00:10 → 00:20) and a new one opens across a batch
+    boundary (user 2, 00:05 → 01:00) — both are state, not windowing.
+    Rows within a file are deliberately out of order."""
+    import pyspark.sql.types as T
+
+    from autovalidate_backend_api_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    files = [
+        # (event_id, ts, user_id) — file 1 intra-batch disorder
+        [(2, "2024-01-01 00:10:00", 1), (1, "2024-01-01 00:00:00", 1),
+         (3, "2024-01-01 00:05:00", 2)],
+        [(4, "2024-01-01 00:20:00", 1), (5, "2024-01-01 01:00:00", 2)],
+        [(6, "2024-01-01 02:00:00", 1), (7, "2024-01-01 01:10:00", 2)],
+    ]
+    src = str(tmp_path / "sess_stream")
+    all_rows = []
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(f"{src}/tmp{i}")
+        all_rows += rows
+    import glob
+    import shutil
+
+    for i in range(len(files)):
+        part = glob.glob(f"{src}/tmp{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/file_{i}.parquet")
+        shutil.rmtree(f"{src}/tmp{i}")
+
+    emitted, n_batches = _stream_to_memory(
+        spark, src, schema, lambda s: sessionize_stateful(s, 30), "sess_sf"
+    )
+    assert n_batches >= 3  # state genuinely crossed micro-batches
+    final = {}
+    for r in emitted:  # n_events_seen is monotone → max row is latest
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events_seen"] > cur["n_events_seen"]:
+            final[r["user_id"]] = r
+    got = {u: r["n_sessions"] for u, r in final.items()}
+    assert got == {1: 2, 2: 2}
+
+    batch = spark.createDataFrame(
+        all_rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        r["user_id"]: r["n_sessions"] for r in sessionize_batch(batch, 30).collect()
+    }
+    assert got == want
+
+
+def test_kmv_state_distinct_equals_batch_bottom_k_exactly(spark, tmp_path):
+    """Mergeable-sketch state: the final per-group row equals the batch
+    bottom-k over ALL files EXACTLY (order-insensitive merge), for both
+    estimator branches (grp 'a' ≥ k distinct terms → (k−1)·2^48/v_k;
+    grp 'b' < k → exact count)."""
+    import pyspark.sql.types as T
+
+    from autovalidate_backend_api_spark.operators.sketches import KMV_NUM
+    from autovalidate_backend_api_spark.streaming.stateful import (
+        hash48,
+        kmv_state_distinct,
+    )
+
+    k = 8
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("terms", T.ArrayType(T.StringType())),
+        ]
+    )
+    files = [
+        [("a", [f"t{i}" for i in range(0, 12)]), ("b", ["x", "y"])],
+        [("a", [f"t{i}" for i in range(6, 20)]), ("b", ["y", "z"])],
+        [("a", [f"t{i}" for i in range(15, 25)])],
+    ]
+    src = str(tmp_path / "kmv_stream")
+    import glob
+    import shutil
+
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/tmp{i}"
+        )
+        part = glob.glob(f"{src}/tmp{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/file_{i}.parquet")
+        shutil.rmtree(f"{src}/tmp{i}")
+
+    emitted, n_batches = _stream_to_memory(
+        spark, src, schema, lambda s: kmv_state_distinct(s, k=k), "kmv_sf"
+    )
+    assert n_batches >= 3
+    final = {}
+    for r in emitted:  # n_term_occurrences is monotone per group
+        cur = final.get(r["grp"])
+        if cur is None or r["n_term_occurrences"] > cur["n_term_occurrences"]:
+            final[r["grp"]] = r
+
+    for grp in ("a", "b"):
+        terms = {t for rows in files for g, ts in rows if g == grp for t in ts}
+        bottom = sorted(hash48(t) for t in terms)[:k]
+        r = final[grp]
+        assert r["n_k"] == len(bottom)
+        assert r["kth_min_hash"] == bottom[-1]
+        want = (
+            float(len(bottom)) if len(bottom) < k else KMV_NUM / float(bottom[-1])
+        )
+        assert r["kmv_estimate"] == round(want, 3)
+    # grp a crossed the k boundary → estimator branch; grp b exact branch
+    assert final["a"]["n_k"] == k and final["b"]["n_k"] == 3
+
+
+def test_stateful_ops_reject_batch_frames(spark):
+    import pytest as _pytest
+
+    from autovalidate_backend_api_spark.streaming.stateful import (
+        kmv_state_distinct,
+        sessionize_stateful,
+    )
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with _pytest.raises(ValueError):
+        sessionize_stateful(df)
+    with _pytest.raises(ValueError):
+        kmv_state_distinct(df)
