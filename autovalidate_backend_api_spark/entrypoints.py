@@ -4625,6 +4625,49 @@ def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_report(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def _bm25_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.retrieval import bm25_oracle_sql
+
+    terms = f"""t AS (SELECT doc_id, term FROM (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents) WHERE term <> '')"""
+    queries = """q AS (SELECT DISTINCT
+      CAST('0x' || substr(md5(term), 1, 3) AS BIGINT) % 4 AS qid, term
+      FROM t)"""
+    return bm25_oracle_sql(terms, queries, k=10)
+
+
+# BM25 ranked retrieval over the corpus inverted index — the
+# reference's score-and-rank search flow (search.py:100-130) at corpus
+# scale. Queries are the vocabulary md5-bucketed into 4 term sets
+# (SQL-reproducible). The per-(query, doc) score sum is a term-sorted
+# left-assoc fold on BOTH engines, so the raw ranking score — not just
+# the rounded display value — is bit-exact and the oracle certifies the
+# ORDER. Log-free RSJ idf per the house float contract (delta from
+# stock BM25 documented in operators/retrieval.py).
+@_register("bm25_search_topk", _bm25_oracle_sql())
+def bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    queries = (
+        terms.select("term")
+        .distinct()
+        .select(
+            (
+                F.conv(F.substring(F.md5("term"), 1, 3), 16, 10).cast("bigint")
+                % 4
+            ).alias("qid"),
+            "term",
+        )
+    )
+    return bm25_topk(terms, queries, k=10)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

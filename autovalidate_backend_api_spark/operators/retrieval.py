@@ -1,0 +1,168 @@
+"""Ranked keyword retrieval: BM25 top-k over an inverted index.
+
+The reference's core query flow is ranked retrieval — score every
+candidate against the query, return the best k above a bar
+(/root/reference/app/api/core/search.py:100-130 does it with a fuzzy
+scorer over a scrolled candidate list). This module is that flow at
+corpus scale: a distributed inverted index (term-keyed equi-join, no
+per-candidate Python), BM25 scoring, per-query top-k window.
+
+Engine-exactness contract (the house float rule): BM25's per-term
+score is a chain of single IEEE-exactly-rounded ops on exact integers
+(tf, df, dl, N) and shared literals (k1, b, avgdl injected as one
+Python ``repr`` both engines parse identically), so each per-term score
+is bit-identical across engines. The per-(query, doc) SUM of term
+scores — normally partition-order-dependent — is computed as a
+LEFT-ASSOCIATIVE FOLD over the term-sorted score list
+(``F.aggregate(sort_array(...))`` in Spark ≡ ``list_reduce(list(...
+ORDER BY term))`` in DuckDB), so even the sum is bit-exact and the
+RANKING (raw-score desc) is certifiable, not just the rounded display
+value.
+
+idf is the LOG-FREE Robertson–Spärck-Jones form
+``(N − df + 0.5)/(df + 0.5) + 1`` (the argument of Lucene's
+``log(1 + x)`` idf, without the log): cross-engine ``ln`` is libm-
+dependent and not exactly-rounded, so the logged form can't be
+value-hash-checked. The log-free form preserves the rare-term >
+common-term ordering (it exaggerates the gap — documented delta from
+stock BM25), keeps every score positive, and keeps the whole operator
+inside the exact-float contract.
+
+Scale shape: tf/df/dl are map-side-combinable counts over the exploded
+term table; the query table (|Q|·terms rows) broadcasts into the
+inverted-index equi-join on term; dl joins on doc_id; the fold is a
+per-(qid, doc) collect_list of AT MOST |query| elements; ranking is
+the standard per-qid window. N and Σdl are the only driver scalars
+(two BIGINTs). Nothing wide is broadcast, no cross join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    term_rows: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-``k`` docs per query.
+
+    ``term_rows``: one row per term OCCURRENCE — ``doc_id, term``
+    (tokenize upstream; docs with zero terms never match, by BM25
+    definition). ``queries``: distinct ``qid, term`` rows.
+
+    Returns ``qid, doc_id, n_terms_matched, score, rnk`` with
+    ``rnk <= k`` ranked by raw (pre-round) score desc, doc_id asc;
+    ``score`` is rounded at 6 for display only.
+    """
+    tf = term_rows.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dl = term_rows.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    tot = dl.agg(
+        F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
+    ).first()
+    n_docs, total_len = int(tot[0]), int(tot[1])
+    # one exactly-rounded division of exact BIGINTs; injected as the
+    # identical literal into both engines' expressions
+    avgdl = total_len / n_docs
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+
+    idf = (
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("dl").cast("double") / F.lit(avgdl)
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * norm
+    )
+    num = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    s = (idf * num) / denom
+
+    scored = (
+        queries.join(tf, "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .select("qid", "doc_id", "term", s.alias("s"))
+    )
+    folded = scored.groupBy("qid", "doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term", "s"))).alias("ss")
+    )
+    score = F.aggregate(
+        F.col("ss"), F.lit(0.0), lambda acc, x: acc + x["s"]
+    )
+    ranked = folded.select(
+        "qid",
+        "doc_id",
+        F.size("ss").cast("bigint").alias("n_terms_matched"),
+        score.alias("_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            "n_terms_matched",
+            F.round("_score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    terms_cte: str,
+    queries_cte: str,
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    n_docs: int | None = None,
+) -> str:
+    """DuckDB SQL replaying :func:`bm25_topk` op-for-op. ``terms_cte``
+    must define ``t(doc_id, term)`` (one row per occurrence) and
+    ``queries_cte`` must define ``q(qid, term)``. N and avgdl are
+    computed inside SQL from the same exact integers (no injection
+    needed — both engines derive the identical doubles), k1/b/k1+1 are
+    ``repr`` literals."""
+    return f"""WITH {terms_cte},
+    {queries_cte},
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT q.qid, tf.doc_id, tf.term,
+        ((CAST(g.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+           / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0!r})
+        / (CAST(tf.tf AS DOUBLE)
+           + {k1!r} * ({1.0 - b!r} + {b!r}
+             * (CAST(dl.dl AS DOUBLE)
+                / (CAST(g.total_len AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))
+        AS s
+      FROM q JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, g),
+    folded AS (SELECT qid, doc_id,
+        CAST(count(*) AS BIGINT) AS n_terms_matched,
+        list_reduce(list(CAST(s AS DOUBLE) ORDER BY term),
+                    (a, x) -> a + x) AS sc
+      FROM sc GROUP BY 1, 2)
+    SELECT qid, doc_id, n_terms_matched,
+           round(sc, 6) AS score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY sc DESC, doc_id) AS rnk FROM folded)
+    WHERE rnk <= {k}"""

@@ -1,0 +1,80 @@
+"""BM25 ranked retrieval (operators/retrieval.py): Python-replay parity
+on the exact fold arithmetic, ranking semantics, and the k cap."""
+
+from __future__ import annotations
+
+from autovalidate_backend_api_spark.operators.retrieval import bm25_topk
+
+
+def _py_bm25(occurrences, queries, k1=1.2, b=0.75):
+    """Independent replay of the documented arithmetic, same op order."""
+    tf, dl = {}, {}
+    for d, t in occurrences:
+        tf[(d, t)] = tf.get((d, t), 0) + 1
+        dl[d] = dl.get(d, 0) + 1
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores = {}
+    for qid, t in queries:
+        for (d, t2), f in tf.items():
+            if t2 != t:
+                continue
+            idf = (float(n) - float(df[t]) + 0.5) / (float(df[t]) + 0.5) + 1.0
+            s = (idf * (float(f) * (k1 + 1.0))) / (
+                float(f) + k1 * ((1.0 - b) + b * (float(dl[d]) / avgdl))
+            )
+            scores.setdefault((qid, d), []).append((t, s))
+    out = {}
+    for key, ts in scores.items():
+        acc = 0.0
+        for _, s in sorted(ts):
+            acc = acc + s
+        out[key] = (len(ts), acc)
+    return out
+
+
+def test_bm25_matches_python_replay_exactly(spark):
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "cherry apple"),
+        (4, "durian elderberry fig fig fig"),
+        (5, "apple"),
+    ]
+    occurrences = [(d, t) for d, text in docs for t in text.split()]
+    queries = [(0, "apple"), (0, "durian"), (1, "fig"), (1, "banana"), (1, "cherry")]
+    term_rows = spark.createDataFrame(occurrences, "doc_id bigint, term string")
+    qdf = spark.createDataFrame(queries, "qid bigint, term string")
+    got = {
+        (r["qid"], r["doc_id"]): (r["n_terms_matched"], r["score"], r["rnk"])
+        for r in bm25_topk(term_rows, qdf, k=10).collect()
+    }
+    want = _py_bm25(occurrences, queries)
+    assert set(got) == set(want)
+    for key, (nm, acc) in want.items():
+        assert got[key][0] == nm
+        assert got[key][1] == round(acc, 6), key
+    # ranking: per qid, ordered by raw score desc then doc_id
+    for qid in (0, 1):
+        ranked = sorted(
+            ((k, v) for k, v in want.items() if k[0] == qid),
+            key=lambda kv: (-kv[1][1], kv[0][1]),
+        )
+        for i, (key, _) in enumerate(ranked, start=1):
+            assert got[key][2] == i, key
+
+
+def test_bm25_k_cap_and_rare_term_outranks_common(spark):
+    # 30 docs share 'common'; only doc 0 has 'rare' — rare-term doc wins
+    occurrences = [(d, "common") for d in range(30)] + [(0, "rare")]
+    term_rows = spark.createDataFrame(occurrences, "doc_id bigint, term string")
+    qdf = spark.createDataFrame(
+        [(7, "common"), (7, "rare")], "qid bigint, term string"
+    )
+    rows = bm25_topk(term_rows, qdf, k=5).collect()
+    assert len(rows) == 5
+    top = min(rows, key=lambda r: r["rnk"])
+    assert top["doc_id"] == 0 and top["n_terms_matched"] == 2
