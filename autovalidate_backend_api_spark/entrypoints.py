@@ -4668,6 +4668,36 @@ def bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(terms, queries, k=10)
 
 
+def _hist_quantiles_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        histogram_quantiles_oracle_sql,
+    )
+
+    vals = f"""vals AS (SELECT lang AS grp,
+      CAST(len({_NORM_SQL}) AS BIGINT) AS v FROM documents)"""
+    return histogram_quantiles_oracle_sql(vals)
+
+
+# per-language length quantiles from the MERGEABLE equi-width histogram
+# sketch — the single-pass scale path next to the exact
+# doc_length_quantiles gate (exact quantiles need the value multiset;
+# bin counts merge across shards by addition). The interpolated
+# ESTIMATES are the oracle-checked values; bin_lo/bin_hi certify the
+# sketch's ±2^shift envelope.
+@_register("length_histogram_quantiles", _hist_quantiles_oracle_sql())
+def length_histogram_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("lang").alias("grp"),
+        F.length(normalize_text_col(F.col("text"))).cast("bigint").alias("v"),
+    )
+    return histogram_quantiles(vals)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

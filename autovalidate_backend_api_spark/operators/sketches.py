@@ -501,3 +501,130 @@ def hll_distinct_by_group(
         reg_sum.alias("reg_sum"),
         est.alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_SHIFT = 5                  # bin width 2^5 = 32
+
+
+def histogram_quantiles(
+    values: DataFrame,
+    *,
+    group_col: str = "grp",
+    value_col: str = "v",
+    pcts: tuple = (50, 90, 99),
+    shift: int = HIST_SHIFT,
+) -> DataFrame:
+    """Quantile ESTIMATES from a power-of-two equi-width histogram —
+    the mergeable single-pass counterpart of the exact-quantile gate
+    (`doc_length_quantiles`): per group the whole pass is one
+    map-side-combinable (group, value >> shift) count, histograms from
+    disjoint corpus shards merge by adding bin counts (exact quantiles
+    don't merge — they need the full value multiset), and state is
+    O(range/2^shift) longs however many rows stream through. This is
+    the shape a 100 TB length profile actually runs; the exact gate is
+    its small-scale calibration twin.
+
+    Per percentile p: target rank ceil(n·p/100) computed in PURE
+    INTEGER form ((n·p + 99) // 100), the answering bin is the first
+    whose cumulative count reaches it, and the estimate interpolates
+    linearly inside that bin:
+
+        est = bin·2^shift + 2^shift · (target − cum_before)/bin_count
+
+    — one exactly-rounded division of exact BIGINTs, a multiplication
+    by a power of two (exact), and one addition: every float op is
+    IEEE-exactly-rounded on identical operands, so the ESTIMATES are
+    value-hash-checkable cross-engine (rounded at 6 for display).
+
+    Output: one row per (group, pct): ``grp, pct, n, target_rank,
+    bin_lo, bin_hi, est``. bin_lo/bin_hi are the answering bin's
+    inclusive/exclusive integer edges — the sketch's honest ±2^shift
+    error envelope, certified alongside the point estimate.
+    """
+    from pyspark.sql import Window
+
+    w_bin = 1 << shift
+    binned = (
+        values.select(
+            F.col(group_col).alias("grp"),
+            # exact integer binning (v ≥ 0): shiftright, never a float
+            # divide-then-truncate (loses exactness past 2^53)
+            F.shiftright(F.col(value_col).cast("bigint"), shift).alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("bin")
+    cum = binned.select(
+        "grp",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("bigint").alias("cum_before"),
+        F.sum("cnt").over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    pct = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    targets = cum.select("*", pct).withColumn(
+        "target_rank",
+        # integer div (SQL `div`), not float /-then-cast: exact at any n
+        F.expr("(n * CAST(pct AS BIGINT) + 99) div 100").cast("bigint"),
+    )
+    hit = targets.filter(
+        (F.col("cum") >= F.col("target_rank"))
+        & (F.col("cum_before") < F.col("target_rank"))
+    )
+    est = F.col("bin").cast("double") * F.lit(float(w_bin)) + F.lit(
+        float(w_bin)
+    ) * (
+        (F.col("target_rank") - F.col("cum_before")).cast("double")
+        / F.col("cnt").cast("double")
+    )
+    return hit.select(
+        "grp",
+        F.col("pct").cast("int").alias("pct"),
+        "n",
+        "target_rank",
+        (F.col("bin") * w_bin).cast("bigint").alias("bin_lo"),
+        ((F.col("bin") + 1) * w_bin).cast("bigint").alias("bin_hi"),
+        F.round(est, 6).alias("est"),
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    values_cte: str,
+    *,
+    pcts: tuple = (50, 90, 99),
+    shift: int = HIST_SHIFT,
+) -> str:
+    """DuckDB replay of :func:`histogram_quantiles`. ``values_cte`` must
+    define ``vals(grp, v)``."""
+    w = 1 << shift
+    pct_list = ", ".join(str(p) for p in pcts)
+    return f"""WITH {values_cte},
+    binned AS (SELECT grp, CAST(v AS BIGINT) // {w} AS bin,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM vals GROUP BY 1, 2),
+    cum AS (SELECT grp, bin, cnt,
+        CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum,
+        CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) - cnt AS BIGINT)
+          AS cum_before,
+        CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM binned),
+    t AS (SELECT cum.*, p.pct,
+                 CAST((n * p.pct + 99) // 100 AS BIGINT) AS target_rank
+          FROM cum, (SELECT unnest([{pct_list}]) AS pct) p)
+    SELECT grp, CAST(pct AS INT) AS pct, n, target_rank,
+           CAST(bin * {w} AS BIGINT) AS bin_lo,
+           CAST((bin + 1) * {w} AS BIGINT) AS bin_hi,
+           round(CAST(bin AS DOUBLE) * {float(w)!r} + {float(w)!r}
+                 * (CAST(target_rank - cum_before AS DOUBLE)
+                    / CAST(cnt AS DOUBLE)), 6) AS est
+    FROM t WHERE cum >= target_rank AND cum_before < target_rank"""
