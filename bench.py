@@ -109,6 +109,14 @@ GATE_QUERIES = [
     # r5h: the recall measurement itself as an operator (exact truth
     # join + two banding configs — the north-rule number, oracle-checked)
     "lsh_recall_report",
+    # r5i: iterative k-core peel (per-round localCheckpoint), PQ/ADC
+    # compressed-vector ranking + the four-way ANN recall report,
+    # inverted-index BM25, mergeable histogram quantiles
+    "graph_kcore",
+    "pq_adc_topk",
+    "ann_recall_report",
+    "bm25_search_topk",
+    "length_histogram_quantiles",
 ]
 
 
