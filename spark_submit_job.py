@@ -59,6 +59,13 @@ def main() -> None:
                     help="also write the per-banding-config LSH "
                          "recall/precision calibration report against "
                          "the exact pair truth set (requires --output)")
+    ap.add_argument("--graph-report", action="store_true",
+                    help="also write the repo-graph analysis triad over "
+                         "the file-hash overlap edges: PageRank "
+                         "(authority), triangle/clustering stats (local "
+                         "cohesion), k-core (community depth) — the "
+                         "quality-weighting signals a curation run "
+                         "feeds sampling (requires --output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -223,6 +230,49 @@ def main() -> None:
         back = spark.read.parquet(f"{args.output}/recall_report")
         summary["recall"] = {
             r["config"]: r["recall"] for r in back.collect()
+        }
+
+    if args.graph_report:
+        if not args.output:
+            ap.error("--graph-report requires --output")
+        # Graph analysis triad over the REAL repo-overlap edges (the
+        # driver gates certify the same operators on synthetic
+        # mod-graphs; here they run on the corpus): edges = repo pairs
+        # sharing >= 1/4 of file hashes (looser than the 1/2 fork
+        # admission — analysis wants the neighborhood, not just the
+        # merges), symmetrized for PageRank's no-sink contract.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.datapipe import (
+            repo_file_overlap_pairs,
+        )
+        from autovalidate_backend_api_spark.operators.graph import (
+            kcore,
+            pagerank,
+            triangle_stats,
+        )
+
+        rfiles = corpus.select("repo", F.col("content").alias("text"))
+        edges = repo_file_overlap_pairs(
+            rfiles, theta_num=1, theta_den=4, max_repos_per_hash=1000
+        ).select(F.col("repo_a").alias("u"), F.col("repo_b").alias("v"))
+        fwd = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        sym = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        pr = pagerank(sym, iters=5).select(
+            "node", F.round("pagerank", 9).alias("pagerank")
+        )
+        pr.write.mode("overwrite").parquet(f"{args.output}/graph_pagerank")
+        tri = triangle_stats(edges)
+        tri.write.mode("overwrite").parquet(f"{args.output}/graph_triangles")
+        core = kcore(edges, k=2, rounds=8)
+        core.write.mode("overwrite").parquet(f"{args.output}/graph_kcore")
+        back = spark.read.parquet(f"{args.output}/graph_kcore")
+        summary["graph"] = {
+            "overlap_edges": edges.count(),
+            "core2_nodes": back.count(),
+            "triangle_nodes": tri.filter(F.col("triangles") > 0).count(),
         }
 
     print(json.dumps(summary))
