@@ -4698,6 +4698,34 @@ def length_histogram_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(vals)
 
 
+def _kmeans_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.clustering import (
+        kmeans_oracle_sql,
+    )
+
+    pts = """pts AS MATERIALIZED (SELECT vec_id AS id,
+      list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec
+      FROM embeddings)"""
+    return kmeans_oracle_sql(pts, k=8, iters=2, dim=64)
+
+
+# the codebook builder itself as an oracle-checked value: distributed
+# Lloyd k-means whose every float is a left-assoc fold both engines
+# replay bit-exactly (operators/clustering.py module doc), so the
+# cluster ASSIGNMENTS that ivf_topk / semdedup_prune consume are
+# value-hash-certified — not just the downstream recall they enable.
+@_register("kmeans_lloyd_assignments", _kmeans_oracle_sql())
+def kmeans_lloyd_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda e: e.cast("double")).alias("vec"),
+    )
+    return kmeans_lloyd(pts, k=8, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

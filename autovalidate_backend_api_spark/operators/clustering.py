@@ -1,0 +1,208 @@
+"""Distributed Lloyd k-means with an oracle-exact float contract.
+
+The codebook builder behind the engine's vector layer: ``ivf_topk``
+partitions vectors into centroid cells and ``semdedup_prune`` groups
+embeddings into centroid cells before intra-cell pruning — both
+currently source centroids from either a deterministic id-sample (the
+oracle-checkable profile) or ``pyspark.ml`` KMeans (production, not
+SQL-reproducible). This module closes that gap: Lloyd's algorithm
+itself, expressed so that EVERY float the two engines compute is
+bit-identical, which makes the cluster ASSIGNMENTS — the thing the
+codebook consumers actually use — an oracle-checkable value, not a
+trust-me artifact. (The reference clusters candidates implicitly by
+Qdrant's trained quantization; /root/reference/app/api/core/search.py
+:149-176 consumes those cells the same way ivf_topk consumes these.)
+
+Float contract (the house rule from CLAUDE.md / the bm25 gate):
+cross-engine bit-exactness holds when every multi-term sum is a
+LEFT-ASSOCIATIVE fold over an EXPLICITLY ORDERED list, because then
+both engines execute the identical chain of IEEE-exactly-rounded ops:
+
+- per-(point, centroid) squared distance: a left-assoc fold over the
+  dimension axis — Spark ``F.aggregate(F.zip_with(...), 0.0, +)``,
+  DuckDB ``list_reduce(list_transform(range(...)), +)``. The 0.0-init
+  vs no-init delta is nil: every term is a square ≥ +0.0, and
+  ``+0.0 + t ≡ t`` bitwise for t ≥ +0.0.
+- per-cluster centroid: fold of member vectors in vec_id order —
+  Spark ``F.aggregate(F.sort_array(F.collect_list(struct(id, vec))))``
+  over a zero vector, DuckDB ``list_reduce(list(vec ORDER BY id))``
+  with the first member as init. Here the zero-init CAN flip a -0.0
+  first element to +0.0 — harmless by construction: centroids feed
+  only (x - c)² terms, and squaring collapses the sign of zero, so
+  assignments and distances are unaffected (centroid vectors are
+  never emitted).
+- centroid mean: one exactly-rounded DOUBLE / BIGINT division per
+  dimension; member counts < 2^53 convert exactly.
+
+Iteration state is DRIVER state: after each update the k centroid
+vectors (k·dim doubles — bounded, independent of |points|) are
+collected and re-entered as literals, which is simultaneously the
+scale design (real distributed k-means broadcasts centroids per round;
+nothing |points|-sized ever leaves the executors) and the lineage
+guard (each round's plan starts from the persisted points table plus
+literals — no 3^rounds plan growth, the graph.kcore lesson without
+needing localCheckpoint). Per round: one Θ(n·k) map-side explode (no
+join — centroids ride in as a literal array, so there is no broadcast
+exchange and no nested-loop shape for the plan audit to flag), one
+row_number window keyed by point id, one map-side-combinable groupBy
+on cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_dist(vec, cvec):
+    """Σ_i (vec[i] − cvec[i])² as a left-assoc fold (see module doc)."""
+    return F.aggregate(
+        F.zip_with(vec, cvec, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+def _assign(points: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment: ``id, vec, cid, dist`` (ties →
+    smallest cid, mirroring the oracle's ORDER BY dist, cid)."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    w = Window.partitionBy("id").orderBy("dist", "cid")
+    return (
+        points.select("id", "vec", F.explode(cent_lit).alias("c"))
+        .select(
+            "id",
+            "vec",
+            F.col("c.cid").alias("cid"),
+            _sq_dist(F.col("vec"), F.col("c.cvec")).alias("dist"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def kmeans_lloyd(
+    points: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fixed-``iters`` Lloyd k-means over ``points(id, vec)`` with
+    ``vec: array<double>``; returns the FINAL assignment
+    ``vec_id, cluster, dist`` (dist = squared L2 to the final centroid,
+    rounded at ``round_digits`` — the raw value is already bit-exact
+    cross-engine per the module contract; rounding only shortens the
+    stringified hash payload).
+
+    Deterministic by construction: init centroids are the ``k``
+    smallest-id points (cid = 0..k-1 in id order), each round assigns
+    every point to its nearest centroid (ties → smallest cid) and
+    recomputes centroids as id-ordered fold means. A cluster that
+    loses all members simply drops out of the centroid table (both
+    engines derive centroids from a GROUP BY over assignments, so the
+    behavior is reproduced, not special-cased).
+
+    ``iters`` is fixed, not convergence-tested — same reasoning as
+    :func:`..graph.pagerank`: a convergence test needs a per-round
+    scalar comparison that the SQL replay would have to reproduce
+    exactly; a fixed count keeps both replays structurally identical.
+    """
+    pts = points.select("id", "vec").persist()
+    init = pts.orderBy("id").limit(k).collect()
+    cents = [(i, list(r["vec"])) for i, r in enumerate(init)]
+    if not cents:
+        return pts.sparkSession.createDataFrame(
+            [], "vec_id bigint, cluster int, dist double"
+        )
+    dim = len(cents[0][1])
+    zero = F.array(*[F.lit(0.0)] * dim)
+    for _ in range(iters):
+        assigned = _assign(pts, cents)
+        upd = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("id", "vec"))),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x["vec"], lambda a, b: a + b),
+                ).alias("ssum"),
+            )
+            .select(
+                "cid",
+                F.transform("ssum", lambda s: s / F.col("cnt")).alias("cvec"),
+            )
+            .collect()  # bounded: ≤ k rows of dim doubles — driver state
+        )
+        cents = sorted((r["cid"], list(r["cvec"])) for r in upd)
+    out = _assign(pts, cents).select(
+        F.col("id").alias("vec_id"),
+        F.col("cid").cast("int").alias("cluster"),
+        F.round("dist", round_digits).alias("dist"),
+    )
+    return out
+
+
+def kmeans_oracle_sql(
+    points_cte: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB SQL replaying :func:`kmeans_lloyd` round-for-round.
+    ``points_cte`` must define ``pts(id, vec)`` with ``vec`` a
+    ``DOUBLE[]`` of length ``dim``. All CTEs MATERIALIZED (house rule
+    from kcore: DuckDB inlines plain CTEs and re-scans the source per
+    reference)."""
+
+    def dist(p: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({p}.vec[i] - {c}.cvec[i]) * ({p}.vec[i] - {c}.cvec[i])), "
+            f"(x, y) -> x + y)"
+        )
+
+    steps = [
+        f"""c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec AS cvec
+      FROM (SELECT id, vec FROM pts ORDER BY id LIMIT {k}))"""
+    ]
+    for t in range(1, iters + 2):
+        steps.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT id, vec, cid, dist FROM (
+        SELECT id, vec, cid, dist,
+               row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rnk
+        FROM (SELECT p.id, p.vec, c.cid, {dist('p', 'c')} AS dist
+              FROM pts p, c{t - 1} c)) WHERE rnk = 1)"""
+        )
+        if t <= iters:
+            steps.append(
+                f"""c{t} AS MATERIALIZED (
+      SELECT cid, list_transform(ssum, s -> s / cnt) AS cvec FROM (
+        SELECT cid, count(*) AS cnt,
+               list_reduce(list(vec ORDER BY id),
+                 (x, y) -> list_transform(range(1, {dim + 1}), i -> x[i] + y[i])) AS ssum
+        FROM a{t} GROUP BY cid))"""
+            )
+    return (
+        f"WITH {points_cte},\n    "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster,
+           round(dist, {round_digits}) AS dist
+    FROM a{iters + 1}"""
+    )

@@ -117,6 +117,10 @@ GATE_QUERIES = [
     "ann_recall_report",
     "bm25_search_topk",
     "length_histogram_quantiles",
+    # r5j: oracle-exact distributed Lloyd k-means (the IVF/SemDeDup
+    # codebook builder as a value-checked op; 3 assignment passes +
+    # 2 driver-state centroid collects at sf0.1 = 50k × 8 × 64-dim)
+    "kmeans_lloyd_assignments",
 ]
 
 

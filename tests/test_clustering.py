@@ -1,0 +1,143 @@
+"""Lloyd k-means (operators/clustering.py): semantics vs an independent
+pure-Python Lloyd, cross-engine oracle parity, and scale-shape pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.operators.clustering import (
+    kmeans_lloyd,
+    kmeans_oracle_sql,
+)
+
+
+def _python_lloyd(points: dict[int, list[float]], k: int, iters: int):
+    """Independent reference: same tie rules (dist, then cid; id-ordered
+    member folds; zero-init accumulators) implemented with plain Python
+    floats — IEEE doubles with left-assoc ops, so it must agree with
+    BOTH engines bit-for-bit."""
+    ids = sorted(points)
+    cents = {c: list(points[i]) for c, i in enumerate(ids[:k])}
+
+    def sq(v, cv):
+        acc = 0.0
+        for x, c in zip(v, cv):
+            acc += (x - c) * (x - c)
+        return acc
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = min(
+                ((sq(points[i], cv), cid) for cid, cv in sorted(cents.items()))
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        nxt = {}
+        for cid in sorted(cents):
+            members = [i for i in ids if a[i][0] == cid]
+            if not members:
+                continue
+            dim = len(points[ids[0]])
+            ssum = [0.0] * dim
+            for i in members:  # ids sorted → id-ordered fold
+                for d in range(dim):
+                    ssum[d] += points[i][d]
+            nxt[cid] = [s / len(members) for s in ssum]
+        cents = nxt
+    return assign()
+
+
+def _pts_df(spark, points: dict[int, list[float]]):
+    return spark.createDataFrame(
+        [(i, v) for i, v in sorted(points.items())], "id bigint, vec array<double>"
+    )
+
+
+def test_matches_independent_python_lloyd(spark):
+    # two clear blobs + a straggler that flips cells between rounds
+    pts = {
+        0: [0.0, 0.0],
+        1: [0.25, -0.25],
+        2: [0.5, 0.125],
+        10: [4.0, 4.0],
+        11: [4.5, 3.5],
+        12: [3.75, 4.25],
+        20: [2.0, 2.0],
+    }
+    expect = _python_lloyd(pts, k=2, iters=3)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_lloyd(_pts_df(spark, pts), k=2, iters=3).collect()
+    }
+    assert {i: c for i, (c, _) in got.items()} == {
+        i: c for i, (c, _) in expect.items()
+    }
+    # Spark's F.round and DuckDB's round are HALF_UP; Python's round is
+    # banker's — compare through Decimal HALF_UP (0.5078125 → .507813).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for i in pts:
+        assert got[i][1] == float(
+            Decimal(repr(expect[i][1])).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+
+def test_separates_two_blobs(spark):
+    pts = {i: [float(i % 5) * 0.01, 0.0] for i in range(10)}
+    pts.update({100 + i: [10.0 + (i % 5) * 0.01, 0.0] for i in range(10)})
+    out = kmeans_lloyd(_pts_df(spark, pts), k=2, iters=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert sorted(by_cluster.values(), key=len) == sorted(
+        [set(range(10)), set(range(100, 110))], key=len
+    )
+
+
+def test_empty_cluster_drops_out(spark):
+    # k=3 but only two distinct locations: one init centroid loses all
+    # members after round 1 and must vanish on BOTH engines (the oracle
+    # derives centroids from GROUP BY — this pins the Spark side).
+    pts = {0: [0.0], 1: [0.0], 2: [10.0], 3: [10.0], 4: [10.0]}
+    out = kmeans_lloyd(_pts_df(spark, pts), k=3, iters=2).collect()
+    clusters = {r["vec_id"]: r["cluster"] for r in out}
+    assert len(out) == 5
+    assert len(set(clusters.values())) == 2
+    assert clusters[0] == clusters[1] and clusters[2] == clusters[3] == clusters[4]
+
+
+def test_oracle_parity_sf0001(spark, sf_dir):
+    from oracle_harness import compare, duck_connection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda e: e.cast("double")).alias("vec"),
+    )
+    res = kmeans_lloyd(pts, k=8, iters=2)
+    sql = kmeans_oracle_sql(
+        "pts AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec FROM embeddings)",
+        k=8,
+        iters=2,
+        dim=64,
+    )
+    ok, msg = compare(res, duck_connection(sf_dir), sql)
+    assert ok, msg
+    # non-vacuous: the sf0.001 embeddings fill all 8 cells
+    assert res.select("cluster").distinct().count() == 8
+
+
+def test_plan_has_no_join_for_centroids(spark):
+    """Centroids ride in as literals (driver state, the broadcast-free
+    per-round shape the module doc claims): the assignment plan must
+    contain zero joins of any kind."""
+    pts = _pts_df(spark, {i: [float(i), 0.0] for i in range(20)})
+    plan = kmeans_lloyd(pts, k=2, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
