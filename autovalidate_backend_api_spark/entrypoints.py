@@ -4726,6 +4726,73 @@ def kmeans_lloyd_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(pts, k=8, iters=2)
 
 
+_FDEF_PAT = r"^\s*(?:def|function|fn|func)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("
+
+
+def _function_clone_oracle_sql() -> str:
+    plant_shared = (
+        "chr(10) || 'def shared_' || CAST(doc_id % 7 AS VARCHAR) || '(x):' "
+        "|| chr(10) || '  return ' || CAST(doc_id % 7 AS VARCHAR)"
+    )
+    return f"""WITH {_LINED_SQL},
+    planted AS (SELECT doc_id, text
+      || {plant_shared}
+      || CASE WHEN doc_id % 6 = 0 THEN {plant_shared} ELSE '' END
+      || chr(10) || 'def unique_' || CAST(doc_id AS VARCHAR) || '(y):'
+      || chr(10) || '  return ' || CAST(doc_id AS VARCHAR) AS text
+      FROM lined),
+    lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+    l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+            i -> {{'pos': i, 'ln': ls[i]}}), recursive := true) FROM lx),
+    segs AS (SELECT doc_id, pos, ln,
+        sum(CASE WHEN regexp_extract(ln, '{_FDEF_PAT}', 1) <> ''
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS fidx FROM l),
+    units AS (SELECT doc_id, fidx,
+        max(CASE WHEN regexp_extract(ln, '{_FDEF_PAT}', 1) <> ''
+                 THEN regexp_extract(ln, '{_FDEF_PAT}', 1) END) AS fname,
+        string_agg(ln, chr(10) ORDER BY pos) AS body
+      FROM segs WHERE fidx >= 1 GROUP BY 1, 2)
+    SELECT md5(body) AS body_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_units, min(fname) AS fname
+    FROM units GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2"""
+
+
+# function-granularity exact clone groups over the lined corpus with a
+# planted 7-class shared helper (every doc carries one; %6 docs carry
+# it TWICE, so n_units > n_docs on the classes %6 intersects) plus a
+# doc-unique function that must never group (n_docs ≥ 2 kills it). The
+# prose preamble before the first definition belongs to no unit — its
+# drop is pinned by the oracle replaying the same running-count
+# segmentation.
+@_register("function_clone_groups", _function_clone_oracle_sql())
+def function_clone_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        function_clone_groups,
+    )
+
+    lined = _lined_docs(spark, sf_dir)
+    k = (F.col("doc_id") % 7).cast("string")
+    shared = F.concat(
+        F.lit("\ndef shared_"), k, F.lit("(x):"), F.lit("\n  return "), k
+    )
+    planted = lined.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            shared,
+            F.when(F.col("doc_id") % 6 == 0, shared).otherwise(F.lit("")),
+            F.lit("\ndef unique_"),
+            F.col("doc_id").cast("string"),
+            F.lit("(y):"),
+            F.lit("\n  return "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return function_clone_groups(planted)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -2148,6 +2148,85 @@ def function_def_inventory(docs: DataFrame) -> DataFrame:
     )
 
 
+def function_units(docs: DataFrame) -> DataFrame:
+    """Segment each document into FUNCTION-GRANULARITY units: a unit
+    starts at a definition line (the same four-syntax anchor as
+    :func:`function_def_inventory`) and extends to the line before the
+    next definition (or EOF); content before the first definition (the
+    import/preamble block) belongs to no unit and is dropped. This is
+    the granularity shift every serious code-dedup pipeline makes —
+    SourcererCC's clone units are METHODS, not files (Sajnani et al.,
+    ICSE'16 §III.A), because file-level hashing misses the dominant
+    real-world clone mode: one copy-pasted helper inside an otherwise
+    novel file.
+
+    Returns ``doc_id, fidx, fname, body`` — fidx is the 1-based unit
+    ordinal within the doc, fname the defined name, body the unit's
+    verbatim lines (definition line included) re-joined with \\n.
+
+    100 TB plan: the line explode and running definition count are one
+    window keyed by doc_id (a single exchange partitioned on doc —
+    each doc's lines land together; docs are bounded, so no skew
+    concern), and the unit re-assembly is a sort_array fold inside the
+    same grouping — content crosses exactly one exchange, at line
+    granularity, and leaves at unit granularity. Downstream clone ops
+    consume units exactly like docs (id → (doc_id, fidx)).
+    """
+    pat = r"^\s*(?:def|function|fn|func)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "ln")
+    )
+    is_def = F.regexp_extract("ln", pat, 1)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lines.withColumn(
+        "fidx", F.sum(F.when(is_def != "", 1).otherwise(0)).over(w)
+    ).filter(F.col("fidx") >= 1)
+    return tagged.groupBy("doc_id", "fidx").agg(
+        F.max(F.when(is_def != "", is_def)).alias("fname"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "ln"))),
+                lambda x: x["ln"],
+            ),
+            "\n",
+        ).alias("body"),
+    )
+
+
+def function_clone_groups(docs: DataFrame) -> DataFrame:
+    """Cross-document exact clone groups at FUNCTION granularity:
+    md5-group the :func:`function_units` bodies and keep groups seen
+    in ≥ 2 distinct documents — the function-level rung of the clone
+    ladder (dup_code_blocks is Type-1 at block granularity,
+    type2_clone_groups at file granularity; this is the unit
+    SourcererCC actually dedups). A duplicated definition WITHIN one
+    doc raises n_units above n_docs but cannot create a group alone.
+
+    Returns ``body_md5, n_docs, n_units, fname`` (fname = min defined
+    name in the group — clones that were renamed at the call site keep
+    distinct bodies and do NOT land here; that's type2's job).
+
+    100 TB plan: after segmentation the only exchange carries
+    (16-byte md5, doc_id) rows keyed by hash — map-side combinable
+    counts, hot keys are exactly the universally-vendored helpers and
+    arrive pre-aggregated per partition.
+    """
+    u = function_units(docs)
+    return (
+        u.groupBy(F.md5("body").alias("body_md5"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_units"),
+            F.min("fname").alias("fname"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Corpus-snapshot delta at (repo, path) granularity: which files
     were ADDED, DELETED, or MODIFIED between two snapshots of the

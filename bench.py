@@ -121,6 +121,9 @@ GATE_QUERIES = [
     # codebook builder as a value-checked op; 3 assignment passes +
     # 2 driver-state centroid collects at sf0.1 = 50k × 8 × 64-dim)
     "kmeans_lloyd_assignments",
+    # r5j: function-granularity segmentation (one line-explode window
+    # per doc) + exact cross-doc clone grouping on unit-body md5
+    "function_clone_groups",
 ]
 
 

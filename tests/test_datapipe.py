@@ -1690,6 +1690,51 @@ def test_function_def_inventory_syntaxes_and_decoys(spark):
     }
 
 
+def test_function_units_segmentation(spark):
+    """Preamble dropped, units run def-line → next def (EOF-terminated
+    last unit), duplicate identical defs in one doc stay two units."""
+    from autovalidate_backend_api_spark.operators.datapipe import function_units
+
+    docs = _docs(
+        spark,
+        [
+            (1, "import os\n# prelude\ndef a(x):\n  one\n  two\ndef b(y):\n  tail"),
+            (2, "def c(z):\n  same\ndef c(z):\n  same"),
+            (3, "no functions at all"),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["fidx"]): (r["fname"], r["body"])
+        for r in function_units(docs).collect()
+    }
+    assert got == {
+        (1, 1): ("a", "def a(x):\n  one\n  two"),
+        (1, 2): ("b", "def b(y):\n  tail"),
+        (2, 1): ("c", "def c(z):\n  same"),
+        (2, 2): ("c", "def c(z):\n  same"),
+    }
+
+
+def test_function_clone_groups_cross_doc_only(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        function_clone_groups,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "def shared(x):\n  body\ndef only1(y):\n  u1"),
+            (2, "pre\ndef shared(x):\n  body"),
+            # intra-doc duplicate alone must NOT form a group
+            (3, "def solo(q):\n  s\ndef solo(q):\n  s"),
+        ],
+    )
+    rows = function_clone_groups(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["fname"], r["n_docs"], r["n_units"]) == ("shared", 2, 2)
+
+
 # ---------------------------------------------------- snapshot diff
 def test_snapshot_diff_statuses_and_unchanged_excluded(spark):
     from autovalidate_backend_api_spark.operators.datapipe import snapshot_diff
