@@ -4793,6 +4793,107 @@ def function_clone_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return function_clone_groups(planted)
 
 
+def _ivf_lloyd_oracle_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 2) -> str:
+    from autovalidate_backend_api_spark.operators.clustering import (
+        kmeans_centroid_cte_sql,
+    )
+
+    frag = kmeans_centroid_cte_sql(k=n_centroids, iters=2, dim=64)
+    return f"""
+      WITH pts AS MATERIALIZED (SELECT vec_id AS id,
+        list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec FROM embeddings),
+      {frag},
+      b AS (SELECT id AS vec_id, vec AS v, sqrt(list_dot_product(vec, vec)) AS nrm
+            FROM pts),
+      c AS (SELECT cid, cvec AS cv, sqrt(list_dot_product(cvec, cvec)) AS cn
+            FROM c2),
+      assign AS (
+        SELECT nid, nv, nn, cell FROM (
+          SELECT bb.vec_id AS nid, bb.v AS nv, bb.nrm AS nn, c.cid AS cell,
+                 row_number() OVER (PARTITION BY bb.vec_id
+                   ORDER BY round(list_dot_product(bb.v, c.cv) / (bb.nrm * c.cn), 9) DESC,
+                            c.cid) AS r
+          FROM b bb CROSS JOIN c) WHERE r = 1),
+      probes AS (
+        SELECT qid, qv, qn, cell FROM (
+          SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, c.cid AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cn), 9) DESC,
+                            c.cid) AS r
+          FROM b q CROSS JOIN c WHERE q.vec_id < 20) WHERE r <= {n_probe}),
+      cands AS (
+        SELECT DISTINCT p.qid, a.nid,
+               round(list_dot_product(p.qv, a.nv) / (p.qn * a.nn), 6) AS cos
+        FROM probes p JOIN assign a USING (cell) WHERE a.nid != p.qid)
+      SELECT qid, nid, cos, CAST(rnk AS INT) AS rnk FROM (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM cands) WHERE rnk <= {k}"""
+
+
+# IVF with a TRAINED codebook, oracle-checked end-to-end: Lloyd
+# training (kmeans_centroid_cte_sql fragment — the same bit-exact
+# fold contract the kmeans gate certifies) composes with the IVF
+# assignment/probe/re-score/rank SQL, so the production-shaped
+# trained-centroid path is a green value-hash row rather than a
+# pytest-only claim (ivf_cosine_topk keeps gating the id-sample
+# codebook; the ml-KMeans option remains pytest-covered).
+@_register("ivf_lloyd_topk", _ivf_lloyd_oracle_sql())
+def ivf_lloyd_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+        centroids="lloyd",
+    )
+
+
+def _vocab_growth_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        vocab_growth_oracle_sql,
+    )
+
+    docs_cte = rf"""vgtok AS (SELECT doc_id,
+      list_filter(regexp_split_to_array({_NORM_SQL}, '\s+'), t -> t <> '') AS t
+      FROM documents),
+    vg AS (SELECT doc_id, array_to_string(list_transform(range(1, len(t) - 1),
+      i -> t[i] || '_' || t[i+1] || '_' || t[i+2]), ' ') AS text
+      FROM vgtok WHERE len(t) >= 3)"""
+    return vocab_growth_oracle_sql(docs_cte)
+
+
+# Heaps-law vocabulary growth over trigram-unit terms (the unigram
+# vocabulary is 31 terms — see oov_rate — so the unigram curve
+# saturates at the first cutoff; trigram units give the sub-linear
+# growth the diagnostic exists to measure). Append-stable by doc_id
+# prefix; every value is a BIGINT conditional sum.
+@_register("vocab_growth_curve", _vocab_growth_oracle_sql())
+def vocab_growth_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        vocab_growth_curve,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.filter(F.split(normalize_text_col(F.col("text")), r"\s+"), lambda x: x != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            "_",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + F.lit(1)),
+            F.element_at(F.col("t"), i + F.lit(2)),
+        ),
+    )
+    corpus = base.select("doc_id", F.array_join(grams, " ").alias("text"))
+    return vocab_growth_curve(corpus)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

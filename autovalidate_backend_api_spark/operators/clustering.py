@@ -91,6 +91,55 @@ def _assign(points: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
     )
 
 
+def _lloyd_iterate(
+    pts: DataFrame, *, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """``iters`` rounds of (assign, update) over persisted ``pts(id,
+    vec)``; returns the final codebook as driver state (≤ k rows of dim
+    doubles per round cross the wire — nothing |points|-sized)."""
+    init = pts.orderBy("id").limit(k).collect()
+    cents = [(i, list(r["vec"])) for i, r in enumerate(init)]
+    if not cents:
+        return []
+    dim = len(cents[0][1])
+    zero = F.array(*[F.lit(0.0)] * dim)
+    for _ in range(iters):
+        assigned = _assign(pts, cents)
+        upd = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("id", "vec"))),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x["vec"], lambda a, b: a + b),
+                ).alias("ssum"),
+            )
+            .select(
+                "cid",
+                F.transform("ssum", lambda s: s / F.col("cnt")).alias("cvec"),
+            )
+            .collect()  # bounded: ≤ k rows of dim doubles — driver state
+        )
+        cents = sorted((r["cid"], list(r["cvec"])) for r in upd)
+    return cents
+
+
+def lloyd_centroids(
+    points: DataFrame, *, k: int = 8, iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """The trained codebook alone (final centroid list, driver-side) —
+    what ``ivf_topk(centroids="lloyd")`` consumes. Same float contract
+    as :func:`kmeans_lloyd`, so a codebook consumer composed with the
+    :func:`kmeans_centroid_cte_sql` fragment stays oracle-exact
+    end-to-end."""
+    pts = points.select("id", "vec").persist()
+    try:
+        return _lloyd_iterate(pts, k=k, iters=iters)
+    finally:
+        pts.unpersist()
+
+
 def kmeans_lloyd(
     points: DataFrame,
     *,
@@ -119,39 +168,57 @@ def kmeans_lloyd(
     exactly; a fixed count keeps both replays structurally identical.
     """
     pts = points.select("id", "vec").persist()
-    init = pts.orderBy("id").limit(k).collect()
-    cents = [(i, list(r["vec"])) for i, r in enumerate(init)]
+    cents = _lloyd_iterate(pts, k=k, iters=iters)
     if not cents:
         return pts.sparkSession.createDataFrame(
             [], "vec_id bigint, cluster int, dist double"
         )
-    dim = len(cents[0][1])
-    zero = F.array(*[F.lit(0.0)] * dim)
-    for _ in range(iters):
-        assigned = _assign(pts, cents)
-        upd = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("id", "vec"))),
-                    zero,
-                    lambda acc, x: F.zip_with(acc, x["vec"], lambda a, b: a + b),
-                ).alias("ssum"),
-            )
-            .select(
-                "cid",
-                F.transform("ssum", lambda s: s / F.col("cnt")).alias("cvec"),
-            )
-            .collect()  # bounded: ≤ k rows of dim doubles — driver state
-        )
-        cents = sorted((r["cid"], list(r["cvec"])) for r in upd)
     out = _assign(pts, cents).select(
         F.col("id").alias("vec_id"),
         F.col("cid").cast("int").alias("cluster"),
         F.round("dist", round_digits).alias("dist"),
     )
     return out
+
+
+def _dist_sql(dim: int, p: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> ({p}.vec[i] - {c}.cvec[i]) * ({p}.vec[i] - {c}.cvec[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def kmeans_centroid_cte_sql(*, k: int = 8, iters: int = 2, dim: int) -> str:
+    """CTE FRAGMENT (no WITH, no final SELECT) deriving the trained
+    codebook ``c{iters}(cid, cvec)`` from an in-scope ``pts(id, vec)``
+    CTE — composable into any consumer oracle (kmeans itself, the
+    lloyd-codebook IVF gate). All CTEs MATERIALIZED (house rule from
+    kcore: DuckDB inlines plain CTEs and re-scans the source per
+    reference)."""
+    steps = [
+        f"""c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec AS cvec
+      FROM (SELECT id, vec FROM pts ORDER BY id LIMIT {k}))"""
+    ]
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT id, vec, cid, dist FROM (
+        SELECT id, vec, cid, dist,
+               row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rnk
+        FROM (SELECT p.id, p.vec, c.cid, {_dist_sql(dim, 'p', 'c')} AS dist
+              FROM pts p, c{t - 1} c)) WHERE rnk = 1)"""
+        )
+        steps.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT cid, list_transform(ssum, s -> s / cnt) AS cvec FROM (
+        SELECT cid, count(*) AS cnt,
+               list_reduce(list(vec ORDER BY id),
+                 (x, y) -> list_transform(range(1, {dim + 1}), i -> x[i] + y[i])) AS ssum
+        FROM a{t} GROUP BY cid))"""
+        )
+    return ",\n    ".join(steps)
 
 
 def kmeans_oracle_sql(
@@ -164,45 +231,16 @@ def kmeans_oracle_sql(
 ) -> str:
     """DuckDB SQL replaying :func:`kmeans_lloyd` round-for-round.
     ``points_cte`` must define ``pts(id, vec)`` with ``vec`` a
-    ``DOUBLE[]`` of length ``dim``. All CTEs MATERIALIZED (house rule
-    from kcore: DuckDB inlines plain CTEs and re-scans the source per
-    reference)."""
-
-    def dist(p: str, c: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> ({p}.vec[i] - {c}.cvec[i]) * ({p}.vec[i] - {c}.cvec[i])), "
-            f"(x, y) -> x + y)"
-        )
-
-    steps = [
-        f"""c0 AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec AS cvec
-      FROM (SELECT id, vec FROM pts ORDER BY id LIMIT {k}))"""
-    ]
-    for t in range(1, iters + 2):
-        steps.append(
-            f"""a{t} AS MATERIALIZED (
+    ``DOUBLE[]`` of length ``dim``."""
+    final = iters + 1
+    return f"""WITH {points_cte},
+    {kmeans_centroid_cte_sql(k=k, iters=iters, dim=dim)},
+    a{final} AS MATERIALIZED (
       SELECT id, vec, cid, dist FROM (
         SELECT id, vec, cid, dist,
                row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rnk
-        FROM (SELECT p.id, p.vec, c.cid, {dist('p', 'c')} AS dist
-              FROM pts p, c{t - 1} c)) WHERE rnk = 1)"""
-        )
-        if t <= iters:
-            steps.append(
-                f"""c{t} AS MATERIALIZED (
-      SELECT cid, list_transform(ssum, s -> s / cnt) AS cvec FROM (
-        SELECT cid, count(*) AS cnt,
-               list_reduce(list(vec ORDER BY id),
-                 (x, y) -> list_transform(range(1, {dim + 1}), i -> x[i] + y[i])) AS ssum
-        FROM a{t} GROUP BY cid))"""
-            )
-    return (
-        f"WITH {points_cte},\n    "
-        + ",\n    ".join(steps)
-        + f"""
+        FROM (SELECT p.id, p.vec, c.cid, {_dist_sql(dim, 'p', 'c')} AS dist
+              FROM pts p, c{iters} c)) WHERE rnk = 1)
     SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster,
            round(dist, {round_digits}) AS dist
-    FROM a{iters + 1}"""
-    )
+    FROM a{final}"""

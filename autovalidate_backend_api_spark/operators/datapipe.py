@@ -2227,6 +2227,89 @@ def function_clone_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_growth_curve(
+    docs: DataFrame, *, cutoffs: tuple[int, ...] = (16, 64, 256, 1024, 4096, 16384)
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve points: for each corpus
+    prefix ``doc_id < D`` report total token count and distinct-term
+    count — the sub-linear V(N) ≈ K·N^β growth every natural corpus
+    shows, and the first diagnostic a curation run reads when a source
+    looks synthetic or template-heavy (a flat curve = boilerplate; a
+    LINEAR curve = serial numbers / hashes masquerading as text).
+    Prefixes are doc_id-ordered, so the curve is append-stable: new
+    docs extend it without changing existing points (same property the
+    md5 split relies on).
+
+    Returns one row per cutoff: ``cutoff, n_tokens, n_vocab`` — pure
+    BIGINT arithmetic, oracle-exact by construction.
+
+    100 TB plan: NO global token ordering (a global rank would be a
+    single-partition sort). Per-term first-occurrence doc =
+    map-side-combinable min; per-doc token counts = map-side-combinable
+    count; each curve point is a conditional sum over those two compact
+    tables, evaluated as one aggregation pass each with |cutoffs|
+    columns, unpivoted at the end — two exchanges total, both carrying
+    (key, BIGINT) rows, however many cutoffs.
+    """
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    per = docs.select("doc_id", F.explode(toks).alias("term"))
+    first = per.groupBy("term").agg(F.min("doc_id").alias("md"))
+    ntok = per.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    # tagged union → ONE aggregation (corpus_summary's trick: a 1-row
+    # broadcast cross join plans as the banned nested loop)
+    tagged = first.select(
+        F.lit("v").alias("kind"),
+        F.col("md").cast("bigint").alias("key"),
+        F.lit(1).cast("bigint").alias("w"),
+    ).unionByName(
+        ntok.select(
+            F.lit("t").alias("kind"),
+            F.col("doc_id").cast("bigint").alias("key"),
+            F.col("nt").cast("bigint").alias("w"),
+        )
+    )
+    aggs = []
+    for d in cutoffs:
+        aggs.append(
+            F.sum(
+                F.when((F.col("kind") == "t") & (F.col("key") < d), F.col("w"))
+            ).cast("bigint").alias(f"nt_{d}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("kind") == "v") & (F.col("key") < d), F.col("w"))
+            ).cast("bigint").alias(f"nv_{d}")
+        )
+    one = tagged.agg(*aggs)
+    stack = ", ".join(
+        f"{d}L, coalesce(nt_{d}, 0L), coalesce(nv_{d}, 0L)" for d in cutoffs
+    )
+    return one.selectExpr(
+        f"stack({len(cutoffs)}, {stack}) AS (cutoff, n_tokens, n_vocab)"
+    )
+
+
+def vocab_growth_oracle_sql(
+    docs_cte: str, *, cutoffs: tuple[int, ...] = (16, 64, 256, 1024, 4096, 16384)
+) -> str:
+    """DuckDB SQL replaying :func:`vocab_growth_curve`. ``docs_cte``
+    must define ``vg(doc_id, text)`` (text whitespace-tokenizable)."""
+    points = "\n      UNION ALL ".join(
+        f"""SELECT CAST({d} AS BIGINT) AS cutoff,
+        (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM vgnt WHERE doc_id < {d})
+          AS n_tokens,
+        (SELECT CAST(count(*) AS BIGINT) FROM vgv WHERE md < {d}) AS n_vocab"""
+        for d in cutoffs
+    )
+    return f"""WITH {docs_cte},
+    vgt AS (SELECT doc_id, unnest(list_filter(
+              regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+            FROM vg),
+    vgv AS (SELECT term, min(doc_id) AS md FROM vgt GROUP BY term),
+    vgnt AS (SELECT doc_id, count(*) AS nt FROM vgt GROUP BY doc_id)
+    {points}"""
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Corpus-snapshot delta at (repo, path) granularity: which files
     were ADDED, DELETED, or MODIFIED between two snapshots of the

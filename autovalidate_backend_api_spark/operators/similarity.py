@@ -148,6 +148,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: str = "sample",
     kmeans_seed: int = 7,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
@@ -168,17 +169,40 @@ def ivf_topk(
       production choice on real embedding distributions; balanced cells
       mean a lower n_probe reaches the same recall (measured in
       tests/test_similarity.py::test_ivf_kmeans_recall_vs_sampled).
+    - ``"lloyd"``: operators/clustering.py Lloyd-trained centroids —
+      TRAINED like "kmeans" but under the oracle float contract
+      (left-assoc folds, driver-state codebook), so the full trained-
+      codebook IVF path — training included — is SQL-reproducible and
+      driver-gated (``ivf_lloyd_topk``), closing the sample-vs-trained
+      oracle split the first two options forced.
 
     Scale shape (either codebook): centroids broadcast (tiny); cell
     assignment is one narrow map; the probe join is an equi-join on
     cell id. Candidate fraction ≈ n_probe / n_centroids.
     """
-    if centroids not in ("sample", "kmeans"):
+    if centroids not in ("sample", "kmeans", "lloyd"):
         raise ValueError(centroids)
     base = with_norm(emb).select(
         F.col(id_col).alias("nid"), F.col("_v").alias("nv"), F.col("_norm").alias("nn")
     )
-    if centroids == "kmeans":
+    if centroids == "lloyd":
+        from autovalidate_backend_api_spark.operators.clustering import (
+            lloyd_centroids,
+        )
+
+        pts = emb.select(
+            F.col(id_col).alias("id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+        rows = [
+            (cid, cv)
+            for cid, cv in lloyd_centroids(pts, k=n_centroids, iters=lloyd_iters)
+        ]
+        cents = (
+            emb.sparkSession.createDataFrame(rows, "cid long, cv array<double>")
+            .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        )
+    elif centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 

@@ -1735,6 +1735,37 @@ def test_function_clone_groups_cross_doc_only(spark):
     assert (r["fname"], r["n_docs"], r["n_units"]) == ("shared", 2, 2)
 
 
+def test_vocab_growth_curve_points_and_append_stability(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        vocab_growth_curve,
+    )
+
+    # doc i contributes tokens {t0..t_i} → vocab at cutoff D is D,
+    # tokens are 1+2+..+D = D(D+1)/2
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"t{j}" for j in range(i + 1))) for i in range(10)],
+    )
+    got = {
+        r["cutoff"]: (r["n_tokens"], r["n_vocab"])
+        for r in vocab_growth_curve(docs, cutoffs=(2, 4, 8, 64)).collect()
+    }
+    assert got == {
+        2: (3, 2),
+        4: (10, 4),
+        8: (36, 8),
+        64: (55, 10),
+    }
+    # append-stable: computing over a doc_id-prefix corpus reproduces
+    # the shared cutoffs exactly
+    prefix = docs.filter(F.col("doc_id") < 4)
+    got_prefix = {
+        r["cutoff"]: (r["n_tokens"], r["n_vocab"])
+        for r in vocab_growth_curve(prefix, cutoffs=(2, 4)).collect()
+    }
+    assert got_prefix == {2: got[2], 4: got[4]}
+
+
 # ---------------------------------------------------- snapshot diff
 def test_snapshot_diff_statuses_and_unchanged_excluded(spark):
     from autovalidate_backend_api_spark.operators.datapipe import snapshot_diff
