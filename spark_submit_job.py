@@ -59,6 +59,11 @@ def main() -> None:
                     help="also write the per-banding-config LSH "
                          "recall/precision calibration report against "
                          "the exact pair truth set (requires --output)")
+    ap.add_argument("--clone-report", action="store_true",
+                    help="also write function-granularity exact clone "
+                         "groups (method-level units, the SourcererCC "
+                         "granularity) plus the Heaps vocabulary-growth "
+                         "curve over the corpus (requires --output)")
     ap.add_argument("--graph-report", action="store_true",
                     help="also write the repo-graph analysis triad over "
                          "the file-hash overlap edges: PageRank "
@@ -230,6 +235,35 @@ def main() -> None:
         back = spark.read.parquet(f"{args.output}/recall_report")
         summary["recall"] = {
             r["config"]: r["recall"] for r in back.collect()
+        }
+
+    if args.clone_report:
+        if not args.output:
+            ap.error("--clone-report requires --output")
+        # Function-granularity clone inventory + vocabulary growth over
+        # the same corpus scan: the method-level dedup signal (one
+        # copied helper inside an otherwise novel file) and the
+        # template-heaviness diagnostic (a flat Heaps curve = the
+        # corpus is boilerplate).
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.datapipe import (
+            function_clone_groups,
+            vocab_growth_curve,
+        )
+
+        cdocs = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        fgroups = function_clone_groups(cdocs)
+        fgroups.write.mode("overwrite").parquet(f"{args.output}/function_clones")
+        vcurve = vocab_growth_curve(cdocs)
+        vcurve.write.mode("overwrite").parquet(f"{args.output}/vocab_growth")
+        back = spark.read.parquet(f"{args.output}/function_clones")
+        summary["clone_report"] = {
+            "function_clone_groups": back.count(),
+            "vocab_points": vcurve.count(),
         }
 
     if args.graph_report:

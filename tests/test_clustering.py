@@ -112,6 +112,41 @@ def test_empty_cluster_drops_out(spark):
     assert clusters[0] == clusters[1] and clusters[2] == clusters[3] == clusters[4]
 
 
+def test_property_matches_python_lloyd_on_random_points(spark):
+    """Hypothesis sweep: assignments equal the independent Python Lloyd
+    for arbitrary small point sets (ties, duplicates, collinear blobs,
+    k > distinct locations all generated)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(-8, 8).map(lambda v: v / 4.0)  # exact dyadics
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pts=st.dictionaries(
+            st.integers(0, 40),
+            st.tuples(coord, coord),
+            min_size=2,
+            max_size=12,
+        ),
+        k=st.integers(2, 4),
+    )
+    def check(pts, k):
+        d = {i: [a, b] for i, (a, b) in pts.items()}
+        expect = {i: c for i, (c, _) in _python_lloyd(d, k=k, iters=2).items()}
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_lloyd(_pts_df(spark, d), k=k, iters=2).collect()
+        }
+        assert got == expect
+
+    check()
+
+
 def test_oracle_parity_sf0001(spark, sf_dir):
     from oracle_harness import compare, duck_connection
 

@@ -25,12 +25,16 @@ QUERIES = entrypoints.queries()
 #   brute-force truth side (bounded query sample) and the IVF centroid
 #   broadcast; its approximate sides (sign-LSH buckets, PQ code join)
 #   stay equi-joins
+# - ivf_lloyd_topk: the same IVF assignment shape with the 8-row
+#   Lloyd-trained codebook broadcast (training itself is join-free —
+#   pinned in test_clustering.py::test_plan_has_no_join_for_centroids)
 _NL_WHITELIST = {
     "cosine_topk",
     "ivf_cosine_topk",
     "ann_cosine_topk",
     "semdedup_prune",
     "ann_recall_report",
+    "ivf_lloyd_topk",
 }
 
 
