@@ -4895,6 +4895,91 @@ def vocab_growth_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (operators/temporal.py): as-of + range join
+# ---------------------------------------------------------------------------
+
+# As-of join: each purchase matched to the user's latest signup at or
+# before it. The Spark side is the union-and-sweep plan (ONE shuffle on
+# user_id, zero inequality joins — operators/temporal.py); the oracle is
+# the definitional inequality join + rn=1 window, so the gate certifies
+# the sweep against the textbook semantics including the (ts, id)
+# tie-break. gap_us is an exact BIGINT microsecond difference — a single
+# integer subtraction, bit-exact cross-engine (events_hourly pinned the
+# epoch arithmetic parity; session tz is UTC).
+@_register(
+    "events_asof_join",
+    """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+            ranked AS (
+              SELECT l.event_id AS left_id, l.user_id AS user_id,
+                     r.event_id AS matched_id,
+                     epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.ts DESC, r.event_id DESC) AS rn
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+       SELECT left_id, user_id, matched_id, gap_us FROM ranked WHERE rn = 1""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_id="event_id",
+    )
+
+
+# Range (interval) join: purchases inside the 6h window after each error,
+# per user. The Spark side replicates each interval onto the ≤2 fixed
+# 6h time bins it overlaps and equi-joins on (user_id, bin) + residual
+# BETWEEN — no inequality join, no dedup needed (a point joins through
+# exactly one bin). The oracle is the plain inequality join.
+@_register(
+    "events_range_join",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS s_us,
+                         epoch_us(ts) + 21600000000 AS e_us
+                  FROM events WHERE event_type = 'error'),
+            p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+                  FROM events WHERE event_type = 'purchase')
+       SELECT e.event_id AS interval_id, p.event_id AS point_id,
+              e.user_id AS user_id, p.p_us - e.s_us AS gap_us
+       FROM e JOIN p ON e.user_id = p.user_id
+                     AND p.p_us BETWEEN e.s_us AND e.e_us""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("te"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return range_join_bucketed(
+        errors,
+        purchases,
+        key="user_id",
+        interval_id="event_id",
+        start_ts="ts",
+        end_ts="te",
+        point_id="event_id",
+        point_ts="ts",
+        bin_seconds=21600,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,162 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+The reference correlates a request with the latest prior state of its
+key (frequent-typo cache freshness check, /root/reference/app/api/core/
+db_lookup.py:24-50 — "use the cached correction unless a newer ingest
+superseded it"); generalized over an event table those are the two
+classic time-join shapes:
+
+- **as-of join**: for each left row, the single right row with the
+  greatest ``right_ts <= left_ts`` for the same key.
+- **range join**: every (interval, point) pair with the point's
+  timestamp inside the interval, per key.
+
+Neither is a Spark built-in, and the naive translation of either — an
+inequality theta-join — plans as a per-key nested loop (O(n·m) pairs
+shuffled per key). Both implementations here avoid inequality joins
+entirely:
+
+``asof_join`` is the union-and-sweep formulation: tag both sides, union
+them, sort each key's rows by ``(ts, side, right_id)`` inside ONE
+window, and carry the last non-null right payload forward with
+``last(..., ignorenulls=True)``. Cost is exactly one shuffle on the key
+plus a per-partition sort — the same plan shape at 10^3 and 10^12 rows,
+with no pair expansion at any scale. Ties are deterministic: a right
+row at ``ts == left_ts`` IS visible (sorts before the left row), and
+among right rows sharing a timestamp the one with the greatest id wins.
+
+``range_join_bucketed`` is the bin-replication formulation: intervals
+are exploded onto the fixed-width time bins they overlap
+(``ceil(len/bin)+1`` replicas — a constant for bounded interval
+length), points carry their single bin, and the join becomes an
+EQUI-join on ``(key, bin)`` plus a residual ``BETWEEN`` filter. A point
+joins each interval through exactly one bin (the point's own), so the
+output needs no dedup. Bin width should be ~ the max interval length:
+shorter bins replicate intervals more; longer bins admit more false
+candidates into the residual filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+
+def _us(col: str | Column) -> Column:
+    """Exact BIGINT epoch microseconds. Parquet timestamps read as
+    TIMESTAMP_NTZ; with a UTC session timezone the cast to TIMESTAMP
+    maps wall time to the same instant DuckDB's epoch_us() reports."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+    right_payload: tuple[str, ...] = (),
+) -> DataFrame:
+    """Latest right row with ``right_ts <= left_ts`` per key, one
+    shuffle, no inequality join.
+
+    Returns the left id/key/ts columns plus ``matched_id`` (the right
+    id), ``matched_<c>`` for each payload column, and ``gap_us``
+    (exact BIGINT microsecond lag). Left rows with no prior right row
+    are dropped (inner as-of semantics).
+    """
+    payload = F.struct(
+        F.col(right_id).alias("rid"),
+        F.col(right_ts).alias("rts"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col(right_ts).alias("ts"),
+        F.lit(0).alias("side"),
+        F.col(right_id).alias("order_id"),
+        payload.alias("rpay"),
+        F.lit(None).cast("bigint").alias("lid"),
+    )
+    l = left.select(  # noqa: E741
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("ts"),
+        F.lit(1).alias("side"),
+        # left rows never need to order among themselves for correctness;
+        # their id keeps the sort total (determinism under retries).
+        F.col(left_id).alias("order_id"),
+        F.lit(None).cast(r.schema["rpay"].dataType).alias("rpay"),
+        F.col(left_id).alias("lid"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("order_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = r.unionByName(l).withColumn(
+        "m", F.last("rpay", ignorenulls=True).over(w)
+    )
+    out = swept.filter((F.col("side") == 1) & F.col("m").isNotNull())
+    return out.select(
+        F.col("lid").alias("left_id"),
+        F.col("k").alias(key),
+        F.col("m.rid").alias("matched_id"),
+        (_us("ts") - _us("m.rts")).alias("gap_us"),
+        *[F.col(f"m.{c}").alias(f"matched_{c}") for c in right_payload],
+    )
+
+
+def range_join_bucketed(
+    intervals: DataFrame,
+    points: DataFrame,
+    *,
+    key: str,
+    interval_id: str,
+    start_ts: str,
+    end_ts: str,
+    point_id: str,
+    point_ts: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """All (interval, point) pairs with ``start <= point_ts <= end`` per
+    key, as an equi-join on (key, time-bin) + residual filter.
+
+    ``end_ts`` must be >= ``start_ts``. Interval replication factor is
+    ``floor(end/bin) - floor(start/bin) + 1`` — bounded by the interval
+    length over ``bin_seconds``, independent of table sizes.
+    """
+    bin_us = int(bin_seconds) * 1_000_000
+    iv = intervals.select(
+        F.col(key).alias("k"),
+        F.col(interval_id).alias("interval_id"),
+        _us(start_ts).alias("s_us"),
+        _us(end_ts).alias("e_us"),
+    ).withColumn(
+        # integer `div`, never float-divide-then-cast: a double quotient
+        # rounds to nearest and can cross an integer boundary, putting a
+        # row one bin off (missed match, not just a wrong label).
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {bin_us}"), F.expr(f"e_us div {bin_us}")
+            )
+        ),
+    )
+    pt = points.select(
+        F.col(key).alias("k"),
+        F.col(point_id).alias("point_id"),
+        _us(point_ts).alias("p_us"),
+    ).withColumn("bin", F.expr(f"p_us div {bin_us}"))
+    joined = iv.join(pt, ["k", "bin"]).filter(
+        F.col("p_us").between(F.col("s_us"), F.col("e_us"))
+    )
+    return joined.select(
+        F.col("interval_id"),
+        F.col("point_id"),
+        F.col("k").alias(key),
+        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+    )

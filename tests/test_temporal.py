@@ -1,0 +1,137 @@
+"""as-of join + bucketed range join (operators/temporal.py).
+
+The gate queries are oracle-checked in test_queries_oracle.py; these
+pin the SEMANTICS the oracle can't isolate: the inclusive-equal-ts
+tie-break, the max-id tie among equal right timestamps, payload carry,
+matches that cross a bin boundary, and the single-shuffle plan shape.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp_ntz, value double"
+    )
+
+
+def test_asof_equal_ts_is_visible_and_max_id_wins(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    left = _events(spark, [(100, 1, _ts(50), 0.0), (101, 1, _ts(10), 0.0)])
+    right = _events(
+        spark,
+        [
+            (1, 1, _ts(50), 1.0),   # equal ts → visible to left 100
+            (2, 1, _ts(50), 2.0),   # same ts, larger id → wins
+            (3, 1, _ts(5), 3.0),    # only prior row for left 101
+            (4, 1, _ts(60), 4.0),   # future → never matched
+            (5, 2, _ts(0), 5.0),    # other key → never matched
+        ],
+    )
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_id="event_id",
+        right_payload=("value",),
+    )
+    got = {r.left_id: (r.matched_id, r.gap_us, r.matched_value) for r in out.collect()}
+    assert got == {100: (2, 0, 2.0), 101: (3, 5_000_000, 3.0)}
+
+
+def test_asof_unmatched_left_dropped(spark):
+    left = _events(spark, [(100, 1, _ts(10), 0.0)])
+    right = _events(spark, [(1, 1, _ts(20), 1.0)])
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", right_id="event_id",
+    )
+    assert out.count() == 0
+
+
+def test_asof_plan_is_single_exchange_no_join(spark, sf_dir):
+    """The sweep formulation's whole point: one hash exchange on the
+    key, zero join nodes of any kind."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", right_id="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_match_crosses_bin_boundary(spark):
+    """An interval straddling a bin edge must still match a point in
+    its second bin — the replication (not the point) carries the
+    interval across."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # bin = 60s. interval [50, 110] covers bins 0 and 1; point at 70 is
+    # in bin 1 only.
+    intervals = _events(spark, [(1, 1, _ts(50), 0.0)]).select(
+        "event_id", "user_id", "ts", (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("te")
+    )
+    points = _events(
+        spark,
+        [
+            (10, 1, _ts(70), 0.0),   # inside, bin 1
+            (11, 1, _ts(50), 0.0),   # inclusive start
+            (12, 1, _ts(110), 0.0),  # inclusive end
+            (13, 1, _ts(111), 0.0),  # just outside
+            (14, 2, _ts(70), 0.0),   # wrong key
+        ],
+    )
+    out = range_join_bucketed(
+        intervals, points, key="user_id", interval_id="event_id",
+        start_ts="ts", end_ts="te", point_id="event_id", point_ts="ts",
+        bin_seconds=60,
+    )
+    got = {(r.interval_id, r.point_id, r.gap_us) for r in out.collect()}
+    assert got == {(1, 10, 20_000_000), (1, 11, 0), (1, 12, 60_000_000)}
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    """A point joins each interval through exactly one bin even when the
+    interval is replicated onto several bins."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    intervals = _events(spark, [(1, 1, _ts(0), 0.0)]).select(
+        "event_id", "user_id", "ts",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("te"),
+    )
+    points = _events(spark, [(10, 1, _ts(150), 0.0)])
+    out = range_join_bucketed(
+        intervals, points, key="user_id", interval_id="event_id",
+        start_ts="ts", end_ts="te", point_id="event_id", point_ts="ts",
+        bin_seconds=60,
+    )
+    assert out.count() == 1
+
+
+def test_gates_nonvacuous_at_sf0001(spark, sf_dir):
+    from autovalidate_backend_api_spark import entrypoints
+
+    q = entrypoints.queries()
+    assert q["events_asof_join"](spark, sf_dir).count() > 0
+    assert q["events_range_join"](spark, sf_dir).count() > 0
