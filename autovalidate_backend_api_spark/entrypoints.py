@@ -4894,6 +4894,118 @@ def vocab_growth_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth_curve(corpus)
 
 
+def _ams_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.sketches import ams_f2_oracle_sql
+
+    return f"WITH {_SKETCH_TOK_SQL},\n    {ams_f2_oracle_sql('tri')}"
+
+
+# AMS F2 sketch: self-join size (Σ f_t²) of the trigram-shingle table
+# from 15 ±1-counter registers — the optimizer's join-size estimate as
+# a one-pass mergeable aggregate. Exact integer arithmetic end-to-end
+# (sums of ±1, squares, median-of-odd = element), so the estimate
+# itself is value-hash checked; exact F2 rides along via the
+# tagged-union single-agg (no 1-row cross join).
+@_register("ams_selfjoin_size", _ams_oracle_sql())
+def ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import ams_f2, trigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return ams_f2(trigrams(docs, normalize_text_col(F.col("text"))))
+
+
+_PHRASE = ("order", "fast")
+
+
+def _phrase_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.retrieval import (
+        phrase_search_oracle_sql,
+    )
+
+    return phrase_search_oracle_sql(_NORM_SQL, _PHRASE)
+
+
+# Positional phrase query: every (doc_id, pos) where "order fast"
+# occurs verbatim — postings equi-joined on (doc_id, pos+1), adjacency
+# folded into the join key (cost ~ the two posting lists, not the
+# corpus). "order fast" is the corpus's most frequent bigram, so the
+# gate exercises real multi-match docs.
+@_register("phrase_search_hits", _phrase_oracle_sql())
+def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, normalize_text_col(F.col("text")), _PHRASE)
+
+
+def _zorder_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.sources.layout import (
+        zorder_layout_oracle_sql,
+    )
+
+    return zorder_layout_oracle_sql(
+        "(SELECT l_partkey % 256 AS pk8, l_suppkey % 256 AS sk8 FROM lineitem)",
+        "pk8",
+        "sk8",
+        bits=8,
+    )
+
+
+# Z-order (Morton) layout report over lineitem's (partkey, suppkey)
+# mod-256 images: 16 z-range buckets with per-dimension min/max — the
+# data-skipping ranges an OPTIMIZE ZORDER write produces. The mod-256
+# projection keeps the occupied z-space scale-factor-independent (the
+# raw keys fill only the low bits, putting every row in bucket 0); the
+# z-order guarantee is crisp at 8 bits: the top-4 z bits are the top-2
+# bits of EACH dim, so every bucket is one 64×64 tile (pinned in
+# tests/test_layout.py). Pure integer bit arithmetic; the interleave
+# SQL is generated from the same loop as the Spark expression.
+@_register("zorder_layout", _zorder_oracle_sql())
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.sources.layout import zorder_layout_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pk8"),
+        (F.col("l_suppkey") % 256).alias("sk8"),
+    )
+    return zorder_layout_report(li, "pk8", "sk8", bits=8)
+
+
+_COMPACT_TARGET = 4096
+
+
+def _compaction_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.sources.layout import (
+        compaction_plan_oracle_sql,
+    )
+
+    return compaction_plan_oracle_sql(
+        "documents",
+        partition="source",
+        file_id="doc_id",
+        size_col="n_chars",
+        target_bytes=_COMPACT_TARGET,
+    )
+
+
+# Iceberg-binpack-style compaction planning: documents as a small-file
+# manifest (source = partition, n_chars = bytes), binned per partition
+# by running-sum div target. One window per partition, exact BIGINT
+# arithmetic throughout.
+@_register("compaction_plan", _compaction_oracle_sql())
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.sources.layout import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return compaction_plan(
+        docs,
+        partition="source",
+        file_id="doc_id",
+        size_col="n_chars",
+        target_bytes=_COMPACT_TARGET,
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (operators/temporal.py): as-of + range join
 # ---------------------------------------------------------------------------

@@ -166,3 +166,49 @@ def bm25_oracle_sql(
       SELECT *, row_number() OVER (PARTITION BY qid
                  ORDER BY sc DESC, doc_id) AS rnk FROM folded)
     WHERE rnk <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def phrase_search(docs: DataFrame, text_col: Column, phrase: tuple[str, str]) -> DataFrame:
+    """Exact phrase match via a positional inverted index: every
+    (doc_id, pos) where ``phrase[0]`` is at pos and ``phrase[1]`` at
+    pos+1 (0-based token positions).
+
+    The quoted-query primitive the reference's /search lacks (its fuzzy
+    scorers are bag-of-token; /root/reference/app/api/core/search.py).
+    The plan is the distributed index formulation: posting lists are
+    (term, doc_id, pos) rows, the phrase constraint is an EQUI-join of
+    the two terms' postings on (doc_id, pos+1) — adjacency folded into
+    the join key, so cost scales with the two posting lists, never the
+    corpus. n-word phrases chain n-1 such joins; at index-build time the
+    same rows bucket by term for a one-sided shuffle per query term.
+    """
+    w1, w2 = phrase
+    # single-space split: normalize_text output is single-spaced with no
+    # edge blanks, so positions are dense token indexes on both engines.
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(text_col, " ")).alias("pos", "term")
+    )
+    p1 = tok.filter(F.col("term") == w1).select("doc_id", "pos")
+    p2 = tok.filter(F.col("term") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+    )
+
+
+def phrase_search_oracle_sql(norm_sql: str, phrase: tuple[str, str]) -> str:
+    """DuckDB twin over the same single-space tokenization (1-based list
+    indexes mapped to the 0-based positions the Spark side emits)."""
+    w1, w2 = phrase
+    return f"""WITH ptok AS (SELECT doc_id, string_split({norm_sql}, ' ') AS t
+           FROM documents)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+    FROM ptok, unnest(range(1, len(t))) AS u(i)
+    WHERE t[i] = '{w1}' AND t[i + 1] = '{w2}'"""

@@ -628,3 +628,109 @@ def histogram_quantiles_oracle_sql(
                  * (CAST(target_rank - cum_before AS DOUBLE)
                     / CAST(cnt AS DOUBLE)), 6) AS est
     FROM t WHERE cum >= target_rank AND cum_before < target_rank"""
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch — self-join size estimation
+# ---------------------------------------------------------------------------
+
+AMS_GROUPS = 5      # odd → the median of group means is one group's mean
+AMS_PER_GROUP = 6   # counters averaged per group (variance / 6)
+AMS_R = AMS_GROUPS * AMS_PER_GROUP  # 30 ≤ 32 md5 hex digits
+
+
+def _ams_sign(h: Column, j: int) -> Column:
+    """±1 from the parity of hex digit j (1-based) of an md5 column."""
+    return (F.conv(F.substring(h, j, 1), 16, 10).cast("bigint") % 2) * 2 - 1
+
+
+def ams_f2(terms: DataFrame) -> DataFrame:
+    """F2 = Σ_t f_t² (self-join size) estimated by AMS median-of-means.
+
+    The query optimizer's join-size question ("how big is this table
+    self-joined on this key?") answered from ONE streaming pass:
+    counter S_j = Σ_rows sign_j(term) with ±1 md5-derived signs;
+    E[S_j²] = F2. The published estimator is the MEDIAN over groups of
+    the MEAN of per-group squares (median of raw squares is ~2.2× low:
+    S² is χ²₁-scaled and median(χ²₁) ≈ 0.455) — here 5 groups × 6
+    counters. State is 30 BIGINTs per partition (map-side combinable
+    sums) — fixed-size regardless of corpus size, mergeable across
+    days by adding counters.
+
+    Every intermediate is exact integer arithmetic (±1 sums, squares,
+    group sums, median-of-5 = an element); the single final float op
+    is the /6 group mean — one IEEE-exactly-rounded division on
+    exactly representable ints, shared verbatim with the oracle, so
+    the ESTIMATE is value-hash bit-exact. Exact F2 rides along via the
+    tagged-union single-agg (a 1-row cross join would plan as the
+    banned nested loop).
+
+    `terms`: one column `g` (one row per term OCCURRENCE).
+    """
+    r = AMS_R
+    stream = terms.select(
+        F.lit("s").alias("kind"),
+        F.md5("g").alias("h"),  # projected once; all 30 signs share it
+        F.lit(None).cast("bigint").alias("w"),
+    )
+    exact = (
+        terms.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.lit("e").alias("kind"),
+            F.lit(None).cast("string").alias("h"),
+            (F.col("c") * F.col("c")).cast("bigint").alias("w"),
+        )
+    )
+    one = stream.unionByName(exact).agg(
+        *[
+            F.sum(F.when(F.col("kind") == "s", _ams_sign(F.col("h"), j)))
+            .cast("bigint")
+            .alias(f"s{j}")
+            for j in range(1, r + 1)
+        ],
+        F.sum(F.when(F.col("kind") == "e", F.col("w")))
+        .cast("bigint")
+        .alias("f2_exact"),
+    )
+    group_sums = [
+        sum(
+            (F.col(f"s{g * AMS_PER_GROUP + i}") * F.col(f"s{g * AMS_PER_GROUP + i}"))
+            for i in range(1, AMS_PER_GROUP + 1)
+        ).cast("bigint")
+        for g in range(AMS_GROUPS)
+    ]
+    med = F.element_at(F.array_sort(F.array(*group_sums)), (AMS_GROUPS + 1) // 2)
+    return one.select(
+        F.lit(r).cast("bigint").alias("r"),
+        (med / F.lit(float(AMS_PER_GROUP))).alias("ams_estimate"),
+        "f2_exact",
+    )
+
+
+def ams_f2_oracle_sql(terms_src: str) -> str:
+    """DuckDB twin generated from the same sign family and grouping.
+    ``terms_src`` is a CTE/table name exposing one column ``g``."""
+    r = AMS_R
+    sum_cols = ", ".join(
+        f"CAST(sum(2 * (CAST('0x' || substr(md5(g), {j}, 1) AS BIGINT) % 2) - 1)"
+        f" AS BIGINT) AS s{j}"
+        for j in range(1, r + 1)
+    )
+    gsums = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"s{g * AMS_PER_GROUP + i} * s{g * AMS_PER_GROUP + i}"
+            for i in range(1, AMS_PER_GROUP + 1)
+        )
+        + " AS BIGINT)"
+        for g in range(AMS_GROUPS)
+    )
+    return f"""amss AS (SELECT {sum_cols} FROM {terms_src}),
+    amse AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+             FROM (SELECT count(*) AS c FROM {terms_src} GROUP BY g)),
+    amsr AS (SELECT CAST({r} AS BIGINT) AS r,
+                    list_sort([{gsums}])[{(AMS_GROUPS + 1) // 2}]
+                      / CAST({AMS_PER_GROUP} AS DOUBLE) AS ams_estimate
+             FROM amss)
+    SELECT r, ams_estimate, f2_exact FROM amsr, amse"""

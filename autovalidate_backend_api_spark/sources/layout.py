@@ -1,0 +1,148 @@
+"""Table-layout planning operators: Z-order clustering + compaction.
+
+At 100 TB the table MAINTENANCE jobs are themselves big Spark jobs:
+
+- **Z-order layout**: interleave the bits of two clustering columns so
+  one sort key localizes BOTH dimensions — every file (bucket) then
+  carries tight min/max ranges on each column and the scan planner
+  skips files on either predicate. This is the lakehouse OPTIMIZE
+  ZORDER primitive; here the z-key is pure integer bit arithmetic
+  (shift/and/add with literal shift amounts), so the whole layout
+  report is value-hash bit-exact against a generated DuckDB twin.
+
+- **Compaction planning**: group small files into target-sized output
+  bins per partition (Iceberg binpack's planning step). The bin id is
+  a running-sum integer division over the partition's files in file-id
+  order — one window per partition, exact BIGINT arithmetic, and the
+  plan (not the rewrite) is what ships to the driver. Partitions plan
+  independently → the window parallelizes across partitions; a single
+  degenerate partition with millions of files would serialize its own
+  window and should be range-chunked first (same caveat as any
+  per-partition sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16  # 2 × 16 interleaved bits → z < 2^32
+
+
+def zorder_key(a: Column, b: Column, *, bits: int = ZORDER_BITS) -> Column:
+    """Morton interleave of the low ``bits`` bits of two non-negative
+    integer columns (a gets even bit positions, b odd). Literal shift
+    amounts only — F.shiftleft/shiftright require them anyway."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t  # disjoint bit positions → + ≡ |
+    return z.cast("bigint")
+
+
+def zorder_key_sql(a: str, b: str, *, bits: int = ZORDER_BITS) -> str:
+    """The identical interleave as DuckDB SQL (generated from the same
+    loop so the two engines cannot drift)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_layout_report(
+    df: DataFrame, a: str, b: str, *, n_bucket_bits: int = 4, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Assign every row to one of 2^n_bucket_bits z-range buckets (the
+    file boundaries an OPTIMIZE ZORDER write would use) and report each
+    bucket's row count and per-dimension min/max — the data-skipping
+    ranges the layout exists to tighten."""
+    z = zorder_key(F.col(a), F.col(b), bits=bits)
+    shift = 2 * bits - n_bucket_bits
+    rows = df.select(
+        F.shiftright(z, shift).cast("bigint").alias("bucket"),
+        F.col(a).cast("bigint").alias("a"),
+        F.col(b).cast("bigint").alias("b"),
+    )
+    return rows.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+    )
+
+
+def zorder_layout_oracle_sql(
+    table: str, a: str, b: str, *, n_bucket_bits: int = 4, bits: int = ZORDER_BITS
+) -> str:
+    shift = 2 * bits - n_bucket_bits
+    zsql = zorder_key_sql(a, b, bits=bits)
+    return f"""WITH zr AS (SELECT ({zsql} >> {shift}) AS bucket,
+           CAST({a} AS BIGINT) AS a, CAST({b} AS BIGINT) AS b FROM {table})
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(a) AS min_a, max(a) AS max_a,
+           min(b) AS min_b, max(b) AS max_b
+    FROM zr GROUP BY 1"""
+
+
+def compaction_plan(
+    files: DataFrame,
+    *,
+    partition: str,
+    file_id: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Per-partition compaction bins: files in ``file_id`` order
+    accumulate into a bin until the running size crosses the target
+    (bin = bytes-before div target). Returns one row per output bin
+    with file count, total bytes, and the id range it covers."""
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(file_id)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
+    binned = files.select(
+        F.col(partition).alias("part"),
+        F.col(file_id).alias("fid"),
+        F.col(size_col).cast("bigint").alias("sz"),
+        before.alias("before"),
+    ).withColumn("bin", F.expr(f"before div {int(target_bytes)}"))
+    return (
+        binned.groupBy("part", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("sz").cast("bigint").alias("total_bytes"),
+            F.min("fid").cast("bigint").alias("first_file"),
+            F.max("fid").cast("bigint").alias("last_file"),
+        )
+        .withColumnRenamed("part", partition)
+        .withColumn("bin", F.col("bin").cast("bigint"))
+    )
+
+
+def compaction_plan_oracle_sql(
+    table: str, *, partition: str, file_id: str, size_col: str, target_bytes: int
+) -> str:
+    return f"""WITH cf AS (SELECT {partition} AS part, {file_id} AS fid,
+           CAST({size_col} AS BIGINT) AS sz,
+           CAST(coalesce(sum({size_col}) OVER (PARTITION BY {partition}
+                ORDER BY {file_id}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS before
+           FROM {table}),
+    cb AS (SELECT part, fid, sz, before // {int(target_bytes)} AS bin FROM cf)
+    SELECT part AS {partition}, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(sz) AS BIGINT) AS total_bytes,
+           CAST(min(fid) AS BIGINT) AS first_file,
+           CAST(max(fid) AS BIGINT) AS last_file
+    FROM cb GROUP BY 1, 2"""

@@ -1,0 +1,137 @@
+"""Z-order layout, compaction planning (sources/layout.py), AMS F2
+sketch, and phrase search — Python-reference parity + the properties
+the oracles can't isolate."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.operators.retrieval import phrase_search
+from autovalidate_backend_api_spark.operators.sketches import (
+    AMS_GROUPS,
+    AMS_PER_GROUP,
+    ams_f2,
+    trigrams,
+)
+from autovalidate_backend_api_spark.sources.layout import (
+    compaction_plan,
+    zorder_key,
+    zorder_layout_report,
+)
+
+
+def _py_zorder(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(a, b) for a in (0, 1, 5, 99, 170, 255) for b in (0, 3, 64, 255)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), bits=8).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _py_zorder(r.a, r.b, 8), (r.a, r.b)
+
+
+def test_zorder_buckets_are_tiles(spark, sf_dir):
+    """With 8-bit dims and 4 bucket bits, the top-4 z bits are the top-2
+    bits of EACH dim — every bucket must be one 64×64 tile. This is the
+    data-skipping guarantee the layout exists for: a predicate on
+    either dim prunes 3/4 of the buckets."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_partkey") % 256).alias("a"), (F.col("l_suppkey") % 256).alias("b")
+    )
+    rep = zorder_layout_report(li, "a", "b", bits=8).collect()
+    assert len(rep) > 1
+    for r in rep:
+        assert r.max_a - r.min_a < 64, r
+        assert r.max_b - r.min_b < 64, r
+        assert r.min_a // 64 == r.max_a // 64 and r.min_b // 64 == r.max_b // 64, r
+
+
+def test_compaction_plan_matches_python_reference(spark, sf_dir):
+    files = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY source, doc_id"
+    ).fetchall()
+    target = 2048
+    expected: dict[tuple, list] = {}
+    run: dict[str, int] = {}
+    for src, fid, sz in files:
+        bin_ = run.get(src, 0) // target
+        key = (src, bin_)
+        agg = expected.setdefault(key, [0, 0, fid, fid])
+        agg[0] += 1
+        agg[1] += sz
+        agg[3] = fid
+        run[src] = run.get(src, 0) + sz
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.source, r.bin): [r.n_files, r.total_bytes, r.first_file, r.last_file]
+        for r in compaction_plan(
+            docs, partition="source", file_id="doc_id",
+            size_col="n_chars", target_bytes=target,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_ams_estimate_within_envelope(spark, sf_dir):
+    """Median-of-means with 5 groups × 6 counters: the estimate must
+    land within 2× of exact F2 (the oracle pins exact equality of the
+    computation; this pins that the STATISTIC is sane)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from autovalidate_backend_api_spark.functions.normalize import normalize_text_col
+
+    row = ams_f2(trigrams(docs, normalize_text_col(F.col("text")))).collect()[0]
+    assert row.r == AMS_GROUPS * AMS_PER_GROUP
+    assert 0.5 * row.f2_exact <= row.ams_estimate <= 2.0 * row.f2_exact, row
+
+
+def test_ams_sign_family_matches_python(spark):
+    """The ±1 family is parity of md5 hex digits — pin Spark's conv()
+    parsing against hashlib so a hex-indexing drift can't silently
+    rescale every estimate."""
+    terms = ["alpha", "beta", "gamma delta", ""]
+    df = spark.createDataFrame([(t,) for t in terms], "g string")
+    row = ams_f2(df).collect()[0]
+    sums = [0] * 31
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for j in range(1, 31):
+            sums[j] += 2 * (int(h[j - 1], 16) % 2) - 1
+    gs = sorted(
+        sum(sums[g * AMS_PER_GROUP + i] ** 2 for i in range(1, AMS_PER_GROUP + 1))
+        for g in range(AMS_GROUPS)
+    )
+    assert row.ams_estimate == gs[AMS_GROUPS // 2] / AMS_PER_GROUP
+    assert row.f2_exact == len(terms)  # all distinct → Σ 1²
+
+
+def test_phrase_search_positions(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "order fast order fast slow"),
+            (2, "fast order fast"),
+            (3, "order slow fast"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_id, r.pos)
+        for r in phrase_search(docs, F.col("text"), ("order", "fast")).collect()
+    }
+    assert got == {(1, 0), (1, 2), (2, 1)}
+
+
+def test_phrase_gate_nonvacuous_at_sf0001(spark, sf_dir):
+    from autovalidate_backend_api_spark import entrypoints
+
+    assert entrypoints.queries()["phrase_search_hits"](spark, sf_dir).count() > 0
