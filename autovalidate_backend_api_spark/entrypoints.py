@@ -4894,6 +4894,159 @@ def vocab_growth_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth_curve(corpus)
 
 
+# TPC-H Q3 (shipping priority): the canonical 3-way selective join —
+# segment filter on the dim side, date range on both fact sides, decimal
+# revenue agg, global top-10. Catalyst gets the dim broadcast + pushed
+# date/segment filters (pinned by the plan audit's pushdown tests for
+# the same scan patterns); revenue is exact DECIMAL arithmetic cast to
+# DOUBLE at the very end on both engines; the sort key is total
+# (revenue, orderdate, orderkey) so the LIMIT 10 set is deterministic.
+@_register(
+    "tpch_q3_topk",
+    """SELECT l.l_orderkey AS orderkey,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+              CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                   AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-03-15'
+         AND l.l_shipdate > TIMESTAMP '1998-03-15'
+       GROUP BY 1, 2
+       ORDER BY revenue DESC, orderdate ASC, orderkey ASC
+       LIMIT 10""",
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(F.sum(rev).cast("decimal(18,6)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# Funnel conversion: per user, first signup then FIRST purchase at or
+# after it — the ordered-sequence analytics shape (the as-of join's
+# aggregate cousin). Two keyed min-aggregations + equi-joins; the
+# ordering constraint is a post-join filter, never an inequality join.
+# All values exact BIGINT epoch-micros.
+@_register(
+    "funnel_signup_purchase",
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+            p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+                  FROM events e JOIN s ON e.user_id = s.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) >= s.signup_us
+                  GROUP BY 1)
+       SELECT s.user_id AS user_id, s.signup_us, p.purchase_us,
+              p.purchase_us - s.signup_us AS gap_us
+       FROM s JOIN p ON s.user_id = p.user_id""",
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", _us("ts").alias("p_us"))
+        .join(s, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("purchase_us"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id",
+        "signup_us",
+        "purchase_us",
+        (F.col("purchase_us") - F.col("signup_us")).alias("gap_us"),
+    )
+
+
+_MERKLE_B_SQL = """snap_a AS (SELECT doc_id, text FROM documents),
+    snap_b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 3 THEN text || ' EDIT' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 101 <> 7 AND doc_id // 64 <> 2
+      UNION ALL
+      SELECT doc_id + 1000000, 'new doc ' || doc_id
+      FROM documents WHERE doc_id % 251 = 5)"""
+
+
+def _merkle_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.sources.merkle import merkle_diff_oracle_sql
+
+    return f"WITH {_MERKLE_B_SQL},\n    {merkle_diff_oracle_sql('snap_a', 'snap_b', key='doc_id', val='text')}"
+
+
+def _merkle_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic corpus surgery shared with _MERKLE_B_SQL: edits
+    (doc_id%97=3), row deletions (%101=7), a whole deleted range
+    (div 64 = 2 → level-0 only_a), and inserted ids beyond the old
+    keyspace (%251=5 → only_b ranges)."""
+    a = docs.select("doc_id", "text")
+    b = (
+        docs.filter((F.col("doc_id") % 101 != 7) & (F.expr("doc_id div 64") != 2))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 97 == 3, F.concat(F.col("text"), F.lit(" EDIT"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 251 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return a, b
+
+
+# Merkle-tree anti-entropy: two-level range-digest diff between the
+# corpus and a surgically modified snapshot — changed / only_a / only_b
+# ranges at both tree levels (sources/merkle.py). The repair primitive
+# that makes replica reconciliation proportional to the change.
+@_register("merkle_range_diff", _merkle_oracle_sql())
+def merkle_range_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.sources.merkle import merkle_range_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    a, b = _merkle_snapshots(docs)
+    return merkle_range_diff(a, b, key="doc_id", val="text")
+
+
 def _ams_oracle_sql() -> str:
     from autovalidate_backend_api_spark.operators.sketches import ams_f2_oracle_sql
 

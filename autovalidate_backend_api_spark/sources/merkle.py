@@ -1,0 +1,134 @@
+"""Merkle-tree range digests: anti-entropy diff between two snapshots.
+
+The replica-sync primitive (Dynamo/Cassandra repair): summarize a
+keyspace as a hash tree — level 0 digests fixed-width key ranges,
+level 1 digests groups of level-0 digests — then two stores exchange
+O(tree) hashes instead of O(rows) and recurse only into subtrees whose
+digests differ. The reference's ingest path re-reads the whole
+corrections table to decide freshness (/root/reference/app/api/core/
+db_lookup.py:24-50); at 10^12 keys a digest tree makes that diff
+proportional to the CHANGE, not the corpus.
+
+Implementation: one row-level md5, then per-level groupBy(range) over
+an ordered concat (sort_array(collect_list) of fixed-width structs —
+deterministic on both engines), md5 again. The shuffle carries
+(range_id, 32-char hex) rows — keyspace/64 at level 0, /1024 at level
+1 — never content. The diff is a full-outer equi-join of two digest
+tables per level. Everything is md5/string arithmetic, so the digests
+themselves are value-hash bit-exact against the generated DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+L0_WIDTH = 64     # keys per level-0 range
+L1_FANOUT = 16    # level-0 ranges per level-1 node
+
+
+def _digest(rows: DataFrame, key: str, val: str, width_expr: str) -> DataFrame:
+    """md5 over the key-ordered concat of (key:hash) items per range."""
+    items = F.sort_array(
+        F.collect_list(F.struct(F.col(key).alias("k"), F.col("h").alias("h")))
+    )
+    return (
+        rows.select(
+            F.expr(width_expr).alias("range_id"),
+            F.col(key).alias(key),
+            F.md5(F.col(val).cast("string")).alias("h"),
+        )
+        .groupBy("range_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(items, lambda x: F.concat_ws(":", x.k, x.h)), "|"
+                )
+            ).alias("digest")
+        )
+    )
+
+
+def merkle_digests(snapshot: DataFrame, *, key: str, val: str) -> DataFrame:
+    """Two-level digest table: (level, range_id, digest)."""
+    l0 = _digest(snapshot, key, val, f"{key} div {L0_WIDTH}")
+    l1 = (
+        l0.select(
+            F.expr(f"range_id div {L1_FANOUT}").alias("r1"),
+            "range_id",
+            "digest",
+        )
+        .groupBy("r1")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("range_id", "digest"))
+                        ),
+                        lambda x: F.concat_ws(":", x.range_id, x.digest),
+                    ),
+                    "|",
+                )
+            ).alias("digest")
+        )
+        .withColumnRenamed("r1", "range_id")
+    )
+    return l0.select(F.lit(0).alias("level"), "range_id", "digest").unionByName(
+        l1.select(F.lit(1).alias("level"), "range_id", "digest")
+    )
+
+
+def merkle_range_diff(a: DataFrame, b: DataFrame, *, key: str, val: str) -> DataFrame:
+    """Ranges whose digests differ between snapshots a and b, per level:
+    (level, range_id, status ∈ changed|only_a|only_b). A real repair
+    walks level 1 first and only compares level-0 digests under
+    differing level-1 nodes; both levels are emitted here so the gate
+    pins the whole tree."""
+    da = merkle_digests(a, key=key, val=val).withColumnRenamed("digest", "dig_a")
+    db = merkle_digests(b, key=key, val=val).withColumnRenamed("digest", "dig_b")
+    j = da.join(db, ["level", "range_id"], "full_outer")
+    status = (
+        F.when(F.col("dig_a").isNull(), F.lit("only_b"))
+        .when(F.col("dig_b").isNull(), F.lit("only_a"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(F.col("dig_a").isNull() | F.col("dig_b").isNull() | (F.col("dig_a") != F.col("dig_b")))
+        .select(
+            F.col("level").cast("bigint").alias("level"),
+            F.col("range_id").cast("bigint").alias("range_id"),
+            status.alias("status"),
+        )
+    )
+
+
+def _digest_sql(src: str, key: str, val: str, width: int) -> str:
+    return f"""SELECT {key} // {width} AS range_id,
+        md5(string_agg({key} || ':' || md5(CAST({val} AS VARCHAR)), '|'
+            ORDER BY {key})) AS digest
+      FROM {src} GROUP BY 1"""
+
+
+def merkle_diff_oracle_sql(a_src: str, b_src: str, *, key: str, val: str) -> str:
+    """DuckDB twin. ``a_src``/``b_src`` are CTE names exposing (key, val)."""
+
+    def tree(tag: str, src: str) -> str:
+        return f"""{tag}0 AS ({_digest_sql(src, key, val, L0_WIDTH)}),
+    {tag}1 AS (SELECT range_id // {L1_FANOUT} AS range_id,
+          md5(string_agg(range_id || ':' || digest, '|' ORDER BY range_id))
+            AS digest
+        FROM {tag}0 GROUP BY 1),
+    {tag}t AS (SELECT 0 AS level, range_id, digest FROM {tag}0
+        UNION ALL SELECT 1, range_id, digest FROM {tag}1)"""
+
+    return f"""{tree('ma', a_src)},
+    {tree('mb', b_src)}
+    SELECT CAST(coalesce(ma.level, mb.level) AS BIGINT) AS level,
+           CAST(coalesce(ma.range_id, mb.range_id) AS BIGINT) AS range_id,
+           CASE WHEN ma.digest IS NULL THEN 'only_b'
+                WHEN mb.digest IS NULL THEN 'only_a'
+                ELSE 'changed' END AS status
+    FROM mat ma FULL OUTER JOIN mbt mb
+      ON ma.level = mb.level AND ma.range_id = mb.range_id
+    WHERE ma.digest IS NULL OR mb.digest IS NULL OR ma.digest <> mb.digest"""

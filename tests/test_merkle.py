@@ -1,0 +1,88 @@
+"""Merkle range-digest diff (sources/merkle.py) + funnel semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autovalidate_backend_api_spark.sources.merkle import (
+    L0_WIDTH,
+    merkle_digests,
+    merkle_range_diff,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_identical_snapshots_diff_empty(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    assert merkle_range_diff(docs, docs, key="doc_id", val="text").count() == 0
+
+
+def test_single_edit_localizes_to_one_range_per_level(spark):
+    """The anti-entropy point: one changed row flags exactly its level-0
+    range and that range's single level-1 ancestor — repair traffic is
+    proportional to the change."""
+    rows = [(i, f"doc {i}") for i in range(0, 5 * L0_WIDTH)]
+    a = _snap(spark, rows)
+    edited = [(i, ("EDITED" if i == 3 * L0_WIDTH + 7 else f"doc {i}")) for i, _ in rows]
+    b = _snap(spark, edited)
+    diff = merkle_range_diff(a, b, key="doc_id", val="text").collect()
+    got = {(r.level, r.range_id, r.status) for r in diff}
+    assert got == {(0, 3, "changed"), (1, 0, "changed")}
+
+
+def test_insert_and_delete_statuses(spark):
+    rows = [(i, f"doc {i}") for i in range(0, 2 * L0_WIDTH)]
+    a = _snap(spark, rows)
+    # drop range 1 entirely; add a far-away key
+    b = _snap(
+        spark,
+        [(i, t) for i, t in rows if i < L0_WIDTH] + [(10_000 * L0_WIDTH, "new")],
+    )
+    got = {(r.level, r.range_id, r.status) for r in merkle_range_diff(
+        a, b, key="doc_id", val="text").collect()}
+    assert (0, 1, "only_a") in got
+    assert (0, 10_000, "only_b") in got
+    assert (0, 0, "changed") not in got  # untouched range stays silent
+
+
+def test_digests_are_order_invariant(spark):
+    """Partitioning/arrival order must not leak into the digest — the
+    collect_list is sorted before hashing."""
+    rows = [(i, f"doc {i}") for i in range(0, 3 * L0_WIDTH)]
+    a = _snap(spark, rows).repartition(7)
+    b = _snap(spark, list(reversed(rows))).repartition(2)
+    da = {(r.level, r.range_id): r.digest for r in merkle_digests(
+        a, key="doc_id", val="text").collect()}
+    db = {(r.level, r.range_id): r.digest for r in merkle_digests(
+        b, key="doc_id", val="text").collect()}
+    assert da == db
+
+
+def test_funnel_requires_purchase_at_or_after_signup(spark):
+    import datetime as dt
+
+    from autovalidate_backend_api_spark import entrypoints
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec, typ):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, typ, 0.0, "{}")
+
+    rows = [
+        ev(1, 1, 100, "signup"), ev(2, 1, 50, "purchase"),   # pre-signup only → no row
+        ev(3, 2, 100, "signup"), ev(4, 2, 100, "purchase"),  # same instant counts
+        ev(5, 2, 200, "purchase"),                            # later one ignored (min)
+        ev(6, 3, 100, "purchase"),                            # never signed up
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = entrypoints.queries()["funnel_signup_purchase"](spark, d).collect()
+    assert {(r.user_id, r.gap_us) for r in out} == {(2, 0)}
