@@ -4894,6 +4894,122 @@ def vocab_growth_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth_curve(corpus)
 
 
+# CUBE over (event_type, day): all four grouping-set combinations in
+# one pass (the OLAP summary lattice next to lineitem_rollup's
+# hierarchy). Rolled-up keys surface as sentinels ('ALL' / -1) so the
+# column stays typed; value sums go through exact DECIMAL.
+@_register(
+    "events_cube_summary",
+    """SELECT coalesce(event_type, 'ALL') AS etype,
+              coalesce(epoch_us(ts) // 86400000000, -1) AS day_bucket,
+              count(*) AS n_events,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                   AS DOUBLE) AS total_value
+       FROM events GROUP BY CUBE (event_type, epoch_us(ts) // 86400000000)""",
+)
+def events_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) div {86_400_000_000}"
+        ).alias("day"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("day", F.lit(-1)).cast("bigint").alias("day_bucket"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# RANGE-frame window: per event, the trailing-24h count and value sum
+# for the same user — the frame boundary is integer epoch-micros
+# arithmetic (identical membership on both engines; RANGE includes
+# ts-peers by definition) and the sum is exact DECIMAL.
+@_register(
+    "events_trailing_daily_value",
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+              count(*) OVER w AS n_24h,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                   AS DECIMAL(18,6)) AS DOUBLE) AS val_24h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
+)
+def events_trailing_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", _us("ts").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count("*").over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("val_24h"),
+    )
+
+
+# Hopping (sliding) windows via the NATIVE F.window(slide=30min): each
+# event lands in exactly two 1h windows; the oracle reproduces the
+# assignment from first principles (the two 30min-aligned starts
+# covering each instant). This pins Spark's window-start convention
+# against the definition, batch-side — the same operator Structured
+# Streaming uses for windowed aggs.
+@_register(
+    "events_sliding_hourly",
+    """WITH ew AS (SELECT event_type,
+              unnest([ (epoch_us(ts) // 1800000000) * 1800000000,
+                       (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000
+                     ]) AS start_us
+           FROM events)
+       SELECT start_us, event_type, count(*) AS n_events
+       FROM ew GROUP BY 1, 2""",
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 # TPC-H Q3 (shipping priority): the canonical 3-way selective join —
 # segment filter on the dim side, date range on both fact sides, decimal
 # revenue agg, global top-10. Catalyst gets the dim broadcast + pushed
@@ -5241,6 +5357,166 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_id="event_id",
         point_ts="ts",
         bin_seconds=21600,
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocking / warehouse shapes: SNM, SCD2, skyline
+# ---------------------------------------------------------------------------
+
+# Sorted-neighborhood blocking (SIGMOD '95): the complementary
+# candidate generator next to LSH banding — per-source length-sorted
+# sliding window (w=8) + an integer length-ratio >= 0.9 prefilter. The
+# Spark side is the windowed collect_list/posexplode sweep (ONE shuffle
+# on the block key, no rank table, no self-join); the oracle is the
+# definitional rank-distance self-join, so the gate certifies the sweep
+# against the textbook pair set. All columns exact integers/strings.
+@_register(
+    "snm_candidate_pairs",
+    """WITH r AS (SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS rn
+              FROM documents)
+       SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+              a.n_chars AS key_a, b.n_chars AS key_b,
+              b.rn - a.rn AS rank_gap
+       FROM r a JOIN r b
+         ON a.source = b.source AND b.rn - a.rn BETWEEN 1 AND 7
+       WHERE 10 * a.n_chars >= 9 * b.n_chars""",
+)
+def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        docs, block="source", sort_key="n_chars", record_id="doc_id", window=8
+    )
+    # key_a <= key_b by construction, so this is len ratio >= 0.9 —
+    # exact integer cross-multiplication, no float division.
+    return pairs.filter(10 * F.col("key_a") >= 9 * F.col("key_b"))
+
+
+# SCD Type-2 dimension build from a change log: per user, consecutive
+# duplicate statuses collapse (no-op changes open no version), each
+# surviving change is valid [its ts, next change ts). Two windows over
+# one (user_id × (ts, event_id)) ordering — one exchange. The upsert
+# sink's history-keeping shape (reference upserts are SCD1:
+# /root/reference/app/api/app.py:193).
+@_register(
+    "scd2_user_status",
+    """WITH o AS (SELECT user_id, event_type AS status, epoch_us(ts) AS us,
+                     event_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id) AS prev
+              FROM events),
+            v AS (SELECT user_id, status, us,
+                     lead(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS valid_to_us
+              FROM o WHERE prev IS NULL OR prev <> status)
+       SELECT user_id, status, us AS valid_from_us, valid_to_us,
+              CAST(valid_to_us IS NULL AS INT) AS is_current
+       FROM v""",
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev, key="user_id", ts="ts", order_id="event_id", status="event_type"
+    )
+
+
+# 2-D skyline (Pareto frontier): parts no other part dominates on
+# (retailprice ↓, size ↑). Spark side is the distinct-price-spine sweep
+# (one agg + a spine-sized running max + a broadcast back-join — zero
+# pair expansion); the oracle is the definitional NOT EXISTS theta
+# self-join, a genuinely different algorithm. Values are pass-through
+# stored columns (bitwise-identical cross-engine).
+@_register(
+    "part_skyline",
+    """SELECT p_partkey, p_retailprice, p_size FROM part p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM part q
+         WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""",
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.relational import skyline_2d
+
+    part = _t(spark, sf_dir, "part")
+    return skyline_2d(
+        part, record_id="p_partkey", minimize="p_retailprice", maximize="p_size"
+    )
+
+
+# Deequ-shaped data-quality profile: per column of `documents`, row /
+# null / exact-distinct counts + a uniqueness verdict, computed in ONE
+# aggregation (multi-count-distinct Expand) and unpivoted with stack.
+# The snapshot-level input validation the reference does per-request
+# (app.py:307-380). All exact integers.
+_DQ_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _dq_oracle_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(count(DISTINCT {c}) = count({c}) AS INT) AS is_unique
+            FROM documents"""
+        for c in _DQ_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@_register("dq_profile_documents", _dq_oracle_sql())
+def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "documents"), _DQ_COLS)
+
+
+# Bloom runtime-filter join (the InjectRuntimeFilter shape, hand-rolled
+# with the deterministic md5 bloom because bloom_filter_agg /
+# might_contain are internal-only expressions): urgent orders fold into
+# a fixed 64Ki-bit bitmap, re-entered as an array literal so the
+# lineitem-side membership test is a pure projection BELOW the join
+# exchange — only ~20% of probe rows reach the shuffle. No false
+# negatives + exact join after ⇒ result ≡ the plain join the oracle
+# runs; the bloom changes bytes moved, never the answer.
+@_register(
+    "bloom_runtime_filter_join",
+    """SELECT l.l_returnflag AS returnflag, count(*) AS n_items,
+              CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderpriority = '1-URGENT'
+       GROUP BY 1""",
+)
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.relational import (
+        bloom_prefiltered_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = bloom_prefiltered_join(
+        urgent, li, build_key="o_orderkey", probe_key="l_orderkey"
+    )
+    return j.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_qty"),
     )
 
 

@@ -1,0 +1,54 @@
+"""Data-quality profiling — the Deequ-shaped sanity pass a corpus gets
+before any dedup/curation stage runs over it.
+
+The reference validates its inputs imperatively at request time
+(/root/reference/app/api/app.py:307-380 rejects empty/overlong search
+strings before the cascade); at 10^12 ingested files the equivalent is
+a per-column profile computed ONCE per snapshot: row count, null
+count, exact distinct count, and a uniqueness verdict per column —
+the numbers that decide whether a column can serve as a key, a block
+key, or needs quarantine (sources/tables.py).
+
+Shape: ONE aggregation over the table computes every statistic
+(multiple ``count(DISTINCT ..)`` columns — Catalyst plans the standard
+Expand over the distinct sets, still a single scan with map-side
+partial aggregation), then an in-row ``stack`` unpivots the 1-row
+result to one row per column. Nothing but the final 1×(3k) row leaves
+the executors; the unpivot is a projection. At scale, swap the exact
+distincts for the HLL registers in operators/sketches.py — same shape,
+sketch state instead of Expand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column (column_name, n_rows, n_nulls, n_distinct, is_unique).
+
+    ``n_distinct`` counts non-null values (both engines' COUNT DISTINCT
+    semantics); ``is_unique`` = every non-null value occurs exactly
+    once, i.e. ``n_distinct == n_rows - n_nulls``. All exact integers.
+    """
+    aggs = [F.count("*").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"_nn{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd{i}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn{i}, _nd{i}" for i, c in enumerate(cols)
+    )
+    return one.select(
+        "_n",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, _nonnull, n_distinct)"
+        ),
+    ).select(
+        "column_name",
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        (F.col("n_distinct") == F.col("_nonnull")).cast("int").alias("is_unique"),
+    )

@@ -30,3 +30,153 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> 
     )
     kept = target.join(dedup_updates.select(*key_cols), key_cols, "left_anti")
     return kept.unionByName(dedup_updates)
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    order_id: str,
+    status: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a change log.
+
+    ``merge_upsert`` above is the SCD1 (last-writer-wins) shape of the
+    reference's upsert sink (/root/reference/app/api/app.py:193); this
+    is the Type-2 shape warehouses build next to it: per key, collapse
+    consecutive rows with an unchanged ``status`` (no-op changes open
+    no new version), then each surviving row opens a version valid
+    from its timestamp until the next change (NULL = current).
+
+    Two window functions over the SAME ``(key × (ts, order_id))``
+    partitioning/ordering — Catalyst plans ONE exchange and one sort;
+    the ``lead`` runs on the collapsed rows, so a key with k distinct
+    status runs yields exactly k versions however many raw events it
+    has. All outputs are exact BIGINT epoch-micros / strings.
+
+    Output: ``key, status, valid_from_us, valid_to_us, is_current``.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    ordered = Window.partitionBy(key).orderBy(
+        F.col("_us").asc(), F.col(order_id).asc()
+    )
+    rows = changes.select(
+        F.col(key), F.col(status).alias("status"), us.alias("_us"), F.col(order_id)
+    ).withColumn("_prev", F.lag("status").over(ordered))
+    opens = rows.filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("status"))
+    )
+    return (
+        opens.withColumn("valid_to_us", F.lead("_us").over(ordered))
+        .select(
+            F.col(key),
+            "status",
+            F.col("_us").alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
+def bloom_prefiltered_join(
+    build: DataFrame,
+    probe: DataFrame,
+    *,
+    build_key: str,
+    probe_key: str,
+) -> DataFrame:
+    """Equi-join with a Bloom runtime filter on the probe side — the
+    hand-rolled form of Spark's InjectRuntimeFilter (whose
+    ``bloom_filter_agg``/``might_contain`` expressions are internal-only,
+    not SQL-registered in this build, so the filter is the repo's
+    deterministic md5 bloom from operators/sketches.py).
+
+    The build side folds into a FIXED-SIZE bitmap (``BLOOM_M_BITS/64``
+    longs — one combinable distinct + bit_or agg, a bounded scalar
+    however large the table is), collected once and re-entered as an
+    array LITERAL, so the probe-side membership test is a pure
+    projection (``element_at`` + bit test per hash family): no join,
+    no shuffle, evaluated below the probe's exchange. The bloom has no
+    false negatives and the surviving rows take the exact equi-join,
+    so the RESULT is bit-identical to the plain join — exactly what
+    the oracle runs. At 10^12 probe rows the win is shuffle bytes:
+    only ~selectivity·n probe rows reach the join exchange.
+    """
+    from autovalidate_backend_api_spark.operators.sketches import (
+        BLOOM_M_BITS,
+        _bloom_positions,
+    )
+
+    n_words = BLOOM_M_BITS // 64
+    word_rows = (
+        build.select(
+            F.explode(_bloom_positions(F.col(build_key).cast("string"))).alias("pos")
+        )
+        .distinct()
+        .select(
+            F.expr("pos div 64").cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    cond = " AND ".join(
+        f"(element_at(_blw, CAST(element_at(_bp, {i}) div 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(element_at(_bp, {i}) % 64 AS INT))) != 0"
+        for i in range(1, 5)
+    )
+    pre = (
+        probe.withColumn("_bp", _bloom_positions(F.col(probe_key).cast("string")))
+        .withColumn("_blw", F.lit(words))
+        .filter(F.expr(cond))
+        .drop("_bp", "_blw")
+    )
+    return pre.join(build, pre[probe_key] == build[build_key])
+
+
+def skyline_2d(
+    rows: DataFrame,
+    *,
+    record_id: str,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """Pareto frontier over (minimize ↓, maximize ↑) — the preference
+    query: keep every row no other row dominates (other.min <= min AND
+    other.max >= max, strict in at least one). Duplicate (min, max)
+    points do not dominate each other and all survive.
+
+    The definitional form is a NOT EXISTS theta self-join (the DuckDB
+    oracle runs exactly that); this implementation is the sweep:
+
+    1. one aggregation to the distinct-``minimize`` spine
+       (``group_best`` = max of ``maximize`` per price point),
+    2. a running max over the spine in ``minimize`` order
+       (``prev_best`` = best among strictly-cheaper points),
+    3. a broadcast-sized join back: a row survives iff it ties its own
+       price point's best AND strictly beats every cheaper point.
+
+    No pair expansion at any scale. The only unpartitioned window runs
+    over the spine — |distinct minimize| rows, not n; at 10^12 rows
+    with a wide key domain, range-partition the spine and prefix-max
+    hierarchically (documented trade; the data tables here have ≤10^5
+    distinct price points).
+    """
+    g = rows.groupBy(minimize).agg(F.max(maximize).alias("_gbest"))
+    spine_w = Window.orderBy(F.col(minimize).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    spine = g.withColumn("_prev", F.max("_gbest").over(spine_w))
+    return (
+        rows.join(F.broadcast(spine), minimize)
+        .filter(
+            (F.col(maximize) == F.col("_gbest"))
+            & (F.col("_prev").isNull() | (F.col(maximize) > F.col("_prev")))
+        )
+        .select(record_id, minimize, maximize)
+    )

@@ -49,9 +49,18 @@ def _digest(rows: DataFrame, key: str, val: str, width_expr: str) -> DataFrame:
     )
 
 
+def merkle_level0_digests(snapshot: DataFrame, *, key: str, val: str) -> DataFrame:
+    """Level-0 range digests only: (range_id, digest). ONE aggregation,
+    so it also runs unmodified as a Structured Streaming complete-mode
+    query (the incremental digest maintenance path — pinned row-for-row
+    against batch in tests/test_merkle.py); the level-1 rollup is a
+    second agg, which streaming takes via foreachBatch over this."""
+    return _digest(snapshot, key, val, f"{key} div {L0_WIDTH}")
+
+
 def merkle_digests(snapshot: DataFrame, *, key: str, val: str) -> DataFrame:
     """Two-level digest table: (level, range_id, digest)."""
-    l0 = _digest(snapshot, key, val, f"{key} div {L0_WIDTH}")
+    l0 = merkle_level0_digests(snapshot, key=key, val=val)
     l1 = (
         l0.select(
             F.expr(f"range_id div {L1_FANOUT}").alias("r1"),

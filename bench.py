@@ -124,6 +124,18 @@ GATE_QUERIES = [
     # r5j: function-granularity segmentation (one line-explode window
     # per doc) + exact cross-doc clone grouping on unit-body md5
     "function_clone_groups",
+    # r5k: temporal joins (as-of sweep = one exchange; bucketed range
+    # join), the AMS join-size sketch over all trigram occurrences
+    # (the exact-F2 truth branch dominates its wall — drop at scale),
+    # the TPC-H Q3 join plan, and the Merkle anti-entropy range diff
+    "events_asof_join",
+    "events_range_join",
+    "ams_selfjoin_size",
+    "tpch_q3_topk",
+    "merkle_range_diff",
+    # r5l: the non-LSH candidate generator (one block-key shuffle,
+    # windowed sweep) over the 50k-doc corpus
+    "snm_candidate_pairs",
 ]
 
 

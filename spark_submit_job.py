@@ -64,6 +64,13 @@ def main() -> None:
                          "groups (method-level units, the SourcererCC "
                          "granularity) plus the Heaps vocabulary-growth "
                          "curve over the corpus (requires --output)")
+    ap.add_argument("--maintenance-report", action="store_true",
+                    help="also write the table-maintenance plans: "
+                         "per-repo compaction bins and the two-level "
+                         "Merkle range-digest table; if a previous "
+                         "run's digest table exists at the output "
+                         "root it also writes the anti-entropy range "
+                         "diff against it (requires --output)")
     ap.add_argument("--graph-report", action="store_true",
                     help="also write the repo-graph analysis triad over "
                          "the file-hash overlap edges: PageRank "
@@ -307,6 +314,64 @@ def main() -> None:
             "overlap_edges": edges.count(),
             "core2_nodes": back.count(),
             "triangle_nodes": tri.filter(F.col("triangles") > 0).count(),
+        }
+
+    if args.maintenance_report:
+        if not args.output:
+            ap.error("--maintenance-report requires --output")
+        # Table maintenance over the corpus-as-manifest: each file is a
+        # (repo, stable-id, bytes) row. The digest table persists across
+        # runs — the NEXT run diffs against it instead of re-reading
+        # content (anti-entropy proportional to churn, not corpus).
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.sources.layout import compaction_plan
+        from autovalidate_backend_api_spark.sources.merkle import merkle_digests
+
+        files = corpus.select(
+            "repo",
+            # deterministic non-negative bigint file id from the path
+            F.pmod(F.xxhash64("repo", "path"), F.lit(1 << 40)).alias("fid"),
+            F.length("content").cast("bigint").alias("bytes"),
+            "content",
+        )
+        comp = compaction_plan(
+            files, partition="repo", file_id="fid", size_col="bytes",
+            target_bytes=1 << 20,
+        )
+        comp.write.mode("overwrite").parquet(f"{args.output}/compaction_plan")
+        digests = merkle_digests(files, key="fid", val="content")
+        prev_path = f"{args.output}/merkle_digests"
+        try:
+            prev = spark.read.parquet(prev_path)
+            has_prev = True
+        except Exception:
+            has_prev = False
+        if has_prev:
+            j = prev.withColumnRenamed("digest", "dig_a").join(
+                digests.withColumnRenamed("digest", "dig_b"),
+                ["level", "range_id"], "full_outer",
+            )
+            diff = j.filter(
+                F.col("dig_a").isNull() | F.col("dig_b").isNull()
+                | (F.col("dig_a") != F.col("dig_b"))
+            ).select(
+                "level", "range_id",
+                F.when(F.col("dig_a").isNull(), "only_b")
+                .when(F.col("dig_b").isNull(), "only_a")
+                .otherwise("changed").alias("status"),
+            )
+            diff.write.mode("overwrite").parquet(f"{args.output}/merkle_diff")
+            summary["maintenance_diff_ranges"] = (
+                spark.read.parquet(f"{args.output}/merkle_diff").count()
+            )
+        digests.write.mode("overwrite").parquet(prev_path + "_new")
+        # atomic-ish swap: write new, then overwrite the canonical path
+        spark.read.parquet(prev_path + "_new").write.mode("overwrite").parquet(prev_path)
+        back = spark.read.parquet(f"{args.output}/compaction_plan")
+        summary["maintenance"] = {
+            "compaction_bins": back.count(),
+            "digest_ranges": spark.read.parquet(prev_path).count(),
         }
 
     print(json.dumps(summary))

@@ -86,3 +86,40 @@ def test_funnel_requires_purchase_at_or_after_signup(spark):
     df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     out = entrypoints.queries()["funnel_signup_purchase"](spark, d).collect()
     assert {(r.user_id, r.gap_us) for r in out} == {(2, 0)}
+
+
+def test_level0_digests_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The digest table is maintainable as a Structured Streaming
+    complete-mode aggregation — the same code path, row-for-row equal
+    to batch (the maintenance layer joins the batch ≡ stream contract
+    the curation projections and sketch states already carry)."""
+    import shutil
+
+    from autovalidate_backend_api_spark.sources.merkle import merkle_level0_digests
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    expected = {
+        (r.range_id, r.digest)
+        for r in merkle_level0_digests(batch, key="doc_id", val="text").collect()
+    }
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-000.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(str(src))
+    )
+    q = (
+        merkle_level0_digests(stream, key="doc_id", val="text")
+        .writeStream.format("memory")
+        .queryName("merkle_l0_stream")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r.range_id, r.digest)
+        for r in spark.sql("SELECT * FROM merkle_l0_stream").collect()
+    }
+    q.stop()
+    assert got == expected and len(got) > 0

@@ -43,3 +43,113 @@ def test_export_clusters_json_roundtrip(spark, tmp_path):
     assert {(r["key"], r["cluster_rep"]) for r in back.collect()} == {
         ("a", "a"), ("b", "a"), ("c", "c")
     }
+
+
+def test_scd2_collapses_noop_changes_and_orders_versions(spark):
+    from autovalidate_backend_api_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    rows = [
+        # user 1: a, a (no-op), b, b (no-op), a  -> 3 versions
+        (1, "2024-01-01 00:00:00", 10, "a"),
+        (2, "2024-01-01 01:00:00", 10, "a"),
+        (3, "2024-01-01 02:00:00", 10, "b"),
+        (4, "2024-01-01 03:00:00", 10, "b"),
+        (5, "2024-01-01 04:00:00", 10, "a"),
+        # user 2: single row -> one open-ended version
+        (6, "2024-01-01 00:30:00", 20, "x"),
+        # user 3: same-ts tie broken by event_id (7 then 8 -> y wins last)
+        (7, "2024-01-01 00:00:00", 30, "x"),
+        (8, "2024-01-01 00:00:00", 30, "y"),
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    log = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    out = scd2_from_changelog(
+        log, key="user_id", ts="ts", order_id="event_id", status="event_type"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[10], key=lambda r: r.valid_from_us)
+    assert [r.status for r in u1] == ["a", "b", "a"]
+    # versions tile the timeline: each valid_to == next valid_from
+    assert [r.valid_to_us for r in u1[:-1]] == [r.valid_from_us for r in u1[1:]]
+    assert u1[-1].valid_to_us is None and u1[-1].is_current == 1
+    assert sum(r.is_current for r in u1) == 1
+    assert len(by_user[20]) == 1 and by_user[20][0].is_current == 1
+    u3 = sorted(by_user[30], key=lambda r: r.valid_from_us)
+    assert [r.status for r in u3] == ["x", "y"]
+    assert u3[0].valid_from_us == u3[0].valid_to_us == u3[1].valid_from_us
+
+
+def test_skyline_keeps_duplicates_and_drops_dominated(spark):
+    from autovalidate_backend_api_spark.operators.relational import skyline_2d
+
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate point: neither dominates -> both kept
+        (3, 10.0, 4),   # dominated by 1 (same price, smaller size)
+        (4, 20.0, 5),   # dominated by 1 (higher price, same size)
+        (5, 20.0, 7),   # frontier
+        (6, 30.0, 7),   # dominated by 5
+        (7, 5.0, 1),    # frontier (cheapest)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = {r.id for r in skyline_2d(
+        df, record_id="id", minimize="price", maximize="size"
+    ).collect()}
+    assert got == {1, 2, 5, 7}
+
+
+def test_snm_pairs_stay_in_block_with_exact_rank_gaps(spark):
+    from autovalidate_backend_api_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [("A", i, 100 + i) for i in range(5)] + [("B", 10, 100), ("B", 11, 101)]
+    df = spark.createDataFrame(rows, "src string, id long, length long")
+    out = sorted_neighborhood_pairs(
+        df, block="src", sort_key="length", record_id="id", window=3
+    ).collect()
+    pairs = {(r.block, r.id_a, r.id_b, r.rank_gap) for r in out}
+    # block A: gaps 1 and 2 only; block B: the single adjacent pair;
+    # nothing crosses blocks.
+    assert pairs == {
+        ("A", 0, 1, 1), ("A", 1, 2, 1), ("A", 2, 3, 1), ("A", 3, 4, 1),
+        ("A", 0, 2, 2), ("A", 1, 3, 2), ("A", 2, 4, 2),
+        ("B", 10, 11, 1),
+    }
+    assert all(r.key_a <= r.key_b for r in out)
+
+
+def test_bloom_prefiltered_join_equals_plain_join(spark):
+    from autovalidate_backend_api_spark.operators.relational import (
+        bloom_prefiltered_join,
+    )
+
+    b = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k long")
+    p = spark.createDataFrame([(i, i * 10) for i in range(200)], "pk long, v long")
+    got = {(r.pk, r.v) for r in bloom_prefiltered_join(
+        b, p, build_key="k", probe_key="pk"
+    ).select("pk", "v").collect()}
+    want = {(r.pk, r.v) for r in p.join(b, p.pk == b.k).select("pk", "v").collect()}
+    # no false negatives and the exact join removes false positives:
+    # result is the plain join, bit for bit.
+    assert got == want and len(want) == 100
+
+
+def test_profile_columns_counts(spark):
+    from autovalidate_backend_api_spark.operators.profiling import profile_columns
+
+    d = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "x"), (3, None, "x"), (4, "b", "y")],
+        "id long, s string, t string",
+    )
+    out = {r.column_name: (r.n_rows, r.n_nulls, r.n_distinct, r.is_unique)
+           for r in profile_columns(d, ["id", "s", "t"]).collect()}
+    assert out["id"] == (4, 0, 4, 1)
+    assert out["s"] == (4, 1, 2, 0)
+    assert out["t"] == (4, 1, 2, 0)

@@ -1,0 +1,63 @@
+"""§2.9 UDTF surface: a Python UDTF (table function) next to its
+native equivalent.
+
+The reference exposes row→rows expansion inside its OCR post-processing
+(/root/reference/app/api/ocr/main.py splits pages into lines before the
+per-line fixes). In Spark that's natively posexplode(split(...)) — the
+JVM path every gate uses — but the UDTF API is part of the §2.9
+surface, so this pins (a) that a UDTF produces EXACTLY the native
+operator's rows, and (b) the SQL LATERAL registration path. UDTFs are
+the slow path (row-at-a-time Python, like any BatchEvalPython node):
+production operators in this repo use the native form; a UDTF is for
+genuinely imperative row expansions no builtin composes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+try:
+    from pyspark.sql.functions import udtf
+except ImportError:  # pragma: no cover - pyspark < 3.5
+    udtf = None
+
+pytestmark = pytest.mark.skipif(udtf is None, reason="no UDTF API")
+
+
+def _split_lines_udtf():
+    @udtf(returnType="pos int, line string")
+    class SplitLines:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, ln in enumerate(text.split(" ")):
+                yield (i, ln)
+
+    return SplitLines
+
+
+def test_udtf_matches_native_posexplode(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    SplitLines = _split_lines_udtf()
+    via_udtf = (
+        docs.select("doc_id", "text")
+        .lateralJoin(SplitLines(F.col("text").outer()))
+        .select("doc_id", "pos", "line")
+    )
+    native = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "line")
+    )
+    got = {tuple(r) for r in via_udtf.collect()}
+    want = {tuple(r) for r in native.collect()}
+    assert got == want and len(want) > 50
+
+
+def test_udtf_sql_lateral_registration(spark):
+    SplitLines = _split_lines_udtf()
+    spark.udtf.register("split_tokens", SplitLines)
+    out = spark.sql(
+        "SELECT t.pos, t.line FROM (SELECT 'a b c' AS s), "
+        "LATERAL split_tokens(s) t"
+    ).collect()
+    assert [(r.pos, r.line) for r in out] == [(0, "a"), (1, "b"), (2, "c")]
