@@ -5454,6 +5454,87 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNM_RECALL_WINDOW = 16
+
+
+def _snm_recall_oracle_sql() -> str:
+    num, den = _RECALL_THETA
+    w = _SNM_RECALL_WINDOW
+    return f"""WITH {_VARIANT_CORPUS_SQL},
+    cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS ni
+              FROM d a JOIN d b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    truth AS (SELECT src, dst FROM inter
+              JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst
+              WHERE ni * {den} >= {num} * (ca.n + cb.n - ni)),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY n, doc_id) AS rn FROM cnt),
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS src,
+                    greatest(a.doc_id, b.doc_id) AS dst
+             FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {w - 1}),
+    row_s AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+                CAST(coalesce(sum(CASE WHEN t.src IS NOT NULL THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS n_detected_pairs
+              FROM cand c LEFT JOIN truth t ON c.src = t.src AND c.dst = t.dst)
+    SELECT 'snm_w{w}' AS config, {w} AS w_size, nt.n_truth AS n_truth_pairs,
+           n_candidate_pairs, n_detected_pairs,
+           round(CAST(n_detected_pairs AS DOUBLE) / CAST(nt.n_truth AS DOUBLE), 6)
+             AS recall,
+           round(CASE WHEN n_candidate_pairs > 0
+                      THEN CAST(n_detected_pairs AS DOUBLE)
+                           / CAST(n_candidate_pairs AS DOUBLE)
+                      ELSE 0.0 END, 6) AS candidate_precision
+    FROM row_s, nt"""
+
+
+# SNM measured against the SAME exact truth set as lsh_recall_report —
+# the calibration row justifying LSH as the primary generator: sorted-
+# neighborhood by shingle-count (length proxy), w=16, over the shared
+# borderline-variant corpus. Recall is structurally uncapped (no
+# per-pair guarantee) where LSH's is (1-(1-j^r)^b); the report makes
+# that difference a number next to b4r4/b8r2.
+@_register("snm_recall_report", _snm_recall_oracle_sql())
+def snm_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import snm_recall_report
+
+    num, den = _RECALL_THETA
+    return snm_recall_report(
+        _variant_shingles(spark, sf_dir),
+        theta_num=num,
+        theta_den=den,
+        window=_SNM_RECALL_WINDOW,
+    )
+
+
+# Robust outlier flags: |len - per-source median| > 3·MAD. The
+# anomaly-detection partner of dq_profile_documents — documents whose
+# length is pathological FOR THEIR SOURCE (truncated dumps, concatenated
+# files) get flagged for quarantine before signatures are spent on
+# them. Medians interpolate identically cross-engine (the
+# doc_length_quantiles contract) and every derived float op is a single
+# exactly-rounded step, so the FLAG itself is oracle-checked.
+@_register(
+    "length_outlier_flags",
+    """WITH s AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+              FROM documents GROUP BY source),
+            v AS (SELECT d.doc_id, d.source, d.n_chars,
+                     abs(d.n_chars - s.med) AS dev
+              FROM documents d JOIN s USING (source)),
+            m AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+              FROM v GROUP BY source)
+       SELECT v.doc_id, v.source, v.n_chars,
+              CAST(v.dev > 3 * m.mad AS INT) AS is_outlier
+       FROM v JOIN m USING (source)""",
+)
+def length_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.profiling import mad_outlier_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return mad_outlier_flags(
+        docs, group="source", record_id="doc_id", value="n_chars", k=3
+    )
+
+
 # Deequ-shaped data-quality profile: per column of `documents`, row /
 # null / exact-distinct counts + a uniqueness verdict, computed in ONE
 # aggregation (multi-count-distinct Expand) and unpivoted with stack.

@@ -432,3 +432,91 @@ def lsh_recall_report(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def snm_recall_report(
+    shingles: DataFrame,
+    *,
+    theta_num: int = 3,
+    theta_den: int = 5,
+    window: int = 16,
+) -> DataFrame:
+    """Sorted-neighborhood blocking measured against the SAME exact
+    truth set as :func:`lsh_recall_report` — the calibration row that
+    justifies LSH as the primary candidate generator.
+
+    SNM here sorts the corpus by its cheapest key (distinct-shingle
+    count, the length proxy) and admits pairs within ``window-1`` rank
+    positions (operators/blocking.py, single block: the report
+    quantifies the strategy itself, not a block partitioning). Near-
+    dups have correlated lengths, so SNM recovers a fraction of the
+    truth set at O(n·w) candidates — but unlike LSH its recall has no
+    per-pair similarity guarantee, which is the number this report
+    puts next to the banding configs.
+
+    One row: ``config, w_size, n_truth_pairs, n_candidate_pairs,
+    n_detected_pairs, recall, candidate_precision`` (same float
+    discipline as lsh_recall_report: single divisions of exact BIGINTs,
+    rounded at 6).
+    """
+    from autovalidate_backend_api_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    sh = shingles.persist()
+    pairs = exact_pairs(sh)
+    is_dup = (
+        F.col("ni") * theta_den >= theta_num * (F.col("na") + F.col("nb") - F.col("ni"))
+    )
+    truth = pairs.select("src", "dst", is_dup.alias("is_dup")).filter("is_dup")
+    n_truth = truth.count()  # bounded scalar: one BIGINT to the driver
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (
+        sorted_neighborhood_pairs(
+            cnt.withColumn("blk", F.lit("all")),
+            block="blk",
+            sort_key="n",
+            record_id="doc_id",
+            window=window,
+        )
+        .select(
+            F.least("id_a", "id_b").alias("src"),
+            F.greatest("id_a", "id_b").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(truth, ["src", "dst"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidate_pairs"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("is_dup").cast("int"), F.lit(0))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_detected_pairs"),
+        )
+        .select(
+            F.lit(f"snm_w{window}").alias("config"),
+            F.lit(window).alias("w_size"),
+            F.lit(n_truth).cast("bigint").alias("n_truth_pairs"),
+            "n_candidate_pairs",
+            "n_detected_pairs",
+            (
+                F.lit(0.0)
+                if n_truth == 0
+                else F.round(
+                    F.col("n_detected_pairs").cast("double")
+                    / F.lit(float(n_truth)),
+                    6,
+                )
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_candidate_pairs") > 0,
+                    F.col("n_detected_pairs").cast("double")
+                    / F.col("n_candidate_pairs").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )

@@ -52,3 +52,38 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "n_distinct",
         (F.col("n_distinct") == F.col("_nonnull")).cast("int").alias("is_unique"),
     )
+
+
+def mad_outlier_flags(
+    df: DataFrame, *, group: str, record_id: str, value: str, k: int = 3
+) -> DataFrame:
+    """Robust per-group outlier flags: ``|x - median| > k * MAD``
+    (median absolute deviation — the estimator that survives the very
+    outliers it hunts, unlike mean/stddev).
+
+    Float discipline: the group median of a BIGINT column under the
+    shared linear-interpolation definition (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``) is an integer or exact half-integer;
+    ``abs(x - med)`` is one exactly-rounded subtraction, the MAD is a
+    median of those, and ``k * mad`` one exactly-rounded multiply — so
+    the comparison decides identically cross-engine and the flag is
+    oracle-safe. Two aggregations to a per-group spine + two broadcast
+    back-joins; the data crosses one exchange per aggregation and the
+    spine is |groups| rows.
+    """
+    med = df.groupBy(group).agg(F.expr(f"percentile({value}, 0.5)").alias("_med"))
+    dev = df.join(F.broadcast(med), group).withColumn(
+        "_dev", F.abs(F.col(value) - F.col("_med"))
+    )
+    mad = dev.groupBy(group).agg(F.expr("percentile(_dev, 0.5)").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), group)
+        .select(
+            record_id,
+            group,
+            value,
+            (F.col("_dev") > F.lit(float(k)) * F.col("_mad")).cast("int").alias(
+                "is_outlier"
+            ),
+        )
+    )
