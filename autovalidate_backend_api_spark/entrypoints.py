@@ -5601,6 +5601,70 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Correlated-subquery shape, decorrelated: parts priced above their
+# brand's average. The textbook form is a correlated scalar subquery
+# (what the oracle runs); the Spark plan is the standard decorrelation —
+# one agg to the brand spine + a broadcast back-join. The comparison is
+# exact: avg is never materialized as a float — cross-multiplied as
+# price·n > sum with DECIMAL arithmetic on both engines.
+@_register(
+    "parts_above_brand_avg",
+    """SELECT p_partkey, p_brand,
+              CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+       FROM part p
+       WHERE CAST(p_retailprice AS DECIMAL(18,2))
+             * (SELECT count(*) FROM part q WHERE q.p_brand = p.p_brand)
+             > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2))
+                FROM part q WHERE q.p_brand = p.p_brand)""",
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    spine = part.groupBy("p_brand").agg(
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        part.join(F.broadcast(spine), "p_brand")
+        .filter(
+            F.col("p_retailprice").cast("decimal(18,2)") * F.col("_n")
+            > F.col("_s")
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_retailprice").cast("decimal(18,2)").cast("double").alias(
+                "price"
+            ),
+        )
+    )
+
+
+# W4 breadth: percent_rank + cume_dist per market segment — both are
+# single divisions of exact rank integers ((rank−1)/(n−1), rows≤x / n),
+# rounded at 6 per the float-oracle contract; the (acctbal, custkey)
+# order is tie-free so rank semantics can't diverge.
+@_register(
+    "customer_balance_rank_stats",
+    """SELECT c_custkey, c_mktsegment,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+)
+def customer_balance_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

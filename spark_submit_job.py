@@ -71,6 +71,11 @@ def main() -> None:
                          "run's digest table exists at the output "
                          "root it also writes the anti-entropy range "
                          "diff against it (requires --output)")
+    ap.add_argument("--profile-report", action="store_true",
+                    help="also write the data-quality profile: per-column "
+                         "row/null/distinct/uniqueness stats plus robust "
+                         "per-repo |len - median| > 3*MAD file-length "
+                         "outlier flags (requires --output)")
     ap.add_argument("--graph-report", action="store_true",
                     help="also write the repo-graph analysis triad over "
                          "the file-hash overlap edges: PageRank "
@@ -314,6 +319,38 @@ def main() -> None:
             "overlap_edges": edges.count(),
             "core2_nodes": back.count(),
             "triangle_nodes": tri.filter(F.col("triangles") > 0).count(),
+        }
+
+    if args.profile_report:
+        if not args.output:
+            ap.error("--profile-report requires --output")
+        # The snapshot sanity pass BEFORE dedup spends signatures: a
+        # per-column profile (is `path` still key-like? how null is
+        # `lang`?) and robust per-repo length outliers for quarantine.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.profiling import (
+            mad_outlier_flags,
+            profile_columns,
+        )
+
+        prof = profile_columns(
+            corpus, ["repo", "path", "commit", "lang", "content"]
+        )
+        prof.write.mode("overwrite").parquet(f"{args.output}/dq_profile")
+        files = corpus.select(
+            "repo",
+            F.xxhash64("repo", "path").alias("fid"),
+            F.length("content").cast("bigint").alias("bytes"),
+        )
+        flags = mad_outlier_flags(
+            files, group="repo", record_id="fid", value="bytes", k=3
+        )
+        flags.write.mode("overwrite").parquet(f"{args.output}/length_outliers")
+        back = spark.read.parquet(f"{args.output}/length_outliers")
+        summary["profile"] = {
+            "columns": spark.read.parquet(f"{args.output}/dq_profile").count(),
+            "length_outliers": back.filter(F.col("is_outlier") == 1).count(),
         }
 
     if args.maintenance_report:
