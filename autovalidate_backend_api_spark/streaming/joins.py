@@ -1,0 +1,64 @@
+"""Stream-stream interval join — the remaining Structured Streaming
+operator class (§2.8) next to the windowed agg, stateful dedup, and
+sessionization already in streaming/events.py.
+
+The batch shape is events_range_join (operators/temporal.py); arriving
+as a stream, the same correlation ("purchases within 6h of a signup,
+per user") is a watermarked stream-stream INNER join: both sides buffer
+rows in state, watermarks plus the time-bound condition let Spark
+evict state older than ``signup.ts + max_gap + watermark`` — bounded
+state however long the stream runs, which is what makes the operator
+viable on an unbounded commit feed.
+
+Write-once-run-both-ways: :func:`interval_join` takes either two batch
+frames or two streaming frames; the test pins the streamed result
+row-for-row equal to the batch result on the same events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK = "30 minutes"
+
+
+def interval_join(
+    signups: DataFrame, purchases: DataFrame, *, max_gap: str = "6 hours"
+) -> DataFrame:
+    """All (signup, purchase) pairs of the same user with
+    ``signup.ts <= purchase.ts <= signup.ts + max_gap``.
+
+    Streaming inputs get watermarks on both sides; the explicit
+    time-range predicate is what lets Spark bound the join state.
+    Output: ``user_id, signup_id, purchase_id, gap_us`` (exact BIGINT
+    microseconds).
+    """
+    # parquet timestamps read as TIMESTAMP_NTZ; watermarks and
+    # unix_micros both need TIMESTAMP (UTC session tz keeps the instant).
+    s = signups.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").cast("timestamp").alias("s_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    if signups.isStreaming:
+        s = s.withWatermark("s_ts", WATERMARK)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", WATERMARK)
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {max_gap}")),
+    )
+    return joined.select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("gap_us"),
+    )

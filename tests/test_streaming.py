@@ -247,3 +247,45 @@ def test_stateful_ops_reject_batch_frames(spark):
         sessionize_stateful(df)
     with _pytest.raises(ValueError):
         kmv_state_distinct(df)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream watermarked INNER interval join (§2.8): two real
+    streams (signups, purchases) derived from the events feed, joined
+    within a 6h bound per user — result row-for-row equal to the same
+    builder applied to batch frames. The time-range predicate + both
+    watermarks are what bound the join state on an unbounded feed."""
+    import shutil
+
+    from autovalidate_backend_api_spark.streaming.events import EVENT_SCHEMA
+    from autovalidate_backend_api_spark.streaming.joins import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b_sign = batch.filter(F.col("event_type") == "signup")
+    b_pur = batch.filter(F.col("event_type") == "purchase")
+    expected = {
+        tuple(r) for r in interval_join(b_sign, b_pur).collect()
+    }
+
+    src = tmp_path / "ev_join_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    s_sign = stream.filter(F.col("event_type") == "signup")
+    s_pur = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        interval_join(s_sign, s_pur)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssij")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssij").collect()}
+    assert got == expected and len(expected) > 0
