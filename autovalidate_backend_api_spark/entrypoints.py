@@ -5665,6 +5665,46 @@ def customer_balance_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Phonetic blocking for the typo domain: distinct vocabulary terms
+# bucketed by a table-driven Soundex (functions/phonetic.py — the SAME
+# regexp_replace chain generated for both engines, so parity is by
+# construction and this gate value-checks it). Pre-fuzzy candidate
+# generation: the fuzzy scorer (typo_correct_batch) only needs to run
+# within a code bucket.
+def _soundex_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.functions.phonetic import soundex_sql
+
+    return f"""WITH t AS (SELECT DISTINCT unnest(string_split({_NORM_SQL}, ' ')) AS term
+                    FROM documents),
+            c AS (SELECT term, {soundex_sql('term')} AS code FROM t WHERE term != '')
+       SELECT code, count(*) AS n_terms, min(term) AS first_term,
+              max(term) AS last_term
+       FROM c GROUP BY code"""
+
+
+@_register("soundex_term_blocks", _soundex_oracle_sql())
+def soundex_term_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.functions.phonetic import soundex_col
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        terms.withColumn("code", soundex_col(F.col("term")))
+        .groupBy("code")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.min("term").alias("first_term"),
+            F.max("term").alias("last_term"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,71 @@
+"""Phonetic encoding (Soundex variant) for typo-tolerant blocking.
+
+The reference's domain is typo correction (/root/reference/app/api/
+core/db_lookup.py: frequent-typo cache → fuzzy scan); phonetic
+blocking is the classic pre-fuzzy candidate generator — two tokens
+that SOUND alike share a code however they're misspelled, so the
+fuzzy scorer only runs within a code bucket.
+
+This is the table-driven "simple Soundex" variant, built as ONE chain
+of regexp_replace steps generated from the same constants for both
+engines (the fix_mojibake pattern): parity between the Spark column
+and the DuckDB SQL is by construction, and the gate value-checks it.
+Deltas vs. the US-census variant are deliberate and documented: H/W
+are coded as separators (class 0) rather than transparent, so
+'ASHCRAFT' → A226 here vs census A261; RE2 (DuckDB) has no
+backreferences, so run-collapsing is one replace per digit class.
+
+Steps (applied to the letters-only uppercased token):
+1. every letter → its digit class, vowels/H/W/Y → 0, over the WHOLE
+   token;
+2. collapse runs of each digit (0-6);
+3. drop the first collapsed digit (the first letter codes as itself);
+4. drop the 0s, keep the first letter + first 3 remaining digits,
+   zero-padded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (regex class, digit) — exhaustive over A-Z
+SOUNDEX_CLASSES: tuple[tuple[str, str], ...] = (
+    ("[BFPV]", "1"),
+    ("[CGJKQSXZ]", "2"),
+    ("[DT]", "3"),
+    ("[L]", "4"),
+    ("[MN]", "5"),
+    ("[R]", "6"),
+    ("[AEIOUYHW]", "0"),
+)
+
+
+def soundex_col(col: Column) -> Column:
+    """Soundex code of a token as a Spark column (native exprs only)."""
+    u = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    d = u
+    for cls, digit in SOUNDEX_CLASSES:
+        d = F.regexp_replace(d, cls, digit)
+    for digit in "0123456":
+        d = F.regexp_replace(d, f"{digit}{digit}+", digit)
+    tail = F.regexp_replace(F.substring(d, 2, 1_000_000), "0", "")
+    return F.when(u == "", F.lit("")).otherwise(
+        F.concat(F.substring(u, 1, 1), F.substring(F.concat(tail, F.lit("000")), 1, 3))
+    )
+
+
+def soundex_sql(expr: str) -> str:
+    """The SAME chain as ANSI SQL (DuckDB), generated from the same
+    constants — oracle parity by construction."""
+    u = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    d = u
+    for cls, digit in SOUNDEX_CLASSES:
+        d = f"regexp_replace({d}, '{cls}', '{digit}', 'g')"
+    for digit in "0123456":
+        d = f"regexp_replace({d}, '{digit}{digit}+', '{digit}', 'g')"
+    tail = f"replace(substr({d}, 2), '0', '')"
+    return (
+        f"CASE WHEN {u} = '' THEN '' "
+        f"ELSE substr({u}, 1, 1) || substr({tail} || '000', 1, 3) END"
+    )

@@ -260,3 +260,30 @@ def test_ocr_gated_spark_vs_python(spark):
     }
     for i, s in enumerate(OCR_CASES):
         assert got[i] == ocr_normalize_gated_py(s), f"case {i}: {s!r}"
+
+
+def test_soundex_variant_known_codes_and_sql_twin(spark):
+    """Table-driven Soundex: pinned codes (incl. the documented H/W
+    delta vs census: ASHCRAFT -> A226) and Spark == generated-SQL twin."""
+    import duckdb
+
+    from autovalidate_backend_api_spark.functions.phonetic import (
+        soundex_col,
+        soundex_sql,
+    )
+    from pyspark.sql import functions as F
+
+    words = ["robert", "rupert", "ashcraft", "tymczak", "pfister", "a",
+             "", "honeyman", "Washington", "rObErT", "x123y"]
+    expected = {"robert": "R163", "rupert": "R163", "ashcraft": "A226",
+                "tymczak": "T522", "pfister": "P236", "a": "A000",
+                "": "", "honeyman": "H555"}
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.code for r in df.select("w", soundex_col(F.col("w")).alias("code")).collect()}
+    for w, c in expected.items():
+        assert got[w] == c, (w, got[w], c)
+    assert got["robert"] == got["rObErT"]  # case-insensitive
+    con = duckdb.connect()
+    for w in words:
+        sql_code = con.execute(f"SELECT {soundex_sql(repr(w))}").fetchone()[0]
+        assert got[w] == sql_code, (w, got[w], sql_code)
