@@ -5705,6 +5705,80 @@ def soundex_term_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Soundex blocking + Jaro-Winkler verify — the reference's typo flow
+# (frequent-typo cache → fuzzy scan, db_lookup.py:24-50) as phonetic
+# blocking + the OTHER classic name scorer next to fuzz.ratio. The
+# corpus vocabulary gets deterministic interior-transposition variants
+# planted (all 31 natural codes are unique → zero natural pairs);
+# variants that keep their term's code pair up inside blocks and the
+# JW score is emitted RAW: functions/fuzz.jaro_winkler is pinned
+# bitwise-equal to DuckDB's jaro_winkler_similarity (test_fuzz.py), so
+# the doubles value-hash with no rounding. The UDF is the Arrow batch
+# path (§2.9); blocking keeps it off the n² pair space.
+def _soundex_jw_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.functions.phonetic import soundex_sql
+
+    return f"""WITH t AS (SELECT DISTINCT unnest(string_split({_NORM_SQL}, ' ')) AS term
+                    FROM documents),
+            base AS (SELECT term FROM t WHERE len(term) >= 4),
+            var AS (SELECT substr(term,1,1) || substr(term,3,1) ||
+                           substr(term,2,1) || substr(term,4) AS term FROM base),
+            u AS (SELECT DISTINCT term
+                  FROM (SELECT term FROM base UNION ALL SELECT term FROM var)),
+            c AS (SELECT term, {soundex_sql('term')} AS code FROM u)
+       SELECT a.term AS term_a, b.term AS term_b, a.code AS code,
+              jaro_winkler_similarity(a.term, b.term) AS jw,
+              CAST(jaro_winkler_similarity(a.term, b.term) >= 0.75 AS INT)
+                AS passes_bar
+       FROM c a JOIN c b ON a.code = b.code AND a.term < b.term"""
+
+
+@_register("soundex_jw_pairs", _soundex_jw_oracle_sql())
+def soundex_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from autovalidate_backend_api_spark.functions.fuzz import jaro_winkler
+    from autovalidate_backend_api_spark.functions.phonetic import soundex_col
+
+    @pandas_udf(T.DoubleType())
+    def jw_udf(a: pandas.Series, b: pandas.Series) -> pandas.Series:
+        return pandas.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .filter(F.length("term") >= 4)
+    )
+    var = base.select(
+        F.concat(
+            F.substring("term", 1, 1),
+            F.substring("term", 3, 1),
+            F.substring("term", 2, 1),
+            F.substring("term", 4, 1_000_000),
+        ).alias("term")
+    )
+    u = base.unionByName(var).distinct()
+    coded = u.withColumn("code", soundex_col(F.col("term")))
+    a = coded.select(F.col("term").alias("term_a"), "code")
+    b = coded.select(F.col("term").alias("term_b"), F.col("code").alias("code_b"))
+    pairs = a.join(b, (a["code"] == b["code_b"]) & (a["term_a"] < b["term_b"])).drop(
+        "code_b"
+    )
+    return pairs.select(
+        "term_a",
+        "term_b",
+        "code",
+        jw_udf(F.col("term_a"), F.col("term_b")).alias("jw"),
+    ).withColumn("passes_bar", (F.col("jw") >= 0.75).cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -89,3 +89,55 @@ EVAL_CASES = [
     ("hondacity", "City"), ("x fifty", "X50"), ("c x thirty", "CX-30"),
     ("aqia", "Axia"), ("citu", "City"), ("hilud", "Hilux"),
 ]
+
+
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity, bit-for-bit the DuckDB/duckdb `jaro_similarity`
+    float-op order: (m/|a| + m/|b| + (m-t)/m) / 3, left-associated —
+    tests/test_fuzz.py pins bitwise equality against
+    jaro_winkler_similarity on word-pair grids, which is what lets the
+    soundex_jw_pairs gate value-hash the raw score. DuckDB convention:
+    BOTH-empty → 0.0 (not 1.0)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    bm = [False] * lb
+    am = [False] * la
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb - 1, i + window)
+        for j in range(lo, hi + 1):
+            if not bm[j] and a[i] == b[j]:
+                bm[j] = am[i] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, thresh: float = 0.7) -> float:
+    """Jaro-Winkler with the standard prefix boost (≤4 chars, applied
+    when jaro > 0.7) — same bitwise-parity contract as :func:`jaro`."""
+    j = jaro(a, b)
+    if j <= thresh:
+        return j
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        l += 1
+    return j + l * p * (1 - j)

@@ -127,3 +127,26 @@ def test_lcs_past_word_boundary(a, b):
     # cross-check the numpy row-DP LCS against the Indel identity
     # 2·LCS = |a| + |b| − indel on >64-char inputs
     assert 2 * lcs_len(a, b) == len(a) + len(b) - _indel_dp(a, b)
+
+
+def test_jaro_winkler_bitwise_matches_duckdb():
+    """The oracle contract of soundex_jw_pairs: our scorer must equal
+    DuckDB's jaro_winkler_similarity BIT FOR BIT (raw doubles are
+    value-hashed, no rounding)."""
+    import itertools
+
+    import duckdb
+
+    from autovalidate_backend_api_spark.functions.fuzz import jaro_winkler
+
+    words = ["robert", "rupert", "ashcraft", "tymczak", "pfister", "duane",
+             "dwayne", "martha", "marhta", "dixon", "dicksonx", "jellyfish",
+             "smellyfish", "a", "ab", "abc", "hello", "hallo", "xyz", "zyx",
+             "aaaa", "aaab", "q", "", "test", "tset", "information",
+             "informatoin"]
+    con = duckdb.connect()
+    for a, b in itertools.product(words, repeat=2):
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == d, (a, b)
