@@ -100,3 +100,25 @@ def test_duplicate_spans_removed_no_window(spark, sf_dir):
     occurrence list through one task's sort."""
     plan = _plan_of("duplicate_spans_removed", spark, sf_dir)
     assert "Window" not in plan, plan
+
+
+def test_scd2_plans_one_exchange(spark, sf_dir):
+    """Both SCD2 windows (lag for the collapse, lead for valid_to) share
+    one (user_id × (ts, id)) partitioning/ordering — Catalyst must plan
+    exactly ONE hash exchange; a second Exchange means the orderings
+    diverged and the history build shuffles the log twice."""
+    plan = _plan_of("scd2_user_status", spark, sf_dir)
+    import re
+
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+
+
+def test_snm_candidate_pairs_single_shuffle_no_join(spark, sf_dir):
+    """SNM is the windowed collect_list sweep: one shuffle on the block
+    key and ZERO joins — the rank-distance self-join exists only in the
+    oracle."""
+    plan = _plan_of("snm_candidate_pairs", spark, sf_dir)
+    import re
+
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
