@@ -15,7 +15,10 @@ are coded as separators (class 0) rather than transparent, so
 'ASHCRAFT' → A226 here vs census A261; RE2 (DuckDB) has no
 backreferences, so run-collapsing is one replace per digit class.
 
-Steps (applied to the letters-only uppercased token):
+Steps (applied to the ASCII-letters-only uppercased token; the
+strip happens BEFORE upper() so locale-expanding codepoints like
+'\u00df' (Python/Java upper -> 'SS', DuckDB upper -> '\u00df') can never
+reach the case fold — found by the hypothesis twin test):
 1. every letter → its digit class, vowels/H/W/Y → 0, over the WHOLE
    token;
 2. collapse runs of each digit (0-6);
@@ -43,7 +46,7 @@ SOUNDEX_CLASSES: tuple[tuple[str, str], ...] = (
 
 def soundex_col(col: Column) -> Column:
     """Soundex code of a token as a Spark column (native exprs only)."""
-    u = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    u = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
     d = u
     for cls, digit in SOUNDEX_CLASSES:
         d = F.regexp_replace(d, cls, digit)
@@ -58,7 +61,7 @@ def soundex_col(col: Column) -> Column:
 def soundex_sql(expr: str) -> str:
     """The SAME chain as ANSI SQL (DuckDB), generated from the same
     constants — oracle parity by construction."""
-    u = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    u = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
     d = u
     for cls, digit in SOUNDEX_CLASSES:
         d = f"regexp_replace({d}, '{cls}', '{digit}', 'g')"

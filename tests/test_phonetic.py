@@ -1,0 +1,108 @@
+"""Property tests for the table-driven Soundex and the SCD2 build —
+independent Python references, hypothesis-driven (house style: every
+generated-chain or window operator gets a from-first-principles twin)."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from autovalidate_backend_api_spark.functions.phonetic import (
+    SOUNDEX_CLASSES,
+    soundex_sql,
+)
+
+
+def _soundex_py(s: str) -> str:
+    """Independent reference: per-character table walk (no regexes)."""
+    classes = {}
+    for cls, digit in SOUNDEX_CLASSES:
+        for ch in cls.strip("[]"):
+            classes[ch] = digit
+    u = "".join(ch for ch in s if ch.isascii() and ch.isalpha()).upper()
+    if not u:
+        return ""
+    digits = [classes[ch] for ch in u]
+    collapsed = [d for i, d in enumerate(digits) if i == 0 or digits[i - 1] != d]
+    tail = [d for d in collapsed[1:] if d != "0"]
+    return u[0] + ("".join(tail) + "000")[:3]
+
+
+_token = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=24
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_token)
+def test_soundex_sql_matches_python_reference(tok):
+    con = duckdb.connect()
+    got = con.execute(
+        f"WITH x AS (SELECT ? AS t) SELECT {soundex_sql('t')} FROM x", [tok]
+    ).fetchone()[0]
+    assert got == _soundex_py(tok), (tok, got, _soundex_py(tok))
+    assert re.fullmatch(r"([A-Z][0-9]{3})?", got), got
+
+
+def _scd2_py(rows):
+    """Independent SCD2 reference: sort, collapse, tile — per key."""
+    out = []
+    by_key = {}
+    for rid, us, key, status in rows:
+        by_key.setdefault(key, []).append((us, rid, status))
+    for key, evs in by_key.items():
+        evs.sort()
+        opens = []
+        prev = None
+        for us, rid, status in evs:
+            if prev is None or status != prev:
+                opens.append([key, status, us, None])
+            prev = status
+        for i in range(len(opens) - 1):
+            opens[i][3] = opens[i + 1][2]
+        out.extend(tuple(o) for o in opens)
+    return set(out)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),  # distinct-ified below into event ids
+            st.integers(0, 50),     # second offsets
+            st.integers(0, 3),      # key
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_matches_python_reference(spark, raw):
+    from autovalidate_backend_api_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (i, f"2024-01-01 00:00:{sec:02d}", key, status)
+        for i, (_, sec, key, status) in enumerate(raw)
+    ]
+    log = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    got = {
+        (r.user_id, r.status, r.valid_from_us, r.valid_to_us)
+        for r in scd2_from_changelog(
+            log, key="user_id", ts="ts", order_id="event_id", status="event_type"
+        ).collect()
+    }
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+    ref_rows = [
+        (i, base + sec * 1_000_000, key, status)
+        for i, (_, sec, key, status) in enumerate(raw)
+    ]
+    assert got == _scd2_py(ref_rows)
