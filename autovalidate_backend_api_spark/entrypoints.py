@@ -5779,6 +5779,65 @@ def soundex_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("passes_bar", (F.col("jw") >= 0.75).cast("int"))
 
 
+# Second-moment statistics with the house float discipline extended:
+# corr/slope of (n_chars, token_count) per lang computed from EXACT
+# BIGINT moments (n, Σx, Σy, Σxy, Σx², Σy² — map-side-combinable, no
+# partition-order float drift possible), then ONE shared final float
+# expression on identical exact inputs — IEEE makes the few float ops
+# deterministic cross-engine because the INPUTS are exact, the only
+# unsafe thing was ever the order-dependent float accumulation. (Never
+# use corr()/stddev() builtins in an oracle-compared column: both
+# engines accumulate doubles in partition order.)
+@_register(
+    "length_token_correlation",
+    f"""WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                     CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                          t -> t != '')) AS BIGINT) AS y
+             FROM documents),
+            m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*y) AS BIGINT) AS sxy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx,
+                     CAST(sum(y*y) AS BIGINT) AS syy
+             FROM v GROUP BY lang)
+       SELECT lang, n,
+              round(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr,
+              round(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+       FROM m""",
+)
+def length_token_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(normalize_text_col(F.col("text")), " "),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("bigint")
+    v = docs.select(
+        "lang", F.col("n_chars").cast("bigint").alias("x"), toks.alias("y")
+    )
+    m = v.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lang",
+        "n",
+        F.round(num / (F.sqrt(dxx) * F.sqrt(dyy)), 6).alias("corr"),
+        F.round(num / dxx, 6).alias("slope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
