@@ -5838,6 +5838,46 @@ def length_token_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-doc lexical diversity as GINI impurity (1 - Σp²), not entropy:
+# log() is not IEEE-correctly-rounded, so Java's and libm's log differ
+# in ulps and can never be oracle-compared — Gini needs only Σc² and
+# n² (exact BIGINTs) and one final division. The diversity quality
+# signal next to gopher_repetition_flags: boilerplate/spam collapses
+# onto few terms (gini → 0), natural text spreads (→ 1).
+@_register(
+    "term_gini_diversity",
+    f"""WITH t AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+            c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+             FROM t WHERE term != '' GROUP BY 1, 2),
+            g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(c*c) AS BIGINT) AS ss
+             FROM c GROUP BY 1)
+       SELECT doc_id, n AS n_tokens,
+              round(1.0 - CAST(ss AS DOUBLE) / CAST(n*n AS DOUBLE), 6) AS gini
+       FROM g""",
+)
+def term_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    c = t.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("c"))
+    g = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("ss").cast("double") / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
