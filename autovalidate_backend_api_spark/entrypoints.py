@@ -5878,6 +5878,29 @@ def term_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The spark.sql() API surface with ONE dialect-portable SQL text: the
+# same string runs verbatim on Spark (over a temp view) and on DuckDB
+# as the oracle — ANSI subset only (CAST, DECIMAL sums, CASE, GROUP
+# BY). Every other gate builds the plan with the DataFrame API; this
+# one pins that the SQL front door produces identical results, i.e. a
+# user can paste the ANSI query into either engine.
+_PORTABLE_SQL = """SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+         AS sum_qty,
+       CAST(CAST(sum(CASE WHEN l_discount > 0.05
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END)
+            AS DECIMAL(18,2)) AS DOUBLE) AS discounted_base,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+@_register("sql_dialect_portable_agg", _PORTABLE_SQL)
+def sql_dialect_portable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PORTABLE_SQL)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
