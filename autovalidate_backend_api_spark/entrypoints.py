@@ -5901,6 +5901,40 @@ def sql_dialect_portable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PORTABLE_SQL)
 
 
+# First-order Markov transition counts over each user's event stream —
+# the behavioral matrix next to funnel_signup_purchase: one lag window
+# per user (deterministic (ts, event_id) order), then a global count
+# per (from, to). Exact integers; the transition-probability
+# denominator ships as row_total so consumers divide client-side
+# (keeping the gate float-free).
+@_register(
+    "event_transition_matrix",
+    """WITH o AS (SELECT event_type AS to_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                       AS from_type
+              FROM events),
+            c AS (SELECT from_type, to_type, count(*) AS n
+              FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+       FROM c""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    o = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    c = o.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return c.withColumn("row_total", F.sum("n").over(wt).cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
