@@ -80,3 +80,45 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(repo), EqualTo(repo,r1)]" in plan
     assert "content" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on the ingest path: files written before a
+    column existed read as NULL for it under mergeSchema — the
+    contract that lets a 10^12-row table add columns without rewrite."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        f"{base}/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", "new")], "id long, s string, extra string"
+    ).write.parquet(f"{base}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {"id", "s", "extra"}
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert rows == {1: None, 2: "new"}
+
+
+def test_parquet_ignore_corrupt_files(spark, tmp_path):
+    """A torn/corrupt file in a directory scan is skipped (not fatal)
+    under ignoreCorruptFiles — the read-side half of the corrupt-row
+    quarantine in sources/tables.py."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.createDataFrame([(1,), (2,)], "id long").write.mode(
+        "overwrite"
+    ).parquet(str(d / "good"))
+    (d / "good" / "corrupt-000.parquet").write_bytes(b"PAR1 this is not parquet")
+    import pytest as _pytest
+
+    # schema inference itself reads every footer -> fatal without an
+    # explicit schema, which is why the production ingest always
+    # passes one (sources/tables.py).
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(d / "good")).count()
+    ok = (
+        spark.read.schema("id long")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(d / "good"))
+    )
+    assert sorted(r.id for r in ok.collect()) == [1, 2]
