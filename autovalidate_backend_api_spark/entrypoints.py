@@ -5935,6 +5935,57 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.withColumn("row_total", F.sum("n").over(wt).cast("bigint"))
 
 
+_SCURVE_BANDS, _SCURVE_ROWS = 8, 2
+
+
+def _lsh_scurve_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import dedup_eval as de
+
+    bands, rows = _SCURVE_BANDS, _SCURVE_ROWS
+    lb = f"b{bands}r{rows}"
+    return f"""WITH {_VARIANT_CORPUS_SQL},
+    cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS ni
+              FROM d a JOIN d b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    bucketed AS (SELECT src, dst,
+                    least((10 * ni) // (ca.n + cb.n - ni), 9) AS j_decile
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst),
+    px AS (SELECT doc_id, i,
+             min(CAST('0x' || substr(md5('mh' || CAST(i AS VARCHAR) || ':' || s),
+                                     1, 12) AS BIGINT)) AS m
+           FROM d CROSS JOIN (SELECT unnest(range({de.N_PERM})) AS i)
+           GROUP BY 1, 2),
+    bk AS (SELECT doc_id,
+             md5('{lb}' || ':' || CAST(i // {rows} AS VARCHAR) || ':' ||
+                 string_agg(CAST(m AS VARCHAR), ':' ORDER BY i)) AS bk
+           FROM px GROUP BY doc_id, i // {rows}),
+    cand AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+             FROM bk x JOIN bk y USING (bk) WHERE x.doc_id < y.doc_id)
+    SELECT j_decile, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN c.src IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_detected,
+           round(CAST(coalesce(sum(CASE WHEN c.src IS NOT NULL THEN 1 ELSE 0 END), 0)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS detect_rate
+    FROM bucketed b LEFT JOIN cand c ON b.src = c.src AND b.dst = c.dst
+    GROUP BY j_decile"""
+
+
+# The empirical LSH S-curve: per-Jaccard-decile detection rate of the
+# b8r2 banding over the shared borderline-variant corpus — the
+# observable behind 1-(1-j^r)^b, value-hash-checked point by point.
+# Monotonicity (rates rise with the decile) is pinned in tests; the
+# variant corpus is what puts mass in the middle deciles where the
+# curve actually bends.
+@_register("lsh_scurve_report", _lsh_scurve_oracle_sql())
+def lsh_scurve_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import lsh_scurve_report
+
+    return lsh_scurve_report(
+        _variant_shingles(spark, sf_dir), bands=_SCURVE_BANDS, rows=_SCURVE_ROWS
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

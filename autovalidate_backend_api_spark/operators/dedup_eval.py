@@ -520,3 +520,63 @@ def snm_recall_report(
             ).alias("candidate_precision"),
         )
     )
+
+
+def lsh_scurve_report(
+    shingles: DataFrame,
+    *,
+    bands: int = 8,
+    rows: int = 2,
+    n_perm: int = N_PERM,
+) -> DataFrame:
+    """The empirical LSH S-curve: detection probability of the
+    ``bands × rows`` banding per Jaccard DECILE — the observable behind
+    the 1-(1-j^r)^b design formula. Every pair sharing ≥1 shingle
+    (exact inverted-index truth, lossless for j > 0) is bucketed by
+    ``(10·ni) div union`` clipped to 9, then marked detected iff any
+    band key collides.
+
+    One row per occupied decile: ``j_decile, n_pairs, n_detected,
+    detect_rate`` (rate = one division of exact BIGINTs, rounded 6).
+    Detection rates must RISE with the decile — pinned in tests; the
+    gate value-hashes the whole curve.
+    """
+    sh = shingles.persist()
+    pairs = exact_pairs(sh)  # (src, dst, ni, na, nb)
+    bucketed = pairs.select(
+        "src",
+        "dst",
+        F.least(
+            F.expr("(10 * ni) div (na + nb - ni)").cast("bigint"), F.lit(9)
+        ).alias("j_decile"),
+    )
+    label = f"b{bands}r{rows}"
+    bt = minhash_sigs(sh, n_perm=n_perm).select(
+        "doc_id", F.explode(_band_keys(label, bands, rows)).alias("bk")
+    )
+    cand = (
+        bt.alias("x")
+        .join(bt.alias("y"), "bk")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bucketed.join(cand, ["src", "dst"], "left")
+        .groupBy("j_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+                "n_detected"
+            ),
+        )
+        .withColumn(
+            "detect_rate",
+            F.round(
+                F.col("n_detected").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ),
+        )
+    )

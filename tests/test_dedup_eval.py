@@ -217,3 +217,24 @@ def test_ann_recall_report_invariants_and_planted(spark):
     for r in rows:
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["n_hits"] <= r["n_exact_pairs"]
+
+
+def test_lsh_scurve_is_monotone_over_populated_deciles(spark, sf_dir):
+    """Detection rate must rise with the Jaccard decile (the S-curve) —
+    checked over buckets with enough mass to be signal (tiny deciles
+    like a single pair are sampling noise, not curve shape)."""
+    from autovalidate_backend_api_spark import entrypoints
+
+    rows = sorted(
+        entrypoints.queries()["lsh_scurve_report"](spark, sf_dir).collect(),
+        key=lambda r: r.j_decile,
+    )
+    rates = [r.detect_rate for r in rows if r.n_pairs >= 15]
+    assert len(rates) >= 5
+    # empirical curve: allow small-sample wiggle (<= 0.15 below the
+    # running max) but forbid any real inversion of the S shape
+    running = rates[0]
+    for r in rates[1:]:
+        assert r >= running - 0.15, rates
+        running = max(running, r)
+    assert rates[0] < 0.05 and rates[-1] == 1.0
