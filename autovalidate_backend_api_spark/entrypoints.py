@@ -5986,6 +5986,72 @@ def lsh_scurve_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sparse TF-cosine similarity join — the third similarity geometry
+# next to set-Jaccard (minhash/ngram gates) and dense-embedding cosine:
+# docs as term-frequency vectors, pairs via the inverted index
+# (lossless for cos > 0), dot products and norms as EXACT BIGINT
+# moments. The θ = 0.5 threshold is decided with zero float error by
+# cross-multiplying squares (4·num² ≥ ‖a‖²·‖b‖², num ≥ 0 ⇔ cos ≥ 0.5);
+# the reported cos spends floats only in one shared final expression
+# over exact ints. At corpus scale the hot-term postings need the same
+# prefilters SourcererCC applies (token_bag_clone_pairs) — this gate's
+# corpus has a 31-term vocabulary, the worst case, and still runs as
+# Σ_t |postings_t|², never a cross join.
+@_register(
+    "tf_cosine_pairs",
+    f"""WITH t AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+            c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t WHERE term != '' GROUP BY 1, 2),
+            nrm AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
+             FROM c GROUP BY 1),
+            num AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                       CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+             FROM c a JOIN c b USING (term) WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT src, dst, dot,
+              round(CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                    6) AS cos
+       FROM num JOIN nrm na ON na.doc_id = src JOIN nrm nb ON nb.doc_id = dst
+       WHERE 4 * dot * dot >= na.n2 * nb.n2""",
+)
+def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    c = t.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    nrm = c.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    num = (
+        c.alias("a")
+        .join(c.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"))
+    )
+    na = nrm.withColumnRenamed("doc_id", "src").withColumnRenamed("n2", "na2")
+    nb = nrm.withColumnRenamed("doc_id", "dst").withColumnRenamed("n2", "nb2")
+    return (
+        num.join(na, "src")
+        .join(nb, "dst")
+        .filter(4 * F.col("dot") * F.col("dot") >= F.col("na2") * F.col("nb2"))
+        .select(
+            "src",
+            "dst",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
