@@ -248,6 +248,16 @@ def main() -> None:
         summary["recall"] = {
             r["config"]: r["recall"] for r in back.collect()
         }
+        # the S-curve next to the per-config recalls: detection rate
+        # per exact-Jaccard decile for the recall-leaning banding
+        from autovalidate_backend_api_spark.operators.dedup_eval import (
+            lsh_scurve_report,
+        )
+
+        curve = lsh_scurve_report(shingles, bands=8, rows=2)
+        curve.write.mode("overwrite").parquet(f"{args.output}/scurve_report")
+        cback = spark.read.parquet(f"{args.output}/scurve_report")
+        summary["scurve_deciles"] = cback.count()
 
     if args.clone_report:
         if not args.output:
