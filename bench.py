@@ -136,6 +136,11 @@ GATE_QUERIES = [
     # r5l: the non-LSH candidate generator (one block-key shuffle,
     # windowed sweep) over the 50k-doc corpus
     "snm_candidate_pairs",
+    # r5l: warehouse/statistics shapes — SCD2 (one exchange), skyline
+    # (spine sweep), sparse TF-cosine join (exact-moment thresholding)
+    "scd2_user_status",
+    "part_skyline",
+    "tf_cosine_pairs",
 ]
 
 
