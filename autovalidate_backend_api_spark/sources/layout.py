@@ -196,3 +196,62 @@ def execute_compaction(
         size_col=size_col,
         target_bytes=target_bytes,
     )
+
+
+# --- rendezvous (highest-random-weight) sharding -----------------------
+#
+# The shard-routing primitive under every incremental-state operator in
+# this repo (plans/incremental.py state tables, streaming sink buckets):
+# key k goes to argmax_s md5("hrw:" || s || ":" || k) — when a shard is
+# added or removed, ONLY the keys whose argmax was that shard move
+# (Thaler & Ravishankar 1998), unlike k % N where nearly every key
+# moves. Deterministic md5 weights (the sketches.py hash family), pure
+# 48-bit BIGINT compares, and a generated first-match argmax CASE chain
+# shared with the DuckDB twin — so assignments are value-hash bit-exact.
+# Scale shape: a pure projection (n_shards md5 calls per row, no
+# shuffle, no state); the chain length is the shard COUNT, not the data.
+
+HRW_SHARDS = 8
+
+
+def _hrw_weight(key: Column, shard: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"hrw:{shard}:"), key))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+
+
+def hrw_assignments(
+    df: DataFrame, key_col: str, *, n_shards: int = HRW_SHARDS
+) -> DataFrame:
+    """``df`` + ``shard`` (int; max-weight shard, smallest id on
+    near-impossible ties — the CASE chain checks ascending) and
+    ``weight`` (the winning 48-bit BIGINT) from rendezvous-hashing
+    ``key_col``. The n_shards md5 weights are projected into concrete
+    columns FIRST so the argmax chain references attributes, not
+    re-evaluated md5 trees (the HOF-capture/CollapseProject barrier
+    discipline — non-cheap producer referenced ≥2× keeps the barrier)."""
+    key = F.col(key_col).cast("string")
+    wcols = [f"_hrw_w{s}" for s in range(n_shards)]
+    staged = df.select(
+        "*", *[_hrw_weight(key, s).alias(c) for s, c in enumerate(wcols)]
+    )
+    ws = [F.col(c) for c in wcols]
+    wmax = F.greatest(*ws) if len(ws) > 1 else ws[0]
+    pick = F.when(ws[0] == wmax, F.lit(0))
+    for s in range(1, n_shards):
+        pick = pick.when(ws[s] == wmax, F.lit(s))
+    return staged.select(
+        "*", pick.cast("int").alias("shard"), wmax.alias("weight")
+    ).drop(*wcols)
+
+
+def hrw_shard_sql(key_expr: str, *, n_shards: int = HRW_SHARDS) -> tuple[str, str]:
+    """(shard_expr, weight_expr) DuckDB twins, generated from the same
+    loop as :func:`hrw_shard` so the engines cannot drift. ``key_expr``
+    must already be a VARCHAR expression."""
+    ws = [
+        f"CAST('0x' || substr(md5('hrw:{s}:' || {key_expr}), 1, 12) AS BIGINT)"
+        for s in range(n_shards)
+    ]
+    wmax = "greatest(" + ", ".join(ws) + ")" if len(ws) > 1 else ws[0]
+    chain = " ".join(f"WHEN {w} = wmax THEN {s}" for s, w in enumerate(ws))
+    return f"CAST(CASE {chain} END AS INT)", wmax

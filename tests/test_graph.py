@@ -165,6 +165,65 @@ def test_kcore_hub_dies_clique_survives(spark):
     assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def _py_bfs(edges, seeds):
+    """Independent reference: dict-queue BFS to fixpoint."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_python_reference_multi_source(spark):
+    """Two seeds over the gate-style cycle+chord graph: distances match
+    an independent queue BFS exactly (pure-integer claim), and the
+    sweep is genuinely multi-round (max dist ≥ 3)."""
+    from autovalidate_backend_api_spark.operators.graph import bfs_distances
+
+    n = 50
+    fwd = [(r, (r + 1) % n) for r in range(n)] + [
+        (r, (r * 10 + 3) % n) for r in range(8)
+    ]
+    fwd = [(u, v) for u, v in fwd if u != v]
+    edges = sorted(set(fwd) | {(v, u) for u, v in fwd})
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,), (25,)], "node bigint")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, seeds, rounds=30).collect()
+    }
+    want = _py_bfs(edges, [0, 25])
+    assert got == want
+    assert max(got.values()) >= 3
+
+
+def test_bfs_unreachable_nodes_absent_and_rounds_cap(spark):
+    """A disconnected island never appears; the rounds cap truncates the
+    sweep (rounds=2 on a path reaches exactly 2 hops)."""
+    from autovalidate_backend_api_spark.operators.graph import bfs_distances
+
+    path = [(i, i + 1) for i in range(6)]
+    island = [(100, 101), (101, 100)]
+    e = spark.createDataFrame(
+        path + [(v, u) for u, v in path] + island, "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    full = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, rounds=10).collect()}
+    assert full == {i: i for i in range(7)}
+    assert 100 not in full and 101 not in full
+    capped = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, rounds=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2}
+
+
 def test_kcore_matches_python_reference_and_fixpoint(spark):
     """The gate's 53-node edge family: Spark k-core == independent Python
     peel-to-fixpoint, AND round 8 ≡ round 7 (the fixpoint claim the gate

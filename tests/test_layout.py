@@ -165,3 +165,35 @@ def test_execute_compaction_one_file_per_bin(spark, tmp_path):
     # bins respect the target: p1 accumulates 400s -> bins of <=3 files
     p1 = {r["bin"]: r["n_files"] for r in plan if r["part"] == "p1"}
     assert all(n <= 3 for n in p1.values()) and sum(p1.values()) == 10
+
+
+def test_hrw_minimal_disruption_and_balance(spark):
+    """The rendezvous property: dropping shard 7 (n_shards 8 → 7) moves
+    ONLY the keys that were on shard 7; every other key keeps its shard.
+    Under k % N, nearly every key would move. Also: all shards get a
+    reasonable load share, and assignments match an independent
+    hashlib-md5 argmax in pure Python."""
+    import hashlib
+
+    from autovalidate_backend_api_spark.sources.layout import hrw_assignments
+
+    keys = spark.range(400).withColumnRenamed("id", "k")
+    a8 = {r["k"]: r["shard"] for r in hrw_assignments(keys, "k", n_shards=8).collect()}
+    a7 = {r["k"]: r["shard"] for r in hrw_assignments(keys, "k", n_shards=7).collect()}
+    moved = {k for k in a8 if a7[k] != a8[k]}
+    assert moved == {k for k, s in a8.items() if s == 7}
+    # balance: each of 8 shards holds 400/8 ± wide band
+    from collections import Counter
+
+    loads = Counter(a8.values())
+    assert set(loads) == set(range(8))
+    assert all(20 <= n <= 85 for n in loads.values()), loads
+
+    def py_hrw(k, n):
+        ws = [
+            int(hashlib.md5(f"hrw:{s}:{k}".encode()).hexdigest()[:12], 16)
+            for s in range(n)
+        ]
+        return ws.index(max(ws))
+
+    assert all(py_hrw(k, 8) == s for k, s in a8.items())
