@@ -4306,6 +4306,127 @@ def graph_bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, rounds=_BFS_ROUNDS)
 
 
+def _wl_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import wl_oracle_sql
+
+    return wl_oracle_sql(_KCORE_EDGES_SQL, rounds=3)
+
+
+# Weisfeiler–Lehman structural hashing over the k-core gate graph
+# (threshold-gated families → non-regular degrees, so the refinement is
+# non-vacuous; a regular graph would collapse to one class — the
+# documented 1-WL limit, pinned in tests). Exact md5/string work on
+# both engines, byte-for-byte; per-round localCheckpoint.
+@_register("wl_graph_hash", _wl_oracle_sql())
+def wl_graph_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import wl_relabel
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 53
+    edges = None
+    for a, c, t in _KCORE_FAMS:
+        fam = docs.filter(r < t).select(r.alias("u"), ((r * a + c) % 53).alias("v"))
+        edges = fam if edges is None else edges.unionByName(fam)
+    for d in (1, 2, 3, 4):
+        edges = edges.unionByName(
+            docs.filter(r < 10).select(r.alias("u"), ((r + d) % 10).alias("v"))
+        )
+    return wl_relabel(edges, rounds=3)
+
+
+# Fellegi–Sunter agreement-pattern table — the EM input of a
+# probabilistic linker, blocked on lang + first letter of the first
+# token (pairs only within a block). The block key is the scale lever:
+# blocking on lang alone leaves ~n/5-row blocks → Θ(n²/25) pairs
+# (measured 66 s at sf0.1 vs 1.7 s with the two-level key; at 10^12 rows
+# it's the difference between a job and an impossibility — audit the
+# block-key distribution with join_skew_report FIRST). Null-safe
+# comparisons, pure BIGINT counts; the oracle's gamma projections are
+# generated from the same field list.
+_FS_FIELDS = ["source", "tok1", "len_bucket"]
+
+
+def _agreement_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        agreement_pattern_counts_sql,
+    )
+
+    records = f"""records AS (
+      SELECT doc_id AS rid,
+        lang || '#' || substr(tok1, 1, 1) AS block,
+        source, tok1, len_bucket
+      FROM (SELECT doc_id, lang, source,
+          string_split({_NORM_SQL}, ' ')[1] AS tok1,
+          CAST(n_chars // 100 AS BIGINT) AS len_bucket
+        FROM documents))"""
+    return agreement_pattern_counts_sql(
+        records, id_col="rid", block_col="block", fields=_FS_FIELDS
+    )
+
+
+@_register("agreement_pattern_counts", _agreement_oracle_sql())
+def agreement_pattern_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        agreement_pattern_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("rid"),
+        "lang",
+        "source",
+        F.split(normalize_text_col(F.col("text")), " ").getItem(0).alias("tok1"),
+        F.expr("n_chars div 100").cast("bigint").alias("len_bucket"),
+    )
+    records = base.select(
+        "rid",
+        F.concat(F.col("lang"), F.lit("#"), F.substring("tok1", 1, 1)).alias(
+            "block"
+        ),
+        "source",
+        "tok1",
+        "len_bucket",
+    )
+    return agreement_pattern_counts(
+        records, id_col="rid", block_col="block", fields=_FS_FIELDS
+    )
+
+
+# term-pair association table (lift = PMI's log-free monotone twin) —
+# the phrase-mining/tokenizer input. Products are exact BIGINTs, ONE
+# exactly-rounded division per row (the exact-integer-moments float
+# discipline) so the lift itself value-hashes. The per-doc self-join
+# is the classic co-occurrence blowup — max_df_ratio caps stopword-
+# grade terms before the join at scale (vacuous on the 31-term corpus
+# vocab where every term is stopword-grade; capped behavior is pinned
+# in tests/test_datapipe.py instead).
+@_register(
+    "term_cooccurrence_lift",
+    f"""WITH t0 AS (SELECT doc_id AS doc,
+          unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    terms AS (SELECT DISTINCT doc, term FROM t0 WHERE term <> ''),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY 1),
+    p AS (SELECT a.term AS term_a, b.term AS term_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM terms a JOIN terms b ON a.doc = b.doc AND a.term < b.term
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT term_a, term_b, n_ab, da.df AS n_a, db.df AS n_b,
+           round(CAST(n_ab * (SELECT count(DISTINCT doc_id) FROM documents)
+                      AS DOUBLE) / CAST(da.df * db.df AS DOUBLE), 6) AS lift
+    FROM p JOIN dft da ON p.term_a = da.term
+           JOIN dft db ON p.term_b = db.term""",
+)
+def term_cooccurrence_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        term_cooccurrence_lift,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text_col(F.col("text")).alias("text")
+    )
+    return term_cooccurrence_lift(docs, min_count=2)
+
+
 # borderline-pair calibration corpus shared by the evaluation gates:
 # each doc gains one variant (token-prefix retention 40-90% by
 # doc_id % 6, three unique junk tokens) so pair similarities SPREAD

@@ -2583,3 +2583,72 @@ def priority_sample(
             ),
         )
     )
+
+
+def term_cooccurrence_lift(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Document-level term-pair co-occurrence with exact-integer lift —
+    the association table a tokenizer/phrase-mining pass reads (PMI's
+    monotone log-free twin: PMI = log(lift), so lift ranks identically).
+
+    For terms x, y: ``n_a``/``n_b`` = document frequencies, ``n_ab`` =
+    docs containing both, ``lift = (n_ab · N) / (n_a · n_b)`` — both
+    products are exact BIGINTs < 2^53, the single division is IEEE-
+    exactly-rounded, round(6): bitwise cross-engine (the exact-integer-
+    moments float discipline; never oracle log()).
+
+    Scale shape: the pair stage is a per-doc inverted self-join — Θ(Σ
+    d_i²) over per-doc DISTINCT term counts, the classic co-occurrence
+    blowup. Two caps bound it: ``max_df_ratio`` drops stopword-grade
+    terms (df > ratio·N) BEFORE the join — the highest-d_i mass is
+    exactly those terms — and ``min_count`` prunes the output. The
+    corpus N is a bounded scalar collect attached as a literal (a 1-row
+    join side would plan as the banned nested loop).
+    """
+    terms = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    n_docs = docs.select(id_col).distinct().count()  # bounded scalar
+    df_t = terms.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    if max_df_ratio < 1.0:
+        df_t = df_t.filter(F.col("df") <= int(max_df_ratio * n_docs))
+        terms = terms.join(df_t.select("term"), "term", "left_semi")
+    terms = terms.persist()
+    a = terms.select(F.col("doc"), F.col("term").alias("term_a"))
+    b = terms.select(F.col("doc"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    dfa = df_t.select(F.col("term").alias("term_a"), F.col("df").alias("n_a"))
+    dfb = df_t.select(F.col("term").alias("term_b"), F.col("df").alias("n_b"))
+    return (
+        pairs.join(dfa, "term_a")
+        .join(dfb, "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -399,3 +399,95 @@ def pagerank_oracle_sql(
         + ",\n    ".join(steps)
         + f"\n    SELECT node, round(r, {round_digits}) AS pagerank FROM r{iters}"
     )
+
+
+def wl_relabel(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
+    """Weisfeiler–Lehman relabeling over an undirected graph given as
+    ``edges(u, v)``: after ``rounds`` refinements two nodes share a
+    label iff their ``rounds``-hop neighborhood TREES are isomorphic
+    (the 1-WL color refinement; Shervashidze et al., JMLR'11). The
+    structural counterpart of the content sketches: two repo-overlap
+    neighborhoods hash equal here exactly when their dependency SHAPE
+    matches, whatever the file contents — the signal that separates "a
+    fork family" (same structure) from "same files, unrelated layout".
+
+    label_0 = degree; label_{i+1}(v) = md5("wl:" ‖ label_i(v) ‖ "|" ‖
+    join(sorted labels of v's neighbors, ",")). Every step is exact
+    string/md5 work — no floats — and the sorted-neighbor concat is
+    identical in DuckDB (string_agg ORDER BY ≡ sort_array+array_join),
+    so a generated oracle replays it byte-for-byte
+    (:func:`wl_oracle_sql`).
+
+    Scale shape: each round is one node-keyed equi-join of the directed
+    neighbor list with the Θ(|V|) label table plus one sort_array
+    collect_list per node — the per-node cost is its degree (hub nodes
+    dominate; cap or sample super-hub neighborhoods upstream the way
+    stage_b caps hot buckets). Round i references round i−1 twice (own
+    label + neighbor agg) → per-round ``localCheckpoint``, the k-core
+    plan-blowup discipline.
+    """
+    a, b = F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    und = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    nbrs = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    lab = (
+        nbrs.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .select("node", F.col("deg").cast("string").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        agg = (
+            nbrs.join(lab.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.array_join(F.sort_array(F.collect_list("lab")), ",").alias("nl")
+            )
+        )
+        lab = (
+            lab.join(agg, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(
+                        F.lit("wl:"),
+                        F.col("lab"),
+                        F.lit("|"),
+                        F.coalesce(F.col("nl"), F.lit("")),
+                    )
+                ).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return lab.select("node", F.col("lab").alias("wl_label"))
+
+
+def wl_oracle_sql(edges_cte: str, *, rounds: int = 3) -> str:
+    """DuckDB SQL replaying :func:`wl_relabel` byte-for-byte.
+    ``edges_cte`` must define ``e(a, b)`` already canonical (a < b,
+    a <> b) and distinct. MATERIALIZED round CTEs (each referenced
+    twice by the next round — the base-2 plan blowup)."""
+    steps = [
+        """nbrs AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS MATERIALIZED (SELECT src AS node,
+        CAST(CAST(count(*) AS BIGINT) AS VARCHAR) AS lab
+      FROM nbrs GROUP BY 1)"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT l.node, md5('wl:' || l.lab || '|' || coalesce(a.nl, '')) AS lab
+      FROM l{i - 1} l LEFT JOIN (
+        SELECT n.src AS node, string_agg(p.lab, ',' ORDER BY p.lab) AS nl
+        FROM nbrs n JOIN l{i - 1} p ON n.dst = p.node GROUP BY 1) a
+      ON l.node = a.node)"""
+        )
+    return (
+        f"WITH {edges_cte},\n    "
+        + ",\n    ".join(steps)
+        + f"\n    SELECT node, lab AS wl_label FROM l{rounds}"
+    )

@@ -1,0 +1,92 @@
+"""Probabilistic record-linkage preparation: blocked agreement-pattern
+counting (the Fellegi–Sunter / Splink input table).
+
+The reference's cascade is a hard-threshold linker: a pair either
+passes fuzzy match at 0.75 or falls through to semantic search
+(/root/reference/app/api/core/search.py:100-130). The probabilistic
+generalization scores a pair by its AGREEMENT VECTOR γ = (γ₁..γ_k)
+over k field comparisons, with per-pattern m/u weights estimated from
+the pattern-frequency table. Computing that table IS the big-data job
+— everything after it (EM on k counts) is driver-sized. So the
+operator here produces exactly that: blocked candidate pairs → exact
+per-pattern BIGINT counts.
+
+Scale shape: the self-join is BLOCKED (equi-join on the block key —
+shuffle-partitioned, AQE-skew-handled; at 10^12 rows the block-size
+distribution is the thing to audit first, which is what
+profiling.join_skew_report is for — run it on the block key before
+this join). The output is ≤ 2^k rows of BIGINTs. Field comparisons
+are pure projections inside the join stage; no float ops anywhere, so
+the DuckDB twin is exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def agreement_pattern_counts(
+    records: DataFrame,
+    *,
+    id_col: str,
+    block_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Per-pattern pair counts over within-block candidate pairs.
+
+    ``records`` must carry ``id_col`` (unique BIGINT), ``block_col``
+    (the blocking key — pairs are generated only within a block), and
+    the comparison ``fields``. A pair (a, b), a < b by id, agrees on
+    field f iff both sides are non-null and equal (the null-safe
+    Splink convention: a null never "agrees").
+
+    Returns one row per observed pattern: ``gamma_<field>`` (0/1 int)
+    per field, plus ``n_pairs`` (BIGINT), the EM input table.
+    """
+    keep = [id_col, block_col, *fields]
+    left = records.select([F.col(c).alias(f"_l_{c}") for c in keep])
+    right = records.select([F.col(c).alias(f"_r_{c}") for c in keep])
+    pairs = left.join(
+        right,
+        (F.col(f"_l_{block_col}") == F.col(f"_r_{block_col}"))
+        & (F.col(f"_l_{id_col}") < F.col(f"_r_{id_col}")),
+    )
+    gammas: list[Column] = [
+        (
+            F.col(f"_l_{f}").isNotNull()
+            & F.col(f"_r_{f}").isNotNull()
+            & (F.col(f"_l_{f}") == F.col(f"_r_{f}"))
+        )
+        .cast("int")
+        .alias(f"gamma_{f}")
+        for f in fields
+    ]
+    return (
+        pairs.select(*gammas)
+        .groupBy([f"gamma_{f}" for f in fields])
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+def agreement_pattern_counts_sql(
+    records_cte: str,
+    *,
+    id_col: str,
+    block_col: str,
+    fields: list[str],
+) -> str:
+    """DuckDB twin generated from the same field list. ``records_cte``
+    must define a CTE named ``records`` with the same columns."""
+    gammas = ",\n           ".join(
+        f"CAST(l.{f} IS NOT NULL AND r.{f} IS NOT NULL AND l.{f} = r.{f} "
+        f"AS INT) AS gamma_{f}"
+        for f in fields
+    )
+    gcols = ", ".join(f"gamma_{f}" for f in fields)
+    return f"""WITH {records_cte},
+    g AS (SELECT {gammas}
+      FROM records l JOIN records r
+        ON l.{block_col} = r.{block_col} AND l.{id_col} < r.{id_col})
+    SELECT {gcols}, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM g GROUP BY {gcols}"""

@@ -1943,3 +1943,57 @@ def test_exact_group_canonical_policy_branches(spark):
     assert set(out) == {"src/f1.py", "f2.py", "aa.py"}
     assert out["src/f1.py"]["keep_repo"] == "a"
     assert out["f2.py"]["n_copies"] == 2
+
+
+def test_term_cooccurrence_lift_matches_python(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        term_cooccurrence_lift,
+    )
+
+    texts = {
+        1: "red fox jumps",
+        2: "red fox sleeps",
+        3: "blue fox jumps",
+        4: "red crab sleeps",
+        5: "red fox jumps high",
+        6: "the the the",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {
+        (r["term_a"], r["term_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+        for r in term_cooccurrence_lift(df, min_count=2).collect()
+    }
+
+    sets = {d: set(t.split()) for d, t in texts.items()}
+    dfreq = Counter(t for s in sets.values() for t in s)
+    n = len(texts)
+    nab = Counter(
+        p for s in sets.values() for p in combinations(sorted(s), 2)
+    )
+    want = {
+        (a, b): (c, dfreq[a], dfreq[b], round(c * n / (dfreq[a] * dfreq[b]), 6))
+        for (a, b), c in nab.items()
+        if c >= 2
+    }
+    assert got == want
+    # "red fox" co-occur 3/6 docs with df 4·4 → lift 18/16 > 1
+    assert got[("fox", "red")][3] > 1.0
+
+
+def test_term_cooccurrence_max_df_cap_drops_stopwords(spark):
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        term_cooccurrence_lift,
+    )
+
+    rows = [(i, f"the w{i % 3} common") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = term_cooccurrence_lift(df, min_count=1, max_df_ratio=0.5).collect()
+    terms = {r["term_a"] for r in out} | {r["term_b"] for r in out}
+    # 'the' and 'common' are in every doc (df 10 > 5) → capped out
+    assert "the" not in terms and "common" not in terms
+    assert terms <= {"w0", "w1", "w2"} and not out or all(
+        r["n_ab"] >= 1 for r in out
+    )

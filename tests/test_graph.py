@@ -242,3 +242,63 @@ def test_kcore_matches_python_reference_and_fixpoint(spark):
     assert got7 == got8  # fixpoint reached with a round to spare
     assert got1 != got8  # ...and not trivially in one round
     assert len(got8) == 10  # the planted circulant core
+
+
+def _py_wl(pairs, rounds):
+    import hashlib
+
+    und = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: str(len(ns)) for v, ns in adj.items()}
+    for _ in range(rounds):
+        lab = {
+            v: hashlib.md5(
+                f"wl:{lab[v]}|{','.join(sorted(lab[u] for u in adj[v]))}".encode()
+            ).hexdigest()
+            for v in adj
+        }
+    return lab
+
+
+def test_wl_matches_python_and_separates_structure(spark):
+    """Two disjoint isomorphic triangles share labels; a star's hub,
+    its spokes, and a path's interior all separate. Also pins the
+    DOCUMENTED 1-WL limit: a triangle and a 4-cycle are both 2-regular
+    and 1-WL CANNOT tell them apart (all 2-regular graphs refine to one
+    class) — callers needing that distinction use triangle_stats."""
+    from autovalidate_backend_api_spark.operators.graph import wl_relabel
+
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(11, 12), (12, 13), (13, 11)]
+    cyc4 = [(21, 22), (22, 23), (23, 24), (24, 21)]
+    star = [(31, 32), (31, 33), (31, 34)]
+    path = [(41, 42), (42, 43), (43, 44)]
+    pairs = tri1 + tri2 + cyc4 + star + path
+    e = spark.createDataFrame(pairs, "u bigint, v bigint")
+    got = {r["node"]: r["wl_label"] for r in wl_relabel(e, rounds=3).collect()}
+    assert got == _py_wl(pairs, 3)
+    assert len({got[n] for n in (1, 2, 3, 11, 12, 13)}) == 1  # isomorphic
+    assert got[21] == got[1]  # the 1-WL blind spot: 2-regular ≡ 2-regular
+    # non-regular structure separates: hub ≠ spoke ≠ path-interior
+    assert len({got[31], got[32], got[42]}) == 3
+    # path ends vs star spokes: both degree 1, but their neighbor's
+    # neighborhood differs → separated by round 2
+    assert got[41] != got[32]
+
+
+def test_wl_round0_is_degree_refinement_grows(spark):
+    """More rounds never merge classes (refinement is monotone): the
+    class count is non-decreasing in rounds on a path graph."""
+    from autovalidate_backend_api_spark.operators.graph import wl_relabel
+
+    path = [(i, i + 1) for i in range(8)]
+    e = spark.createDataFrame(path, "u bigint, v bigint")
+    n1 = len({r["wl_label"] for r in wl_relabel(e, rounds=1).collect()})
+    n3 = len({r["wl_label"] for r in wl_relabel(e, rounds=3).collect()})
+    assert n1 <= n3
+    # a path's WL classes mirror distance-to-end: 9 nodes → 5 classes at
+    # refinement fixpoint (symmetric halves)
+    assert n3 == 5

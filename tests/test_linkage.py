@@ -1,0 +1,66 @@
+"""Agreement-pattern counting (operators/linkage.py) invariants."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from autovalidate_backend_api_spark.operators.linkage import (
+    agreement_pattern_counts,
+)
+
+
+def _py_patterns(rows, fields):
+    out = {}
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r["block"], []).append(r)
+    for grp in by_block.values():
+        grp = sorted(grp, key=lambda r: r["rid"])
+        for a, b in combinations(grp, 2):
+            g = tuple(
+                int(a[f] is not None and b[f] is not None and a[f] == b[f])
+                for f in fields
+            )
+            out[g] = out.get(g, 0) + 1
+    return out
+
+
+def test_agreement_patterns_match_python_reference(spark):
+    rows = [
+        {"rid": i, "block": f"b{i % 3}",
+         "name": ["ann", "bob", "ann", None][i % 4],
+         "city": ["x", "x", "y"][i % 3],
+         "lang": ["py", "go"][i % 2]}
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(r["rid"], r["block"], r["name"], r["city"], r["lang"]) for r in rows],
+        "rid bigint, block string, name string, city string, lang string",
+    )
+    got = {
+        (r["gamma_name"], r["gamma_city"], r["gamma_lang"]): r["n_pairs"]
+        for r in agreement_pattern_counts(
+            df, id_col="rid", block_col="block", fields=["name", "city", "lang"]
+        ).collect()
+    }
+    assert got == _py_patterns(rows, ["name", "city", "lang"])
+    # total pairs = sum over blocks of C(n,2); blocking bounds the join
+    assert sum(got.values()) == sum(
+        n * (n - 1) // 2
+        for n in [len([r for r in rows if r["block"] == f"b{b}"]) for b in range(3)]
+    )
+
+
+def test_agreement_null_never_agrees(spark):
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "b", None), (3, "b", "v")],
+        "rid bigint, block string, f string",
+    )
+    got = {
+        r["gamma_f"]: r["n_pairs"]
+        for r in agreement_pattern_counts(
+            df, id_col="rid", block_col="block", fields=["f"]
+        ).collect()
+    }
+    # all three pairs disagree: null-null, null-v, null-v
+    assert got == {0: 3}
