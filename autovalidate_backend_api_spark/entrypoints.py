@@ -4392,6 +4392,211 @@ def agreement_pattern_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# m/u weight estimation over the SAME blocked pair stream, with planted
+# matches (the simhash_selfcheck trick: no natural exact-text dups below
+# sf0.1, so every doc_id % 5 == 0 gains a same-text copy; every tenth
+# copy flips source to 'mirror' so m_source lands strictly inside (0,1)
+# — a non-vacuous estimate, not a constant). truth = exact text
+# equality, the pipeline's per-row invariant. One aggregation over the
+# pairs → stack unpivot (the dq_profile shape); m/u are single
+# exactly-rounded divisions.
+_FS_BASE_SQL = """base AS (
+      SELECT doc_id, lang, source, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang,
+             CASE WHEN doc_id % 10 = 0 THEN 'mirror' ELSE source END,
+             text, n_chars
+      FROM documents WHERE doc_id % 5 = 0)"""
+
+
+def _fs_records_cte() -> str:
+    """The labeled-linkage records CTE (named ``records``), shared by
+    every FS oracle: planted-copy base → per-record block key + fields."""
+    return f"""{_FS_BASE_SQL},
+    records AS (
+      SELECT doc_id AS rid,
+        lang || '#' || substr(tok1, 1, 1) AS block,
+        source, tok1, len_bucket, text
+      FROM (SELECT doc_id, lang, source, text,
+          string_split({_NORM_SQL}, ' ')[1] AS tok1,
+          CAST(n_chars // 100 AS BIGINT) AS len_bucket
+        FROM base))"""
+
+
+def _fs_records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_fs_records_cte`."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "text", "n_chars"]
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("mirror"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.col("text"),
+        F.col("n_chars"),
+    )
+    base = docs.select(cols).unionByName(copies)
+    staged = base.select(
+        F.col("doc_id").alias("rid"),
+        "lang",
+        "source",
+        "text",
+        F.split(normalize_text_col(F.col("text")), " ").getItem(0).alias("tok1"),
+        F.expr("n_chars div 100").cast("bigint").alias("len_bucket"),
+    )
+    return staged.select(
+        "rid",
+        F.concat(F.col("lang"), F.lit("#"), F.substring("tok1", 1, 1)).alias(
+            "block"
+        ),
+        "source",
+        "tok1",
+        "len_bucket",
+        "text",
+    )
+
+
+def _mu_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        mu_field_weights_sql,
+    )
+
+    return mu_field_weights_sql(
+        _fs_records_cte(),
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+    )
+
+
+@_register("fs_mu_weights", _mu_oracle_sql())
+def fs_mu_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.linkage import mu_field_weights
+
+    return mu_field_weights(
+        _fs_records_df(spark, sf_dir),
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+    )
+
+
+# the FS decision table itself: P(match | γ-pattern). On the planted
+# corpus the patterns separate cleanly and SCALE-STABLY: (1,1,1) sits
+# at 0.833 (sf0.001) / 0.847 (sf0.01), everything else ≤ 0.17 — so the
+# θ=1/2 accept rule below is non-vacuous at every test scale, and the
+# accepted pattern carries ~10 FALSE pairs (n_pairs 60, n_match 50),
+# exercising the FP-chaining path through CC.
+def _posterior_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        fs_pattern_posterior_sql,
+    )
+
+    return fs_pattern_posterior_sql(
+        _fs_records_cte(),
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+    )
+
+
+@_register("fs_pattern_posterior", _posterior_oracle_sql())
+def fs_pattern_posterior_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        fs_pattern_posterior,
+    )
+
+    return fs_pattern_posterior(
+        _fs_records_df(spark, sf_dir),
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+    )
+
+
+# end-to-end probabilistic entity resolution: pattern posterior ≥ 1/2
+# (EXACT integer cross-multiply — no float in the accept path) → edges
+# → Stage-D connected components → min-id canonical. Oracle closes the
+# same edges with a recursive CTE. Planted copies + the (1,1,1) FP
+# pairs make clusters that chain beyond the planted pairs.
+def _fs_clusters_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        fs_linkage_clusters_sql,
+    )
+
+    return fs_linkage_clusters_sql(
+        _fs_records_cte(),
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+    )
+
+
+@_register("fs_linkage_clusters", _fs_clusters_oracle_sql())
+def fs_linkage_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        fs_linkage_clusters,
+    )
+
+    return fs_linkage_clusters(
+        _fs_records_df(spark, sf_dir),
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+    )
+
+
+# survivorship on top of the resolved entities: one golden row per
+# canonical_rid — min-wins on the string/id fields (deterministic
+# lexicographic rule), max-wins on len_bucket (most-complete rule).
+# All-exact aggregates; the oracle extends the cluster CTEs.
+def _fs_golden_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        golden_records_sql,
+    )
+
+    return golden_records_sql(
+        _fs_records_cte(),
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+        min_fields=["source", "tok1"],
+        max_fields=["len_bucket"],
+    )
+
+
+@_register("fs_golden_records", _fs_golden_oracle_sql())
+def fs_golden_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.linkage import (
+        fs_linkage_clusters,
+        golden_records,
+    )
+
+    records = _fs_records_df(spark, sf_dir)
+    clusters = fs_linkage_clusters(
+        records,
+        id_col="rid",
+        block_col="block",
+        truth_col="text",
+        fields=_FS_FIELDS,
+    )
+    return golden_records(
+        records,
+        clusters,
+        id_col="rid",
+        min_fields=["source", "tok1"],
+        max_fields=["len_bucket"],
+    )
+
+
 # term-pair association table (lift = PMI's log-free monotone twin) —
 # the phrase-mining/tokenizer input. Products are exact BIGINTs, ONE
 # exactly-rounded division per row (the exact-integer-moments float
@@ -5630,6 +5835,112 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_changelog(
         ev, key="user_id", ts="ts", order_id="event_id", status="event_type"
     )
+
+
+# CDC apply (full MERGE semantics incl. DELETE): a deterministic change
+# stream derived from orders — seq1 updates (%7: status X, price+100),
+# seq2 deletes (%13), seq3 re-inserts (%26: the delete-then-upsert
+# lifecycle), seq1 inserts of NEW keys (%11, +10^9). Highest seq per
+# key wins, delete winners drop. Spark = one window shuffle (no join);
+# oracle = the same union + row_number in DuckDB. Decimal arithmetic
+# stays exact; the FINAL price casts to DOUBLE on both engines.
+@_register(
+    "cdc_orders_state",
+    """WITH u AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp,
+             CAST(0 AS BIGINT) AS seq, 0 AS del FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'X', o_totalprice + 100, 1, 0
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 1
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, 'R', CAST(50.00 AS DECIMAL(15,2)), 3, 0
+      FROM orders WHERE o_orderkey % 26 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 'N', o_totalprice, 1, 0
+      FROM orders WHERE o_orderkey % 11 = 0),
+    w AS (SELECT *, row_number() OVER (PARTITION BY k
+                                       ORDER BY seq DESC, del DESC) AS rn
+          FROM u)
+    SELECT k AS o_orderkey, st AS status, CAST(tp AS DOUBLE) AS totalprice
+    FROM w WHERE rn = 1 AND del = 0""",
+)
+def cdc_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.relational import cdc_apply
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    k = F.col("o_orderkey")
+    upd = orders.filter(k % 7 == 0).select(
+        k,
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") + 100).alias("tp"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = orders.filter(k % 13 == 0).select(
+        k,
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    reins = orders.filter(k % 26 == 0).select(
+        k,
+        F.lit("R").alias("status"),
+        F.lit("50.00").cast("decimal(15,2)").alias("tp"),
+        F.lit(3).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    ins = orders.filter(k % 11 == 0).select(
+        (k + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("status"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(reins).unionByName(ins)
+    out = cdc_apply(
+        base, changes, key_cols=["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return out.select(
+        "o_orderkey", "status", F.col("tp").cast("double").alias("totalprice")
+    )
+
+
+# Cohort retention matrix: users cohorted by first-seen epoch day;
+# (cohort_day, offset) cells count distinct active members. Day math is
+# exact BIGINT `div` (never float-divide-then-cast — a correctly-
+# rounded double quotient can cross the day boundary); retention is the
+# one final exactly-rounded division.
+@_register(
+    "user_cohort_retention",
+    """WITH ud AS (SELECT DISTINCT user_id AS u,
+                          epoch_us(ts) // 86400000000 AS day FROM events),
+    f AS (SELECT u, min(day) AS cohort_day FROM ud GROUP BY 1),
+    sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY 1),
+    cells AS (SELECT f.cohort_day, ud.day - f.cohort_day AS offset_days
+              FROM ud JOIN f USING (u))
+    SELECT cells.cohort_day, offset_days,
+           CAST(count(*) AS BIGINT) AS n_active, sz.cohort_size,
+           round(CAST(count(*) AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE), 6)
+             AS retention
+    FROM cells JOIN sz ON sz.cohort_day = cells.cohort_day
+    GROUP BY cells.cohort_day, offset_days, sz.cohort_size""",
+)
+def user_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import cohort_retention
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, user_col="user_id", ts_col="ts")
 
 
 # 2-D skyline (Pareto frontier): parts no other part dominates on

@@ -221,3 +221,55 @@ def skyline_2d(
         )
         .select(record_id, minimize, maximize)
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an ordered CDC change stream (upserts + DELETES) to a base
+    snapshot — the full MERGE semantics ``merge_upsert`` above omits
+    (WHEN MATCHED AND op = 'D' THEN DELETE). Debezium/Delta-CDF shape:
+    each change row carries the full payload, a monotone ``seq_col``
+    (LSN / commit version) and an ``op_col``; the base snapshot is
+    treated as sequence 0 upserts.
+
+    Per key the HIGHEST sequence wins (a delete followed by a later
+    upsert re-inserts the key — the window handles the whole lifecycle
+    in one pass); rows whose winner is a delete drop out. ONE shuffle
+    on the key (window row_number), no join — the scalable shape for a
+    100 TB snapshot + arbitrarily long change tail, and AQE handles
+    hot keys. Ties on ``seq_col`` within a key are broken
+    deterministically by preferring the delete (the conservative
+    reading of an ill-formed feed); callers with exactly-once feeds
+    never hit it.
+
+    Output: the post-apply snapshot with ``base``'s columns.
+    """
+    payload = [c for c in base.columns if c not in key_cols]
+    tagged_base = base.select(
+        *key_cols,
+        *payload,
+        F.lit(0).cast("bigint").alias("_seq"),
+        F.lit(0).alias("_del"),
+    )
+    tagged_changes = changes.select(
+        *key_cols,
+        *payload,
+        F.col(seq_col).cast("bigint").alias("_seq"),
+        (F.col(op_col) == F.lit(delete_op)).cast("int").alias("_del"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_seq").desc(), F.col("_del").desc()
+    )
+    return (
+        tagged_base.unionByName(tagged_changes)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_del") == 0))
+        .select(*key_cols, *payload)
+    )

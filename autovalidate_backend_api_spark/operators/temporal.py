@@ -160,3 +160,58 @@ def range_join_bucketed(
         F.col("k").alias(key),
         (F.col("p_us") - F.col("s_us")).alias("gap_us"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST-seen
+    epoch day; each (cohort_day, day offset) cell counts the distinct
+    cohort members active that day, plus the cohort size and the
+    retention ratio (ONE exactly-rounded division — the only float).
+
+    Day arithmetic is exact BIGINT epoch-microsecond division (UTC
+    session timezone; no date/locale functions), so the matrix is
+    bit-identical cross-engine.
+
+    Scale shape: two shuffles — min-day per user (map-side combinable),
+    then the (user, day) distinct + cohort join. The per-user first-day
+    frame re-enters via an equi-join on ``user_col``; at 100 TB both
+    sides hash-partition on the user key and the join inherits the
+    aggregation's partitioning (no extra exchange under AQE).
+    """
+    # integer `div`, never float-divide-then-cast (a correctly-rounded
+    # double quotient can land on the wrong side of the day boundary)
+    ud = events.select(
+        F.col(user_col).alias("u"), _us(ts_col).alias("_ts_us")
+    ).select("u", F.expr("_ts_us div 86400000000").alias("day")).distinct()
+    first = ud.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        ud.join(first, "u")
+        .select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+    )
+    if max_offset_days is not None:
+        cells = cells.filter(F.col("offset_days") <= max_offset_days)
+    return (
+        cells.groupBy("cohort_day", "offset_days")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_days",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )

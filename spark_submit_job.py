@@ -324,11 +324,26 @@ def main() -> None:
         tri.write.mode("overwrite").parquet(f"{args.output}/graph_triangles")
         core = kcore(edges, k=2, rounds=8)
         core.write.mode("overwrite").parquet(f"{args.output}/graph_kcore")
+        # WL structural classes + contamination-proximity BFS from the
+        # top-PageRank repo (the graded Stage-D verdict) round out the
+        # graph pass with the two newest operators.
+        from autovalidate_backend_api_spark.operators.graph import (
+            bfs_distances,
+            wl_relabel,
+        )
+
+        wl = wl_relabel(edges, rounds=3)
+        wl.write.mode("overwrite").parquet(f"{args.output}/graph_wl_labels")
+        seed = pr.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(1)
+        dist = bfs_distances(sym, seed.select("node"), rounds=8)
+        dist.write.mode("overwrite").parquet(f"{args.output}/graph_bfs")
         back = spark.read.parquet(f"{args.output}/graph_kcore")
         summary["graph"] = {
             "overlap_edges": edges.count(),
             "core2_nodes": back.count(),
             "triangle_nodes": tri.filter(F.col("triangles") > 0).count(),
+            "wl_classes": wl.select("wl_label").distinct().count(),
+            "bfs_reached": dist.count(),
         }
 
     if args.profile_report:

@@ -64,3 +64,144 @@ def test_agreement_null_never_agrees(spark):
     }
     # all three pairs disagree: null-null, null-v, null-v
     assert got == {0: 3}
+
+
+def test_mu_field_weights_match_python_reference(spark):
+    from autovalidate_backend_api_spark.operators.linkage import mu_field_weights
+
+    # 12 records in one block: ids 0-5 text 'A' (matches), 6-11 distinct
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, "blk", "A" if i < 6 else f"T{i}",
+             ["s1", "s2"][i % 2], ["x", "y", "z"][i % 3])
+        )
+    df = spark.createDataFrame(
+        rows, "rid bigint, block string, txt string, f1 string, f2 string"
+    )
+    got = {
+        r["field"]: (r["n_match"], r["n_agree_match"], r["m"],
+                     r["n_unmatch"], r["n_agree_unmatch"], r["u"])
+        for r in mu_field_weights(
+            df, id_col="rid", block_col="block", truth_col="txt",
+            fields=["f1", "f2"],
+        ).collect()
+    }
+
+    from itertools import combinations
+
+    want = {}
+    for f_idx, f in [(3, "f1"), (4, "f2")]:
+        nm = nu = am = au = 0
+        for a, b in combinations(rows, 2):
+            match = a[2] == b[2]
+            agree = a[f_idx] == b[f_idx]
+            if match:
+                nm += 1
+                am += agree
+            else:
+                nu += 1
+                au += agree
+        want[f] = (nm, am, round(am / nm, 6), nu, au, round(au / nu, 6))
+    assert got == want
+    # sanity: matches exist and m is interior for f1 (alternating source)
+    assert got["f1"][0] == 15 and 0.0 < got["f1"][2] < 1.0
+
+
+def test_mu_field_weights_empty_class_null_guard(spark):
+    """No matched pairs → m is NULL (not NaN/inf), counts zero."""
+    from autovalidate_backend_api_spark.operators.linkage import mu_field_weights
+
+    df = spark.createDataFrame(
+        [(1, "b", "t1", "x"), (2, "b", "t2", "x")],
+        "rid bigint, block string, txt string, f1 string",
+    )
+    [r] = mu_field_weights(
+        df, id_col="rid", block_col="block", truth_col="txt", fields=["f1"]
+    ).collect()
+    assert r["n_match"] == 0 and r["m"] is None
+    assert r["n_unmatch"] == 1 and r["u"] == 1.0
+
+
+def test_fs_linkage_clusters_match_python_reference(spark):
+    """CC over accepted-pattern edges ≡ brute-force union-find, with a
+    threshold that accepts one pattern and rejects another."""
+    from itertools import combinations
+
+    from autovalidate_backend_api_spark.operators.linkage import (
+        fs_linkage_clusters,
+    )
+
+    # one block; ids 0-3 share text 'A' (true entity), ids 4-7 distinct.
+    # f1 agrees within {0,1,2,3} and within {4,5}; pattern γ=1 is mostly
+    # matches (accepted at 1/2), γ=0 all non-matches (rejected).
+    rows = [
+        (0, "b", "A", "x"), (1, "b", "A", "x"), (2, "b", "A", "x"),
+        (3, "b", "A", "x"), (4, "b", "T4", "y"), (5, "b", "T5", "y"),
+        (6, "b", "T6", "z"), (7, "b", "T7", "w"),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid bigint, block string, txt string, f1 string"
+    )
+    got = {
+        r["rid"]: (r["canonical_rid"], r["cluster_size"], r["is_dup"])
+        for r in fs_linkage_clusters(
+            df, id_col="rid", block_col="block", truth_col="txt",
+            fields=["f1"],
+        ).collect()
+    }
+
+    # python reference: pattern posteriors then union-find
+    pats = {}
+    for a, b in combinations(rows, 2):
+        g = int(a[3] == b[3])
+        nm, np_ = pats.get(g, (0, 0))
+        pats[g] = (nm + int(a[2] == b[2]), np_ + 1)
+    acc = {g for g, (nm, np_) in pats.items() if nm * 2 >= np_}
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in combinations(rows, 2):
+        if int(a[3] == b[3]) in acc:
+            ra, rb = find(a[0]), find(b[0])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for r in rows:
+        comp.setdefault(find(r[0]), []).append(r[0])
+    want = {}
+    for rep, members in comp.items():
+        rep = min(members)
+        for m in members:
+            want[m] = (rep, len(members), int(m != rep))
+    assert got == want
+    # the threshold genuinely splits: γ=1 accepted, γ=0 rejected
+    assert acc == {1}
+    # clusters chain past the true entity: 4,5 share f1='y' (FP edge)
+    assert got[5][0] == 4 and got[0][1] == 4
+
+
+def test_golden_records_survivorship(spark):
+    from autovalidate_backend_api_spark.operators.linkage import golden_records
+
+    records = spark.createDataFrame(
+        [(1, "s2", 10), (2, "s1", 30), (3, "s3", 20)],
+        "rid bigint, src string, sz bigint",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)],
+        "rid bigint, canonical_rid bigint",
+    )
+    got = {
+        r["canonical_rid"]: (r["src_golden"], r["sz_latest"], r["n_members"])
+        for r in golden_records(
+            records, clusters, id_col="rid",
+            min_fields=["src"], max_fields=["sz"],
+        ).collect()
+    }
+    assert got == {1: ("s1", 30, 2), 3: ("s3", 20, 1)}

@@ -153,3 +153,33 @@ def test_profile_columns_counts(spark):
     assert out["id"] == (4, 0, 4, 1)
     assert out["s"] == (4, 1, 2, 0)
     assert out["t"] == (4, 1, 2, 0)
+
+
+def test_cdc_apply_lifecycle(spark):
+    """update → delete → re-insert per key; highest seq wins; a seq tie
+    prefers the delete; new keys insert."""
+    from autovalidate_backend_api_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # plain update
+            (2, "b", 1, "D"),    # delete
+            (3, "c2", 1, "U"),   # update then delete then re-insert
+            (3, "c2", 2, "D"),
+            (3, "c3", 3, "U"),
+            (4, "dX", 5, "U"),   # seq TIE with a delete → delete wins
+            (4, "d", 5, "D"),
+            (9, "new", 1, "U"),  # brand-new key
+        ],
+        "k bigint, v string, seq bigint, op string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_apply(
+            base, changes, key_cols=["k"], seq_col="seq", op_col="op"
+        ).collect()
+    }
+    assert got == {1: "a2", 3: "c3", 9: "new"}
