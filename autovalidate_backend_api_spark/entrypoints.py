@@ -4021,6 +4021,72 @@ def repo_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("pagerank", 9).alias("pagerank"))
 
 
+# deterministic LPA over three 17-node communities (two affine edge
+# families each — the union-several-coprime-families densify rule) plus
+# SPARSE bridges g0↔g1 (%97) and g1↔g2 (%89). Measured at sf0.01: 10
+# communities over 51 nodes (largest 23) — NOT the single blob CC
+# would produce, though labels do leak across bridges at 4 rounds
+# (expected: synchronous LPA trades purity for determinism); the clean
+# two-triangles-one-bridge separation is pinned by unit test.
+_LPA_EDGES_SQL = """e AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+        SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) || 'n'
+                 || CAST(doc_id % 17 AS VARCHAR) AS s,
+               'g' || CAST(doc_id % 3 AS VARCHAR) || 'n'
+                 || CAST((doc_id * 5 + 1) % 17 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) || 'n'
+                 || CAST(doc_id % 17 AS VARCHAR),
+               'g' || CAST(doc_id % 3 AS VARCHAR) || 'n'
+                 || CAST((doc_id * 3 + 2) % 17 AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'g0n' || CAST(doc_id % 17 AS VARCHAR),
+               'g1n' || CAST(doc_id % 17 AS VARCHAR)
+        FROM documents WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT 'g1n' || CAST(doc_id % 17 AS VARCHAR),
+               'g2n' || CAST(doc_id % 17 AS VARCHAR)
+        FROM documents WHERE doc_id % 89 = 0
+      ) WHERE s <> d)"""
+
+
+def _lpa_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import (
+        label_propagation_sql,
+    )
+
+    return label_propagation_sql(_LPA_EDGES_SQL, rounds=4)
+
+
+@_register("lpa_communities", _lpa_oracle_sql())
+def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string"), F.lit("n"))
+    fam1 = docs.select(
+        F.concat(g, (F.col("doc_id") % 17).cast("string")).alias("u"),
+        F.concat(g, ((F.col("doc_id") * 5 + 1) % 17).cast("string")).alias("v"),
+    )
+    fam2 = docs.select(
+        F.concat(g, (F.col("doc_id") % 17).cast("string")).alias("u"),
+        F.concat(g, ((F.col("doc_id") * 3 + 2) % 17).cast("string")).alias("v"),
+    )
+    n17 = (F.col("doc_id") % 17).cast("string")
+    br01 = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("g0n"), n17).alias("u"),
+        F.concat(F.lit("g1n"), n17).alias("v"),
+    )
+    br12 = docs.filter(F.col("doc_id") % 89 == 0).select(
+        F.concat(F.lit("g1n"), n17).alias("u"),
+        F.concat(F.lit("g2n"), n17).alias("v"),
+    )
+    edges = fam1.unionByName(fam2).unionByName(br01).unionByName(br12)
+    return label_propagation(edges, rounds=4)
+
+
 def _kmv_set_algebra_oracle_sql() -> str:
     from autovalidate_backend_api_spark.operators import sketches as sk
 

@@ -491,3 +491,83 @@ def wl_oracle_sql(edges_cte: str, *, rounds: int = 3) -> str:
         + ",\n    ".join(steps)
         + f"\n    SELECT node, lab AS wl_label FROM l{rounds}"
     )
+
+
+def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) made DETERMINISTIC: every node starts as its own label;
+    each round it adopts the most frequent label among its neighbors
+    AND itself (self-loop injected), ties broken by the SMALLEST label
+    — so the fixed-``rounds`` output is a pure function of the graph,
+    replayable in SQL. The semantic next to connected components: CC
+    merges anything reachable, LPA keeps densely-knit groups separate
+    across sparse bridges (pinned by the gate's bridged-communities
+    corpus).
+
+    Scale shape: each round is one node-keyed equi-join of the directed
+    edge list with the Θ(|V|) label table + two map-side-combinable
+    aggregations (label frequency, then per-node argmax via
+    ``min(struct(-count, label))`` — no window, no sort). Round i
+    references round i−1 once, but per-round ``localCheckpoint`` still
+    applies (plan ANALYSIS cost compounds across rounds — the k-core
+    discipline).
+    """
+    a, b = F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    und = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    nbrs = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .persist()
+    )
+    lab = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for _ in range(rounds):
+        freq = (
+            nbrs.join(lab.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        lab = (
+            freq.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select("node", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    nbrs.unpersist()
+    return lab.select("node", F.col("lbl").alias("community"))
+
+
+def label_propagation_sql(edges_cte: str, *, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`label_propagation`. ``edges_cte`` must
+    define ``e(a, b)`` canonical (a < b) and distinct. MATERIALIZED
+    round CTEs, argmax via ORDER BY c DESC, lbl ASC."""
+    steps = [
+        """nodes AS MATERIALIZED (
+      SELECT a AS node FROM e UNION SELECT b FROM e),
+    nbrs AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+      UNION ALL SELECT node, node FROM nodes),
+    l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT n.src AS node, p.lbl, CAST(count(*) AS BIGINT) AS c
+        FROM nbrs n JOIN l{i - 1} p ON n.dst = p.node GROUP BY 1, 2)
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, lbl ASC) = 1)"""
+        )
+    return (
+        f"WITH {edges_cte},\n    "
+        + ",\n    ".join(steps)
+        + f"\n    SELECT node, lbl AS community FROM l{rounds}"
+    )

@@ -302,3 +302,26 @@ def test_wl_round0_is_degree_refinement_grows(spark):
     # a path's WL classes mirror distance-to-end: 9 nodes → 5 classes at
     # refinement fixpoint (symmetric halves)
     assert n3 == 5
+
+
+def test_lpa_separates_bridged_triangles(spark):
+    """Two triangles + one bridge: LPA keeps two communities where CC
+    would merge everything into one."""
+    from autovalidate_backend_api_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+            ("a3", "b1"),  # sparse bridge
+        ],
+        "u string, v string",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+    }
