@@ -76,6 +76,12 @@ def main() -> None:
                          "row/null/distinct/uniqueness stats plus robust "
                          "per-repo |len - median| > 3*MAD file-length "
                          "outlier flags (requires --output)")
+    ap.add_argument("--linkage-report", action="store_true",
+                    help="also write the probabilistic record-linkage "
+                         "view: per-field m/u weights, agreement-"
+                         "pattern posteriors, resolved-entity clusters "
+                         "and golden records over (lang, length-bucket) "
+                         "blocks (requires --output)")
     ap.add_argument("--graph-report", action="store_true",
                     help="also write the repo-graph analysis triad over "
                          "the file-hash overlap edges: PageRank "
@@ -344,6 +350,69 @@ def main() -> None:
             "triangle_nodes": tri.filter(F.col("triangles") > 0).count(),
             "wl_classes": wl.select("wl_label").distinct().count(),
             "bfs_reached": dist.count(),
+        }
+
+    if args.linkage_report:
+        if not args.output:
+            ap.error("--linkage-report requires --output")
+        # Probabilistic record linkage over the code corpus: which
+        # metadata agreement patterns predict content identity (the
+        # per-row truth the whole pipeline preserves), then the
+        # resolved-entity view. Blocked on (lang, content-length
+        # bucket) — near-equal-length blocking keeps blocks small.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.linkage import (
+            fs_linkage_clusters,
+            fs_pattern_posterior,
+            golden_records,
+            mu_field_weights,
+        )
+
+        records = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("rid"),
+            F.concat(
+                F.col("lang"),
+                F.lit("#"),
+                F.expr("length(content) div 50").cast("string"),
+            ).alias("block"),
+            F.col("repo"),
+            F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1).alias("ext"),
+            F.split("path", "/").getItem(1).alias("dir2"),
+            F.length("content").cast("bigint").alias("clen"),
+            F.col("content"),
+        )
+        lk = dict(
+            id_col="rid", block_col="block", truth_col="content",
+            fields=["repo", "ext", "dir2", "clen"],
+        )
+        mu_field_weights(records, **lk).write.mode("overwrite").parquet(
+            f"{args.output}/linkage_mu_weights"
+        )
+        fs_pattern_posterior(records, **lk).write.mode("overwrite").parquet(
+            f"{args.output}/linkage_posterior"
+        )
+        # operating point: the synthetic corpus's near-dup variants agree
+        # on every metadata field of their base (same repo/dir/exact
+        # length) but differ in content, capping the best pattern's
+        # posterior at ~0.23 — so the report thresholds at 1/5
+        # (recall-leaning), accepting only that top pattern.
+        clusters = fs_linkage_clusters(
+            records, min_posterior_num=1, min_posterior_den=5, **lk
+        )
+        clusters.write.mode("overwrite").parquet(f"{args.output}/linkage_clusters")
+        golden_records(
+            records.drop("content"),
+            spark.read.parquet(f"{args.output}/linkage_clusters"),
+            id_col="rid",
+            min_fields=["repo", "ext", "dir2", "clen"],
+            max_fields=["block"],
+        ).write.mode("overwrite").parquet(f"{args.output}/linkage_golden")
+        back = spark.read.parquet(f"{args.output}/linkage_clusters")
+        summary["linkage"] = {
+            "records": back.count(),
+            "entities": back.select("canonical_rid").distinct().count(),
+            "dups": back.filter(F.col("is_dup") == 1).count(),
         }
 
     if args.profile_report:
