@@ -5625,6 +5625,41 @@ def ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ams_f2(trigrams(docs, normalize_text_col(F.col("text"))))
 
 
+def _ams_join_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        ams_join_size_oracle_sql,
+    )
+
+    trib = """trib AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))) AS g
+           FROM tok WHERE doc_id % 2 = 0)"""
+    return (
+        f"WITH {_SKETCH_TOK_SQL},\n    {trib},\n    "
+        + ams_join_size_oracle_sql("tri", "trib")
+    )
+
+
+# AMS cross-table join-size estimate (AGMS'99): |A ⋈ B| = Σ_t fA·fB
+# between the full trigram stream and the even-doc half, from two
+# 30-counter sign sketches sharing one md5 family — E[S_A·S_B] = join
+# size, median-of-means over counter PRODUCTS. The two-table companion
+# of ams_selfjoin_size; exact join size rides along in the same
+# tagged-union aggregation.
+@_register("ams_join_size_estimate", _ams_join_oracle_sql())
+def ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        ams_join_size,
+        trigrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = trigrams(docs, normalize_text_col(F.col("text")))
+    b = trigrams(
+        docs.filter(F.col("doc_id") % 2 == 0), normalize_text_col(F.col("text"))
+    )
+    return ams_join_size(a, b)
+
+
 _PHRASE = ("order", "fast")
 
 
@@ -6007,6 +6042,33 @@ def user_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     return cohort_retention(ev, user_col="user_id", ts_col="ts")
+
+
+# Rolling distinct users (sliding-MAU shape): distinct user_ids active
+# in the trailing 3 hour-buckets, per bucket. count(DISTINCT) has no
+# distributable sliding-window form — the scalable formulation
+# replicates each distinct (user, hour) to the ≤3 windows it covers,
+# dedups, counts. Exact BIGINT bucket math; zero floats.
+@_register(
+    "events_rolling_distinct_users",
+    """WITH ud AS (SELECT DISTINCT user_id AS k,
+                          epoch_us(ts) // 3600000000 AS b FROM events),
+    w AS (SELECT DISTINCT k, b + off AS bucket
+          FROM ud, unnest([0, 1, 2]) AS t(off))
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_distinct
+    FROM w GROUP BY 1""",
+)
+def events_rolling_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import (
+        rolling_distinct_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct_counts(
+        ev, key_col="user_id", ts_col="ts", bucket_us=3_600_000_000,
+        window_buckets=3,
+    )
 
 
 # 2-D skyline (Pareto frontier): parts no other part dominates on

@@ -734,3 +734,106 @@ def ams_f2_oracle_sql(terms_src: str) -> str:
                       / CAST({AMS_PER_GROUP} AS DOUBLE) AS ams_estimate
              FROM amss)
     SELECT r, ams_estimate, f2_exact FROM amsr, amse"""
+
+
+def ams_join_size(a_terms: DataFrame, b_terms: DataFrame) -> DataFrame:
+    """|A ⋈ B| on a key = Σ_t fA_t·fB_t, estimated from two AMS sign
+    sketches over the SAME md5 sign family (AGMS'99 §5): E[S_A_j·S_B_j]
+    = join size, so the estimator is the median over groups of the
+    mean of per-group counter PRODUCTS. The optimizer's cross-table
+    join-cardinality question from one streaming pass per side — two
+    15-BIGINT mergeable states, no shuffle of either table on the key.
+
+    Exact arithmetic end-to-end (±1 sums, products, group sums,
+    median-of-odd = an element) up to the single final /6 group-mean
+    division shared verbatim with the oracle, so the ESTIMATE
+    value-hashes. The exact join size rides along in the SAME single
+    aggregation via the tagged union (kinds 'a'/'b' feed the counters,
+    kind 'e' feeds Σ ca·cb — computed by a per-term count join that is
+    tiny relative to the streams; a 1-row cross join would plan as the
+    banned nested loop).
+
+    ``a_terms`` / ``b_terms``: one column ``g`` each (one row per term
+    occurrence).
+    """
+    r = AMS_R
+    sa = a_terms.select(
+        F.lit("a").alias("kind"), F.md5("g").alias("h"),
+        F.lit(None).cast("bigint").alias("w"),
+    )
+    sb = b_terms.select(
+        F.lit("b").alias("kind"), F.md5("g").alias("h"),
+        F.lit(None).cast("bigint").alias("w"),
+    )
+    ca = a_terms.groupBy("g").agg(F.count("*").alias("ca"))
+    cb = b_terms.groupBy("g").agg(F.count("*").alias("cb"))
+    exact = ca.join(cb, "g").select(
+        F.lit("e").alias("kind"),
+        F.lit(None).cast("string").alias("h"),
+        (F.col("ca") * F.col("cb")).cast("bigint").alias("w"),
+    )
+    one = sa.unionByName(sb).unionByName(exact).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("kind") == k, _ams_sign(F.col("h"), j))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"{k}{j}")
+            for k in ("a", "b")
+            for j in range(1, r + 1)
+        ],
+        F.coalesce(F.sum(F.when(F.col("kind") == "e", F.col("w"))), F.lit(0))
+        .cast("bigint")
+        .alias("join_exact"),
+    )
+    group_sums = [
+        sum(
+            (
+                F.col(f"a{g * AMS_PER_GROUP + i}")
+                * F.col(f"b{g * AMS_PER_GROUP + i}")
+            )
+            for i in range(1, AMS_PER_GROUP + 1)
+        ).cast("bigint")
+        for g in range(AMS_GROUPS)
+    ]
+    med = F.element_at(F.array_sort(F.array(*group_sums)), (AMS_GROUPS + 1) // 2)
+    return one.select(
+        F.lit(r).cast("bigint").alias("r"),
+        (med / F.lit(float(AMS_PER_GROUP))).alias("ams_join_estimate"),
+        "join_exact",
+    )
+
+
+def ams_join_size_oracle_sql(a_src: str, b_src: str) -> str:
+    """DuckDB twin generated from the same sign family/grouping.
+    ``a_src``/``b_src`` are CTE/table names exposing one column ``g``."""
+    r = AMS_R
+
+    def _sums(src: str, p: str) -> str:
+        return ", ".join(
+            f"CAST(sum(2 * (CAST('0x' || substr(md5(g), {j}, 1) AS BIGINT) % 2)"
+            f" - 1) AS BIGINT) AS {p}{j}"
+            for j in range(1, r + 1)
+        )
+
+    gsums = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"a{g * AMS_PER_GROUP + i} * b{g * AMS_PER_GROUP + i}"
+            for i in range(1, AMS_PER_GROUP + 1)
+        )
+        + " AS BIGINT)"
+        for g in range(AMS_GROUPS)
+    )
+    return f"""sa AS (SELECT {_sums(a_src, 'a')} FROM {a_src}),
+    sb AS (SELECT {_sums(b_src, 'b')} FROM {b_src}),
+    je AS (SELECT coalesce(CAST(sum(ca * cb) AS BIGINT), 0) AS join_exact
+           FROM (SELECT g, count(*) AS ca FROM {a_src} GROUP BY 1) x
+           JOIN (SELECT g, count(*) AS cb FROM {b_src} GROUP BY 1) y
+           USING (g)),
+    jr AS (SELECT CAST({r} AS BIGINT) AS r,
+                  list_sort([{gsums}])[{(AMS_GROUPS + 1) // 2}]
+                    / CAST({AMS_PER_GROUP} AS DOUBLE) AS ams_join_estimate
+           FROM sa, sb)
+    SELECT r, ams_join_estimate, join_exact FROM jr, je"""

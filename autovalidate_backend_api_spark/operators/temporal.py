@@ -215,3 +215,42 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def rolling_distinct_counts(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+    window_buckets: int = 3,
+) -> DataFrame:
+    """Rolling distinct-key counts: for every time bucket, the number
+    of DISTINCT keys active in the trailing ``window_buckets`` buckets
+    (the rolling-engagement / sliding-MAU shape). count(DISTINCT) over
+    a sliding frame has no distributable window form — the scalable
+    formulation replicates each distinct (key, bucket) to the ≤
+    ``window_buckets`` windows it covers, dedups, and counts: exact,
+    two map-side-combinable distincts, rows expand only ×window.
+    Bucket arithmetic is exact BIGINT ``div``.
+
+    Buckets with no direct events still report a row while a key from
+    an earlier bucket remains inside the trailing window (honest
+    trailing semantics).
+
+    Output: ``bucket, n_distinct``.
+    """
+    offs = F.array([F.lit(i) for i in range(window_buckets)])
+    ud = (
+        events.select(F.col(key_col).alias("k"), _us(ts_col).alias("_ts_us"))
+        .select("k", F.expr(f"_ts_us div {bucket_us}").alias("b"))
+        .distinct()
+    )
+    w = (
+        ud.select("k", "b", F.explode(offs).alias("_off"))
+        .select("k", (F.col("b") + F.col("_off")).alias("bucket"))
+        .distinct()
+    )
+    return w.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_distinct")
+    )

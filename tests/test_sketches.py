@@ -290,3 +290,24 @@ def test_histogram_quantiles_mergeable(spark):
     ra = sorted(map(tuple, histogram_quantiles(a).collect()))
     rb = sorted(map(tuple, histogram_quantiles(b).collect()))
     assert ra == rb
+
+
+def test_ams_join_size_exact_and_estimate(spark):
+    from autovalidate_backend_api_spark.operators.sketches import ams_join_size
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "g string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",), ("z",)], "g string")
+    [r] = ams_join_size(a, b).collect()
+    # Σ fA·fB = 2·1 + 1·2 = 4 (z only in B contributes 0)
+    assert r["join_exact"] == 4
+    assert r["r"] == 30
+    assert isinstance(r["ams_join_estimate"], float)
+
+
+def test_ams_join_size_empty_side(spark):
+    from autovalidate_backend_api_spark.operators.sketches import ams_join_size
+
+    a = spark.createDataFrame([("x",)], "g string")
+    b = spark.createDataFrame([], "g string")
+    [r] = ams_join_size(a, b).collect()
+    assert r["join_exact"] == 0 and r["ams_join_estimate"] == 0.0

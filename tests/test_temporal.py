@@ -135,3 +135,27 @@ def test_gates_nonvacuous_at_sf0001(spark, sf_dir):
     q = entrypoints.queries()
     assert q["events_asof_join"](spark, sf_dir).count() > 0
     assert q["events_range_join"](spark, sf_dir).count() > 0
+
+
+def test_rolling_distinct_counts_trailing_semantics(spark):
+    """A key active only at bucket 0 still counts toward windows ending
+    at buckets 1 and 2; dedup across buckets inside the window."""
+    from autovalidate_backend_api_spark.operators.temporal import (
+        rolling_distinct_counts,
+    )
+
+    # bucket size 1s for readability; u1 at t=0 and t=1, u2 at t=0
+    rows = [("u1", "1970-01-01 00:00:00"), ("u1", "1970-01-01 00:00:01"),
+            ("u2", "1970-01-01 00:00:00")]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.createDataFrame(rows, "user_id string, ts string")
+    got = {
+        r["bucket"]: r["n_distinct"]
+        for r in rolling_distinct_counts(
+            ev, key_col="user_id", ts_col="ts",
+            bucket_us=1_000_000, window_buckets=3,
+        ).collect()
+    }
+    # window ending 0: {u1,u2}; 1: {u1,u2} (u1 deduped); 2: {u1,u2}
+    # (trailing from buckets 0-1); 3: {u1} only (u1@1 still inside)
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1}
