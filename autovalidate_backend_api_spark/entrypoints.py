@@ -6044,6 +6044,34 @@ def user_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, user_col="user_id", ts_col="ts")
 
 
+# Gaps-and-islands: per user, maximal runs of consecutive active HOURS
+# via the classic bucket - row_number() island key (constant inside a
+# run, jumps at each gap). One window + one groupBy on the same key
+# partitioning; exact BIGINTs only.
+@_register(
+    "user_activity_streaks",
+    """WITH ud AS (SELECT DISTINCT user_id AS k,
+                          epoch_us(ts) // 3600000000 AS b FROM events),
+    i AS (SELECT k, b,
+                 b - row_number() OVER (PARTITION BY k ORDER BY b) AS island
+          FROM ud),
+    s AS (SELECT k, island, min(b) AS streak_start,
+                 CAST(count(*) AS BIGINT) AS streak_len
+          FROM i GROUP BY 1, 2)
+    SELECT k, streak_start, streak_len,
+           CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_streaks_of_key
+    FROM s""",
+)
+def user_activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import activity_streaks
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return activity_streaks(
+        ev, key_col="user_id", ts_col="ts", bucket_us=3_600_000_000
+    )
+
+
 # Rolling distinct users (sliding-MAU shape): distinct user_ids active
 # in the trailing 3 hour-buckets, per bucket. count(DISTINCT) has no
 # distributable sliding-window form — the scalable formulation

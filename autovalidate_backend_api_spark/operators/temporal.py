@@ -254,3 +254,40 @@ def rolling_distinct_counts(
     return w.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_distinct")
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Gaps-and-islands: per key, its maximal runs of CONSECUTIVE
+    active buckets (days by default), via the classic island key
+    ``bucket - row_number()`` — constant within a consecutive run,
+    jumps at every gap. One window + one groupBy, both over the same
+    key partitioning; exact BIGINT arithmetic throughout.
+
+    Output: ``key, streak_start, streak_len, n_streaks_of_key`` — one
+    row per island plus how many islands the key has (the engagement
+    profile next to rolling_distinct_counts' corpus view).
+    """
+    ud = (
+        events.select(F.col(key_col).alias("k"), _us(ts_col).alias("_ts_us"))
+        .select("k", F.expr(f"_ts_us div {bucket_us}").alias("b"))
+        .distinct()
+    )
+    w = Window.partitionBy("k").orderBy("b")
+    isl = ud.withColumn("island", F.col("b") - F.row_number().over(w))
+    streaks = isl.groupBy("k", "island").agg(
+        F.min("b").alias("streak_start"),
+        F.count("*").cast("bigint").alias("streak_len"),
+    )
+    nper = Window.partitionBy("k")
+    return streaks.select(
+        F.col("k"),
+        "streak_start",
+        "streak_len",
+        F.count("*").over(nper).cast("bigint").alias("n_streaks_of_key"),
+    )

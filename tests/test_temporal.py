@@ -159,3 +159,22 @@ def test_rolling_distinct_counts_trailing_semantics(spark):
     # window ending 0: {u1,u2}; 1: {u1,u2} (u1 deduped); 2: {u1,u2}
     # (trailing from buckets 0-1); 3: {u1} only (u1@1 still inside)
     assert got == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+def test_activity_streaks_islands(spark):
+    from autovalidate_backend_api_spark.operators.temporal import activity_streaks
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # u1: buckets 0,1,2 then 5 (two islands); u2: bucket 7 only
+    rows = [("u1", "1970-01-01 00:00:00"), ("u1", "1970-01-01 00:00:01"),
+            ("u1", "1970-01-01 00:00:02"), ("u1", "1970-01-01 00:00:05"),
+            ("u1", "1970-01-01 00:00:05"),  # dup inside a bucket
+            ("u2", "1970-01-01 00:00:07")]
+    ev = spark.createDataFrame(rows, "user_id string, ts string")
+    got = {
+        (r["k"], r["streak_start"]): (r["streak_len"], r["n_streaks_of_key"])
+        for r in activity_streaks(
+            ev, key_col="user_id", ts_col="ts", bucket_us=1_000_000
+        ).collect()
+    }
+    assert got == {("u1", 0): (3, 2), ("u1", 5): (1, 2), ("u2", 7): (1, 1)}
