@@ -180,3 +180,66 @@ def kmv_state_distinct(
     return terms.groupBy(group_col).applyInPandasWithState(
         update, KMV_OUT, KMV_STATE, "update", "NoTimeout"
     )
+
+
+CDC_OUT = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("is_deleted", T.IntegerType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+CDC_STATE = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("del", T.IntegerType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def cdc_state_latest(changes: DataFrame, *, delete_op: str = "D") -> DataFrame:
+    """Streaming materialized-view maintenance: fold a CDC change
+    stream (``k, seq, op, val`` — the :func:`~autovalidate_backend_api_
+    spark.operators.relational.cdc_apply` feed shape) into per-key
+    latest state. Highest ``seq`` wins; a tie prefers the delete (same
+    contract as the batch operator). max-by-seq is ASSOCIATIVE and
+    COMMUTATIVE, so the final state is EXACTLY the batch result no
+    matter how the stream was sliced — the KMV-grade batch ≡ stream
+    contract, pinned in tests against ``cdc_apply``.
+
+    Emits one row per touched key per batch (update semantics) with
+    ``is_deleted`` — a downstream sink drops flagged keys; ``seq`` is
+    monotone per key so "latest emitted row" is selectable without a
+    batch id. State per key is O(1): (seq, del, payload).
+    """
+    if not changes.isStreaming:
+        raise ValueError("cdc_state_latest is streaming-only; "
+                         "use relational.cdc_apply for batch DataFrames")
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        best = state.get if state.exists else None  # (seq, del, val)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for _, r in rows.iterrows():
+            cand = (int(r["seq"]), int(r["op"] == delete_op), str(r["val"]))
+            # (seq, del) lexicographic max: higher seq wins, tie → delete
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "k": [key[0]],
+                "seq": [best[0]],
+                "is_deleted": [best[1]],
+                "val": [best[2]],
+            }
+        )
+
+    return changes.groupBy("k").applyInPandasWithState(
+        update, CDC_OUT, CDC_STATE, "update", "NoTimeout"
+    )

@@ -352,3 +352,80 @@ def test_idempotent_sink_under_real_stream(spark, sf_dir, tmp_path):
     assert {r.event_id for r in got.select("event_id").collect()} == {
         r.event_id for r in batch.select("event_id").collect()
     }
+
+
+def test_cdc_state_latest_equals_batch_cdc_apply(spark, tmp_path):
+    """Order-insensitive fold: the streamed per-key latest state equals
+    relational.cdc_apply over the union of all files, even though the
+    slicing puts later seqs in EARLIER files for some keys."""
+    import glob
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from autovalidate_backend_api_spark.operators.relational import cdc_apply
+    from autovalidate_backend_api_spark.streaming.stateful import (
+        cdc_state_latest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    files = [
+        # key 1: delete arrives BEFORE the earlier-seq update
+        [(1, 3, "D", "x"), (2, 1, "U", "b1")],
+        [(1, 1, "U", "a1"), (2, 2, "U", "b2"), (3, 1, "U", "c1")],
+        # key 3: re-insert after delete; key 4: seq tie, delete wins
+        [(3, 2, "D", "c1"), (3, 5, "U", "c2"), (4, 7, "U", "d"),
+         (4, 7, "D", "d")],
+    ]
+    src = str(tmp_path / "cdc_stream")
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/tmp{i}"
+        )
+        part = glob.glob(f"{src}/tmp{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/file_{i}.parquet")
+        shutil.rmtree(f"{src}/tmp{i}")
+
+    emitted, n_batches = _stream_to_memory(
+        spark, src, schema, cdc_state_latest, "cdc_sf"
+    )
+    assert n_batches >= 3
+    final = {}
+    for r in emitted:  # seq is monotone per key
+        cur = final.get(r["k"])
+        if cur is None or (r["seq"], r["is_deleted"]) >= (cur["seq"], cur["is_deleted"]):
+            final[r["k"]] = r
+    stream_state = {
+        k: r["val"] for k, r in final.items() if r["is_deleted"] == 0
+    }
+
+    all_rows = [r for rows in files for r in rows]
+    base = spark.createDataFrame([], "k bigint, val string")
+    changes = spark.createDataFrame(all_rows, schema)
+    batch_state = {
+        r["k"]: r["val"]
+        for r in cdc_apply(
+            base, changes, key_cols=["k"], seq_col="seq", op_col="op"
+        ).collect()
+    }
+    assert stream_state == batch_state == {2: "b2", 3: "c2"}
+
+
+def test_cdc_state_latest_rejects_batch(spark):
+    from autovalidate_backend_api_spark.streaming.stateful import (
+        cdc_state_latest,
+    )
+
+    df = spark.createDataFrame([(1, 1, "U", "a")],
+                               "k bigint, seq bigint, op string, val string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        cdc_state_latest(df)
