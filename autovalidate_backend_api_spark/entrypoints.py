@@ -4663,6 +4663,25 @@ def fs_golden_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the pre-join audit for every blocked operator above: block-size
+# distribution + the pair count each size class generates (the actual
+# quadratic join cost). s·(s−1) is even → the /2 is exact integer div.
+def _fs_block_profile_oracle_sql() -> str:
+    return f"""WITH {_fs_records_cte()},
+    sz AS (SELECT block, CAST(count(*) AS BIGINT) AS s
+           FROM records GROUP BY 1)
+    SELECT s AS block_size, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(*) * (s * (s - 1) // 2) AS BIGINT) AS n_pairs_total
+    FROM sz GROUP BY s"""
+
+
+@_register("fs_block_profile", _fs_block_profile_oracle_sql())
+def fs_block_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.linkage import block_profile
+
+    return block_profile(_fs_records_df(spark, sf_dir), block_col="block")
+
+
 # term-pair association table (lift = PMI's log-free monotone twin) —
 # the phrase-mining/tokenizer input. Products are exact BIGINTs, ONE
 # exactly-rounded division per row (the exact-integer-moments float

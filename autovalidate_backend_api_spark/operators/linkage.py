@@ -517,3 +517,34 @@ def golden_records_sql(
            CAST(count(*) AS BIGINT) AS n_members
     FROM comp JOIN records r ON r.{id_col} = comp.rid
     GROUP BY comp.canonical_rid"""
+
+
+def block_profile(records: DataFrame, *, block_col: str) -> DataFrame:
+    """The audit that must run BEFORE any blocked self-join: block-size
+    distribution and the pair count each size class will generate
+    (Σ s·(s−1)/2 — the actual join cost, quadratic in the hot block).
+    At 10^12 rows this table is what says whether the block key is
+    usable at all; the FS operators' docstrings point here.
+
+    Two map-side-combinable aggregations; exact BIGINTs only (s·(s−1)
+    is even, so the /2 is exact integer `div`).
+
+    Output: ``block_size, n_blocks, n_pairs_total``.
+    """
+    sizes = records.groupBy(block_col).agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    return (
+        sizes.groupBy(F.col("s").alias("block_size"))
+        .agg(F.count("*").cast("bigint").alias("n_blocks"))
+        .select(
+            "block_size",
+            "n_blocks",
+            (
+                F.col("n_blocks")
+                * F.expr("block_size * (block_size - 1) div 2")
+            )
+            .cast("bigint")
+            .alias("n_pairs_total"),
+        )
+    )
