@@ -6626,6 +6626,81 @@ def sql_dialect_portable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PORTABLE_SQL)
 
 
+# deterministic MODE per group: most frequent event_type per user, tie
+# broken by the SMALLEST type (Spark's F.mode is tie-nondeterministic —
+# never oracle it; min(struct(-count, val)) is the engine-exact form,
+# the LPA argmax shape again). Exact integers only.
+@_register(
+    "event_type_mode_per_user",
+    """SELECT user_id, event_type AS mode_type, n FROM (
+         SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type ASC) = 1""",
+)
+def event_type_mode_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("event_type"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.event_type").alias("mode_type"),
+            (-F.col("m.nn")).cast("bigint").alias("n"),
+        )
+    )
+
+
+# exact 10%-trimmed mean of doc length per lang: drop the bottom and
+# top floor(n/10) rows by the DETERMINISTIC total order (n_chars,
+# doc_id), sum exact BIGINTs, ONE final rounded division. The robust
+# location estimate next to the MAD outlier flags; rank-trimming is
+# engine-exact where any float quantile interpolation would not be.
+@_register(
+    "trimmed_mean_doc_length",
+    """WITH r AS (SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents),
+    k AS (SELECT lang, n_chars FROM r
+          WHERE rn > n // 10 AND rn <= n - n // 10)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_kept,
+           round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS trimmed_mean
+    FROM k GROUP BY lang""",
+)
+def trimmed_mean_doc_length_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k = r.filter(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return k.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_kept"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+        ).alias("trimmed_mean"),
+    )
+
+
 # First-order Markov transition counts over each user's event stream —
 # the behavioral matrix next to funnel_signup_purchase: one lag window
 # per user (deterministic (ts, event_id) order), then a global count
