@@ -4883,6 +4883,69 @@ def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(_variant_shingles(spark, sf_dir))
 
 
+def _simhash_recall_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators import dedup_eval as de
+
+    num, den = _RECALL_THETA
+    ham = de.HAM_MAX
+    return f"""WITH {_VARIANT_CORPUS_SQL},
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h
+          FROM d),
+    bits AS (SELECT doc_id, j,
+               sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+             FROM h CROSS JOIN (SELECT unnest(range({de.SIMHASH_BITS})) AS j)
+             GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+              CAST(sum(CASE WHEN sm > 0
+                            THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+                   AS BIGINT) AS sig
+            FROM bits GROUP BY 1),
+    cp AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= {ham}),
+    cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS ni
+              FROM d a JOIN d b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT src, dst FROM inter
+              JOIN cnt ca ON ca.doc_id = src JOIN cnt cb ON cb.doc_id = dst
+              WHERE ni * {den} >= {num} * (ca.n + cb.n - ni)),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    row_s AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+                     coalesce(CAST(sum(CASE WHEN t.src IS NOT NULL
+                                            THEN 1 ELSE 0 END) AS BIGINT), 0)
+                       AS n_detected_pairs
+              FROM cp LEFT JOIN truth t
+                ON t.src = cp.src AND t.dst = cp.dst)
+    SELECT 'simhash_h{ham}' AS config, {ham} AS ham_max,
+           nt.n_truth AS n_truth_pairs, n_candidate_pairs, n_detected_pairs,
+           round(CAST(n_detected_pairs AS DOUBLE)
+                 / CAST(nt.n_truth AS DOUBLE), 6) AS recall,
+           round(CASE WHEN n_candidate_pairs > 0
+                      THEN CAST(n_detected_pairs AS DOUBLE)
+                           / CAST(n_candidate_pairs AS DOUBLE)
+                      ELSE 0.0 END, 6) AS candidate_precision
+    FROM row_s, nt"""
+
+
+# SimHash-at-hamming-≤-3 against the SAME truth set as the LSH/SNM
+# reports — the third calibration row. The candidate set is lossless
+# for the radius (pigeonhole), so the number is the pure GEOMETRY gap:
+# how much of jaccard ≥ 0.6 lies outside hamming ≤ 3 on small docs
+# (most of it — the reason SimHash is the pipeline's VERIFY signature,
+# not its candidate generator).
+@_register("simhash_recall_report", _simhash_recall_oracle_sql())
+def simhash_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        simhash_recall_report,
+    )
+
+    num, den = _RECALL_THETA
+    return simhash_recall_report(
+        _variant_shingles(spark, sf_dir), theta_num=num, theta_den=den
+    )
+
+
 def _bbit_minhash_oracle_sql() -> str:
     """Brute-force all-pairs replay of the b-bit estimator: the
     candidate equi-join is lossless for full_matches >= 1, so the

@@ -580,3 +580,70 @@ def lsh_scurve_report(
             ),
         )
     )
+
+
+def simhash_recall_report(
+    shingles: DataFrame,
+    *,
+    theta_num: int = 3,
+    theta_den: int = 5,
+    ham_max: int = HAM_MAX,
+) -> DataFrame:
+    """SimHash-at-hamming-≤-h measured against the SAME exact truth set
+    as :func:`lsh_recall_report` / :func:`snm_recall_report` — the
+    third calibration row. The candidate set is LOSSLESS for the
+    hamming radius (pigeonhole chunk join), so what this report
+    measures is the GEOMETRY GAP: how much of "jaccard ≥ θ" lives
+    outside "hamming ≤ h". On small docs it is most of it — one
+    changed shingle in a 13-shingle doc flips ~10/48 bits (the
+    documented simhash_hamming_pairs gotcha), so expect recall far
+    below the banding configs. That number is the reason the flagship
+    pipeline uses SimHash as a VERIFY signature, not a candidate
+    generator.
+
+    One row, same schema discipline as the sibling reports (exact
+    BIGINT counts; recall/precision are single rounded divisions).
+    """
+    sh = shingles.persist()
+    pairs = exact_pairs(sh)
+    is_dup = (
+        F.col("ni") * theta_den >= theta_num * (F.col("na") + F.col("nb") - F.col("ni"))
+    )
+    truth = pairs.select("src", "dst", is_dup.alias("is_dup")).filter("is_dup")
+    n_truth = truth.count()  # bounded scalar: one BIGINT to the driver
+    cand = simhash_hamming_pairs(sh, ham_max=ham_max).select("src", "dst")
+    return (
+        cand.join(truth, ["src", "dst"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidate_pairs"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("is_dup").cast("int"), F.lit(0))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_detected_pairs"),
+        )
+        .select(
+            F.lit(f"simhash_h{ham_max}").alias("config"),
+            F.lit(ham_max).alias("ham_max"),
+            F.lit(n_truth).cast("bigint").alias("n_truth_pairs"),
+            "n_candidate_pairs",
+            "n_detected_pairs",
+            (
+                F.lit(0.0)
+                if n_truth == 0
+                else F.round(
+                    F.col("n_detected_pairs").cast("double")
+                    / F.lit(float(n_truth)),
+                    6,
+                )
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_candidate_pairs") > 0,
+                    F.col("n_detected_pairs").cast("double")
+                    / F.col("n_candidate_pairs").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )
