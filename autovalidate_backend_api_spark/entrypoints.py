@@ -4087,6 +4087,38 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+# degree assortativity over the same coprime-moduli (41×37) graph as
+# repo_pagerank — non-uniform degrees by construction, so the
+# coefficient is non-vacuous. The corr-that-can-be-oracled: exact
+# BIGINT moments + ONE shared final float expression (sqrt IS
+# IEEE-correctly-rounded; corr() builtins are NOT oracle-safe).
+def _assortativity_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import (
+        degree_assortativity_sql,
+    )
+
+    edges = """e AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+        SELECT 'r' || CAST(doc_id % 41 AS VARCHAR) AS s,
+               'r' || CAST((doc_id * 13) % 37 AS VARCHAR) AS d
+        FROM documents) WHERE s <> d)"""
+    return degree_assortativity_sql(edges)
+
+
+@_register("graph_assortativity", _assortativity_oracle_sql())
+def graph_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 41).cast("string")).alias("u"),
+        F.concat(F.lit("r"), ((F.col("doc_id") * 13) % 37).cast("string")).alias(
+            "v"
+        ),
+    )
+    return degree_assortativity(edges)
+
+
 def _kmv_set_algebra_oracle_sql() -> str:
     from autovalidate_backend_api_spark.operators import sketches as sk
 
@@ -6687,6 +6719,64 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 def sql_dialect_portable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PORTABLE_SQL)
+
+
+# Referential-integrity audit: orphan counts via left-anti joins. The
+# clean TPC-H edges audit to zero (the expected PASS); the third row
+# audits lineitem against a parent table with %7 orderkeys DROPPED —
+# a genuinely non-empty orphan set, so the anti-join path is exercised,
+# not just its empty branch. Exact BIGINTs only.
+@_register(
+    "ri_audit_counts",
+    """SELECT 'lineitem_orderkey' AS check_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+       UNION ALL
+       SELECT 'orders_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+       UNION ALL
+       SELECT 'lineitem_vs_dropped_parents',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey
+                                AND o.o_orderkey % 7 <> 0))""",
+)
+def ri_audit_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def _row(name: str, child: DataFrame, parent: DataFrame, cond) -> DataFrame:
+        total = child.count()
+        return (
+            child.join(parent, cond, "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+            .select(
+                F.lit(name).alias("check_name"),
+                F.lit(total).cast("bigint").alias("n_rows"),
+                "n_orphans",
+            )
+        )
+
+    r1 = _row(
+        "lineitem_orderkey", li, orders,
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    r2 = _row(
+        "orders_custkey", orders, cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    dropped = orders.filter(F.col("o_orderkey") % 7 != 0)
+    r3 = _row(
+        "lineitem_vs_dropped_parents", li, dropped,
+        li["l_orderkey"] == dropped["o_orderkey"],
+    )
+    return r1.unionByName(r2).unionByName(r3)
 
 
 # deterministic MODE per group: most frequent event_type per user, tie

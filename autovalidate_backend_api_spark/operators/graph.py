@@ -571,3 +571,87 @@ def label_propagation_sql(edges_cte: str, *, rounds: int = 4) -> str:
         + ",\n    ".join(steps)
         + f"\n    SELECT node, lbl AS community FROM l{rounds}"
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the DIRECTED edge list of the
+    symmetrized graph (each undirected edge contributes both
+    orientations — the standard convention, which also makes
+    Σx = Σy by symmetry). Positive: hubs attach to hubs; negative:
+    hub-and-spoke.
+
+    The exact-integer-moments float discipline: n, Σx, Σy, Σxy, Σx²,
+    Σy² are exact BIGINTs from two map-side-combinable aggregations
+    (degree count + one moment pass over edges joined to the Θ(|V|)
+    degree table), and the coefficient is ONE shared final float
+    expression — num/(sqrt(a)·sqrt(b)) with every operand an exactly
+    representable BIGINT and every op (cast, sqrt, mul, div, round)
+    IEEE-exactly-rounded — so the VALUE itself is value-hash-safe
+    cross-engine. Never oracle a corr() builtin (engine-internal
+    accumulation order differs); this is the corr that can be.
+
+    Output: one row — n_directed_edges, the six moments, assortativity
+    (NULL on degenerate variance, e.g. a regular graph).
+    """
+    a, b = F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    und = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    dx = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    m = (
+        sym.join(dx, "src")
+        .join(dy, "dst")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    num = m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    va = m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    vb = m["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        "sx", "sy", "sxy", "sxx", "syy",
+        F.when(
+            (va > 0) & (vb > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+                6,
+            ),
+        ).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`degree_assortativity`. ``edges_cte`` must
+    define ``e(a, b)`` canonical (a < b) and distinct."""
+    return f"""WITH {edges_cte},
+    sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dx.deg) AS BIGINT) AS sx,
+                 CAST(sum(dy.deg) AS BIGINT) AS sy,
+                 CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+                 CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+                 CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+          FROM sym JOIN deg dx ON dx.node = sym.src
+                   JOIN deg dy ON dy.node = sym.dst)
+    SELECT n AS n_directed_edges, sx, sy, sxy, sxx, syy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS assortativity
+    FROM m"""
