@@ -556,6 +556,63 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S2 companion: deterministic LIMIT/OFFSET pagination — page 3 of the
+# price-ranked scroll under a TOTAL order (price desc, key asc; ties
+# broken, so every engine returns the identical page). Spark has no
+# OFFSET in the DataFrame API: row_number over the same total order +
+# a rank range IS the page, and at depth it's also the right plan —
+# OFFSET n at page depth k scans n·k rows per executor, the window
+# rank prunes to one pass.
+@_register(
+    "orders_page3",
+    """SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+           rn AS page_rank
+       FROM (SELECT o_orderkey, o_totalprice,
+                    row_number() OVER (ORDER BY o_totalprice DESC,
+                                       o_orderkey ASC) AS rn
+             FROM orders)
+       WHERE rn > 20 AND rn <= 30""",
+)
+def orders_page3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 30))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("totalprice"),
+            F.col("rn").alias("page_rank"),
+        )
+    )
+
+
+# percent_rank is the one rank statistic whose BUILTIN is oracle-safe:
+# both engines compute exactly (rank−1)/(n−1) — one IEEE division of
+# exact ints — unlike corr()/stddev() whose accumulation order is
+# engine-internal. Gated per nation so n varies.
+@_register(
+    "customer_percent_rank",
+    """SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey), 6)
+             AS pr
+       FROM customer""",
+)
+def customer_percent_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
 # W2: per-group top-k window (the limit=top_k*2 over-fetch as row_number)
 @_register(
     "top_orders_per_customer",
