@@ -178,25 +178,36 @@ def cohort_retention(
     session timezone; no date/locale functions), so the matrix is
     bit-identical cross-engine.
 
-    Scale shape: two shuffles — min-day per user (map-side combinable),
-    then the (user, day) distinct + cohort join. The per-user first-day
-    frame re-enters via an equi-join on ``user_col``; at 100 TB both
-    sides hash-partition on the user key and the join inherits the
-    aggregation's partitioning (no extra exchange under AQE).
+    Scale shape: ONE shuffle on the user key builds the whole per-user
+    view — ``collect_set(day)`` is map-side combinable and bounded by
+    the CALENDAR (distinct days, not events), so the set never blows up
+    however hot the user — then cohort_day = array_min and the
+    (cohort_day, offset) cells explode from the set in place (no
+    distinct-then-join back: the set is already deduped). Two more
+    bucket-keyed aggregations finish it: 3 distinct exchanges (the
+    user-key exchange appears in both the sizes and cells branches —
+    ReuseExchange dedups it at runtime) and no join on the big side
+    (measured vs 5 exchanges + a user-keyed join for the distinct+join
+    formulation this replaced; the remaining join is the broadcast of
+    the tiny per-cohort sizes).
     """
     # integer `div`, never float-divide-then-cast (a correctly-rounded
     # double quotient can land on the wrong side of the day boundary)
-    ud = events.select(
-        F.col(user_col).alias("u"), _us(ts_col).alias("_ts_us")
-    ).select("u", F.expr("_ts_us div 86400000000").alias("day")).distinct()
-    first = ud.groupBy("u").agg(F.min("day").alias("cohort_day"))
-    sizes = first.groupBy("cohort_day").agg(
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"), _us(ts_col).alias("_ts_us")
+        )
+        .select("u", F.expr("_ts_us div 86400000000").alias("day"))
+        .groupBy("u")
+        .agg(F.collect_set("day").alias("days"))
+        .select(F.array_min("days").alias("cohort_day"), "days")
+    )
+    sizes = per_user.groupBy("cohort_day").agg(
         F.count("*").cast("bigint").alias("cohort_size")
     )
-    cells = (
-        ud.join(first, "u")
-        .select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
-    )
+    cells = per_user.select(
+        "cohort_day", F.explode("days").alias("day")
+    ).select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
     if max_offset_days is not None:
         cells = cells.filter(F.col("offset_days") <= max_offset_days)
     return (
