@@ -122,3 +122,39 @@ def test_snm_candidate_pairs_single_shuffle_no_join(spark, sf_dir):
 
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_cdc_apply_single_exchange_no_join(spark, sf_dir):
+    """CDC apply is the one-window formulation: a single hash exchange
+    on the key, zero joins — a join regression would shuffle the 100 TB
+    snapshot twice."""
+    plan = _plan_of("cdc_orders_state", spark, sf_dir)
+    import re
+
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_trimmed_mean_single_exchange(spark, sf_dir):
+    """row_number, the per-lang count window, and the final groupBy all
+    share the lang partitioning — exactly ONE hash exchange."""
+    plan = _plan_of("trimmed_mean_doc_length", spark, sf_dir)
+    import re
+
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+
+
+def test_cohort_retention_no_big_side_join(spark, sf_dir):
+    """The per-user view is ONE collect_set aggregation; the only join
+    is the broadcast of the tiny per-cohort sizes — a SortMergeJoin
+    regression would re-shuffle the event-scale side."""
+    plan = _plan_of("user_cohort_retention", spark, sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_distinct_no_join(spark, sf_dir):
+    """Replicate-to-windows + dedup is pure aggregation — zero joins at
+    any scale."""
+    plan = _plan_of("events_rolling_distinct_users", spark, sf_dir)
+    assert "Join" not in plan, plan
