@@ -455,6 +455,34 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization of the embedding corpus, long format — every
+# value an exact integer; the per-element float path is three
+# IEEE-exactly-rounded double ops + HALF_UP round shared by both
+# engines. DuckDB gotcha pair: no WITH ORDINALITY (use the
+# list_transform(range) struct-unnest pattern) and CAST(double AS INT)
+# ROUNDS rather than truncates — always round() first, then cast.
+@_register(
+    "sq8_embedding_codes",
+    """WITH u AS (
+      SELECT vec_id AS vid,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> {'pos': i, 'x': embedding[i + 1]}),
+                    recursive := true)
+      FROM embeddings),
+    mx AS (SELECT pos, max(abs(CAST(x AS DOUBLE))) AS m FROM u GROUP BY 1)
+    SELECT vid, u.pos,
+           CAST(CASE WHEN m > 0
+                     THEN round(CAST(x AS DOUBLE) * 127.0 / m, 0)
+                     ELSE 0.0 END AS INT) AS code
+    FROM u JOIN mx ON mx.pos = u.pos""",
+)
+def sq8_embedding_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.similarity import sq8_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_codes(emb, id_col="vec_id", vec_col="embedding")
+
+
 # similarity search over `embeddings` (S5/J5 family)
 # ---------------------------------------------------------------------------
 

@@ -920,3 +920,37 @@ def embedding_neardup_pairs(
         )
 
     return tagged.groupBy("bi", "bj").applyInPandas(block_pairs, out_schema)
+
+
+def sq8_codes(emb: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+    """Scalar int8 quantization (the compression step next to PQ):
+    per-dimension symmetric scale m_d = max|x_d| over the corpus, code
+    = round(x·127/m_d) ∈ [−127, 127]. Emitted in LONG format (id, pos,
+    code) so every output value is an exact integer — the codes
+    themselves are deterministic cross-engine because the float path
+    per element is exactly three IEEE-exactly-rounded ops on doubles
+    (float→double widen is exact; ·127.0; /m_d; HALF_UP round, which
+    Spark F.round and DuckDB round share — Python's banker's round does
+    NOT).
+
+    Scale shape: one posexplode + one 64-row (= dim) aggregate
+    broadcast back onto the exploded stream — no shuffle of the vector
+    table itself beyond the dim-keyed partial agg. A dead dimension
+    (m_d = 0) codes to 0.
+    """
+    x = F.col("x").cast("double")
+    long = emb.select(
+        F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    scales = long.groupBy("pos").agg(F.max(F.abs(x)).alias("m"))
+    return (
+        long.join(F.broadcast(scales), "pos")
+        .select(
+            F.col("vid"),
+            "pos",
+            F.when(F.col("m") > 0, F.round(x * F.lit(127.0) / F.col("m"), 0))
+            .otherwise(F.lit(0.0))
+            .cast("int")
+            .alias("code"),
+        )
+    )
