@@ -1510,6 +1510,47 @@ def decontaminate_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return decontaminate_ngram_overlap(base.unionByName(planted))
 
 
+# Leakage-safe split: assignment by md5 of the dedup CLUSTER
+# representative (arXiv:2107.06499's contamination fix) — near-dups
+# cannot straddle train/eval because split(doc) = f(rep(doc)) exactly.
+# Composes the flagship pipeline with the md5 split rule; oracle =
+# the from-scratch recursive-CTE dedup (_INCR_SQL) wrapped as a
+# subquery + the same md5 bucket on the rep key.
+@_register(
+    "cluster_aware_split",
+    f"""SELECT key, cluster_rep,
+           CAST(('0x' || substr(md5(cluster_rep), 1, 8)) AS BIGINT) % 100
+             AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(cluster_rep), 1, 8)) AS BIGINT)
+                     % 100 < 10 THEN 'test'
+                WHEN CAST(('0x' || substr(md5(cluster_rep), 1, 8)) AS BIGINT)
+                     % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM ({_INCR_SQL}) cl""",
+)
+def cluster_aware_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from dataclasses import replace as _dc_replace
+
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        cluster_aware_split,
+    )
+    from autovalidate_backend_api_spark.plans.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("r").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = _dc_replace(PINNED, hamming_max=-1)
+    tmp = tempfile.mkdtemp(prefix="casplit_gate_")
+    res = run_pipeline(spark, corpus, tmp, run_id="cas", cfg=cfg, verbose=False)
+    return cluster_aware_split(res.clusters.select("key", "cluster_rep"))
+
+
 # deterministic md5-bucket train/val/test split (engine-independent:
 # md5 of the decimal doc_id string, first 8 hex chars mod 100)
 @_register(
@@ -5309,6 +5350,51 @@ def bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(terms, queries, k=10)
 
 
+def _rrf_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.retrieval import (
+        hybrid_rrf_oracle_sql,
+    )
+
+    terms = f"""t AS (SELECT doc_id, term FROM (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents) WHERE term <> '')"""
+    queries = """q AS (SELECT DISTINCT
+      CAST('0x' || substr(md5(term), 1, 3) AS BIGINT) % 4 AS qid, term
+      FROM t)"""
+    return hybrid_rrf_oracle_sql(terms, queries, k=10)
+
+
+# Hybrid retrieval: the lexical-plus-vector fusion every modern search
+# stack runs, as ONE oracle-certified operator — BM25 and an exact
+# tf-cosine ranked independently over the same candidate set, fused by
+# reciprocal-rank fusion (Cormack SIGIR'09). Both raw rankings are
+# bit-exact cross-engine (fold / integer moments) and the RRF score is
+# two exactly-rounded divisions + one add, so the FUSED order — not
+# just each ranker — is value-hash-checked. Same md5-bucketed query
+# sets as bm25_search_topk.
+@_register("rrf_hybrid_search_topk", _rrf_oracle_sql())
+def rrf_hybrid_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    queries = (
+        terms.select("term")
+        .distinct()
+        .select(
+            (
+                F.conv(F.substring(F.md5("term"), 1, 3), 16, 10).cast("bigint")
+                % 4
+            ).alias("qid"),
+            "term",
+        )
+    )
+    return hybrid_rrf_topk(terms, queries, k=10)
+
+
 def _hist_quantiles_oracle_sql() -> str:
     from autovalidate_backend_api_spark.operators.sketches import (
         histogram_quantiles_oracle_sql,
@@ -6295,6 +6381,74 @@ def events_rolling_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFra
     return rolling_distinct_counts(
         ev, key_col="user_id", ts_col="ts", bucket_us=3_600_000_000,
         window_buckets=3,
+    )
+
+
+def _k_anon_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.profiling import (
+        k_anonymity_oracle_sql,
+    )
+
+    return k_anonymity_oracle_sql(
+        "customer",
+        [
+            ("nationkey", "CAST(c_nationkey AS BIGINT)"),
+            ("segment", "c_mktsegment"),
+            ("bal_bucket", "CAST(floor(c_acctbal / 1000.0) AS BIGINT)"),
+        ],
+        k=4,
+    )
+
+
+# k-anonymity audit (Sweeney 2002) over the customer quasi-identifier
+# tuple (nation, segment, 1000-wide balance bucket) — the
+# STRUCTURE-level privacy control beside pii_scrub's value-level
+# redaction: per equivalence class its size, the k>=4 verdict, and the
+# global at-risk record count. Exact BIGINTs only (the bucket is
+# floor of one exactly-rounded division — deterministic cross-engine).
+@_register("k_anonymity_report", _k_anon_oracle_sql())
+def k_anonymity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.profiling import (
+        k_anonymity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        cust, ["nationkey", "segment", "bal_bucket"], k=4
+    )
+
+
+def _ewma_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.temporal import ewma_oracle_sql
+
+    return ewma_oracle_sql(
+        table="events", key="user_id", ts="ts", tiebreak="event_id",
+        value="value", alpha=0.5,
+    )
+
+
+# Per-user EWMA of event values — the sequential-recurrence op class
+# (online smoothing). No order-free decomposition exists, so it's the
+# bm25 fold contract applied to a RECURRENCE: a left-assoc fold over
+# the (ts, event_id)-sorted value list, seeded with the first element
+# exactly as DuckDB's list_reduce is — the raw UNROUNDED double is
+# value-hash-checked. One key shuffle; dyadic alpha (0.5) so both
+# fold factors are exact cross-engine literals.
+@_register("events_ewma", _ewma_oracle_sql())
+def events_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import ewma_by_key
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return ewma_by_key(
+        ev, key="user_id", ts="ts", tiebreak="event_id", value="value",
+        alpha=0.5,
     )
 
 

@@ -2652,3 +2652,38 @@ def term_cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def cluster_aware_split(
+    clusters: DataFrame, *, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by the dedup
+    CLUSTER representative, not the document — every member of a
+    near-dup cluster lands in the same split by construction.
+
+    The well-known eval-contamination failure of naive hash splits is
+    that near-duplicates straddle the split (train on one fork, eval on
+    the other — arXiv:2107.06499 measures the inflation); the fix is to
+    make the split a pure function of the cluster id. Same md5 rule as
+    :func:`train_val_test_split` applied to ``cluster_rep``, so
+    singleton docs keep the uniform 80/10/10 rate and the property is
+    exact, not statistical: ``split(doc) = f(rep(doc))`` — two docs in
+    one cluster CANNOT differ.
+
+    Scale shape: a pure projection over the cluster table (the dedup
+    pipeline already paid the shuffles); zero additional exchanges.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_rep")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return clusters.select(
+        "key",
+        "cluster_rep",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -139,3 +139,70 @@ def join_skew_report(
         .orderBy(F.col("contribution").desc(), F.col("join_key").asc())
         .limit(top_k)
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 4,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: per equivalence
+    class (one distinct quasi-identifier combination) the class size,
+    whether it meets the ``k`` bar, and the class's share of the total
+    re-identification risk surface (records in sub-k classes).
+
+    The privacy gate a training corpus passes before release —
+    Sweeney's k-anonymity (IJUFKS 2002) as ONE groupBy: every record in
+    an equivalence class smaller than ``k`` is re-identifiable by
+    linking the quasi-identifiers to an external table, so the release
+    rule is "suppress or generalize every sub-k class". Sits beside
+    pii_scrub (value-level redaction) as the STRUCTURE-level control:
+    scrubbing direct identifiers does nothing about a (nation, segment,
+    balance-bucket) combination unique to one person.
+
+    Scale shape: one map-side-combinable count per class + one global
+    1-row aggregate broadcast back (the tagged-union collapse trick is
+    unnecessary — the global sums join in as a single-row broadcast on
+    a constant key would plan nested-loop, so instead the two scalars
+    ride a window-free cross-multiply: exact BIGINTs only, no floats
+    anywhere). Suppression itself is the trivial downstream anti-join
+    on the flagged classes.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("bigint").alias("class_n")
+    )
+    tot = classes.agg(
+        F.sum("class_n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("class_n") < k, F.col("class_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_at_risk"),
+        F.min("class_n").cast("bigint").alias("k_anonymity"),
+    ).first()
+    return classes.select(
+        *quasi_cols,
+        "class_n",
+        (F.col("class_n") >= k).alias("meets_k"),
+        F.lit(int(tot["n_rows"])).cast("bigint").alias("n_rows"),
+        F.lit(int(tot["n_at_risk"])).cast("bigint").alias("n_at_risk"),
+        F.lit(int(tot["k_anonymity"])).cast("bigint").alias("k_anonymity"),
+    )
+
+
+def k_anonymity_oracle_sql(
+    table: str, quasi_sql: list[tuple[str, str]], *, k: int = 4
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_report`; ``quasi_sql`` is
+    [(alias, sql_expr)] for the quasi-identifier columns."""
+    sel = ", ".join(f"{expr} AS {a}" for a, expr in quasi_sql)
+    names = ", ".join(a for a, _ in quasi_sql)
+    return f"""WITH cls AS (
+      SELECT {sel}, CAST(count(*) AS BIGINT) AS class_n
+      FROM {table} GROUP BY {names}),
+    g AS (SELECT CAST(sum(class_n) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN class_n < {k} THEN class_n ELSE 0 END)
+                      AS BIGINT) AS n_at_risk,
+                 CAST(min(class_n) AS BIGINT) AS k_anonymity FROM cls)
+    SELECT {names}, class_n, class_n >= {k} AS meets_k,
+           g.n_rows, g.n_at_risk, g.k_anonymity
+    FROM cls, g"""

@@ -169,6 +169,193 @@ def bm25_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of two exact rankers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    term_rows: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Hybrid search: BM25 ⊕ tf-cosine fused by reciprocal-rank fusion.
+
+    The modern retrieval stack runs a lexical ranker and a vector
+    ranker side by side and fuses by rank, not score (Cormack et al.,
+    SIGIR'09: ``RRF(d) = Σ_r 1/(rrf_k + rank_r(d))``). Here both
+    rankers are engine-exact, so the FUSED ranking is oracle-checkable
+    end to end:
+
+    - ranker 1: BM25 (:func:`bm25_topk` scoring — term-sorted
+      left-assoc fold, log-free RSJ idf).
+    - ranker 2: tf-cosine between the query's term SET (tf=1) and the
+      doc's tf vector: ``dot/(√|q|·√Σtf²)`` where dot = Σ_{t∈q} tf_d(t)
+      is a BIGINT sum and both norms are single exactly-rounded sqrt
+      of BIGINTs — every float op is exactly rounded on exact inputs,
+      so the raw cosine is bit-identical cross-engine with no fold.
+
+    Both ranks are computed over the SAME candidate set (docs matching
+    ≥1 query term), so each candidate has both ranks and
+    ``rrf = 1/(rrf_k+r_bm25) + 1/(rrf_k+r_cos)`` — two exactly-rounded
+    divisions of exact ints and ONE add — is deterministic, making the
+    fused order itself certifiable.
+
+    Scale shape: reuses BM25's tf/df/dl aggregates; the only additions
+    are a per-doc Σtf² (map-side-combinable BIGINT agg joined on
+    doc_id), a per-qid |q| broadcast, and two windows over the SAME
+    per-(qid, doc) candidate table — no second candidate generation,
+    no extra shuffle beyond the norm join. Reference analog: the
+    fuzzy-then-semantic cascade of search.py:100-176, fused instead of
+    cascaded.
+    """
+    tf = term_rows.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dl = term_rows.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl"),
+    )
+    norm2 = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    tot = dl.agg(
+        F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
+    ).first()
+    n_docs, total_len = int(tot[0]), int(tot[1])
+    avgdl = total_len / n_docs
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    qsize = queries.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("qn")
+    )
+
+    idf = (
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("dl").cast("double") / F.lit(avgdl)
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * norm
+    )
+    num = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    s = (idf * num) / denom
+
+    scored = (
+        queries.join(tf, "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .select("qid", "doc_id", "term", s.alias("s"), "tf")
+    )
+    cand = (
+        scored.groupBy("qid", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "s"))).alias("ss"),
+            F.sum("tf").cast("bigint").alias("dot"),
+        )
+        .join(norm2, "doc_id")
+        .join(F.broadcast(qsize), "qid")
+    )
+    bm25 = F.aggregate(F.col("ss"), F.lit(0.0), lambda acc, x: acc + x["s"])
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    both = cand.select(
+        "qid", "doc_id", bm25.alias("_bm"), cos.alias("_cos")
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc("_bm"), F.asc("doc_id"))
+    wc = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("doc_id"))
+    ranked = both.select(
+        "qid",
+        "doc_id",
+        F.row_number().over(wb).alias("r_bm25"),
+        F.row_number().over(wc).alias("r_cos"),
+    )
+    rrf = F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_bm25").cast("double")) + F.lit(
+        1.0
+    ) / (F.lit(float(rrf_k)) + F.col("r_cos").cast("double"))
+    wf = Window.partitionBy("qid").orderBy(
+        F.desc("_rrf"), F.asc("doc_id")
+    )
+    return (
+        ranked.withColumn("_rrf", rrf)
+        .withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            F.col("r_bm25").cast("int").alias("r_bm25"),
+            F.col("r_cos").cast("int").alias("r_cos"),
+            F.round("_rrf", 9).alias("rrf_score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    terms_cte: str,
+    queries_cte: str,
+    *,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk`, op-for-op: same BM25
+    fold, same integer-moment cosine, same two row_number ranks, same
+    two-term RRF expression."""
+    return f"""WITH {terms_cte},
+    {queries_cte},
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+    n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+           FROM tf GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    qs AS (SELECT qid, CAST(count(*) AS BIGINT) AS qn FROM q GROUP BY 1),
+    sc AS (SELECT q.qid, tf.doc_id, tf.term, tf.tf,
+        ((CAST(g.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+           / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0!r})
+        / (CAST(tf.tf AS DOUBLE)
+           + {k1!r} * ({1.0 - b!r} + {b!r}
+             * (CAST(dl.dl AS DOUBLE)
+                / (CAST(g.total_len AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))
+        AS s
+      FROM q JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, g),
+    cand AS (SELECT qid, doc_id,
+        list_reduce(list(CAST(s AS DOUBLE) ORDER BY term),
+                    (a, x) -> a + x) AS bm,
+        CAST(sum(tf) AS BIGINT) AS dot
+      FROM sc GROUP BY 1, 2),
+    hy AS (SELECT c.qid, c.doc_id, c.bm,
+        CAST(c.dot AS DOUBLE)
+          / (sqrt(CAST(qs.qn AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cs
+      FROM cand c JOIN n2 USING (doc_id) JOIN qs USING (qid)),
+    ranked AS (SELECT qid, doc_id,
+        row_number() OVER (PARTITION BY qid ORDER BY bm DESC, doc_id) AS r_bm25,
+        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, doc_id) AS r_cos
+      FROM hy),
+    fused AS (SELECT qid, doc_id, r_bm25, r_cos,
+        1.0 / ({float(rrf_k)!r} + CAST(r_bm25 AS DOUBLE))
+        + 1.0 / ({float(rrf_k)!r} + CAST(r_cos AS DOUBLE)) AS rrf
+      FROM ranked)
+    SELECT qid, doc_id, CAST(r_bm25 AS INT) AS r_bm25,
+           CAST(r_cos AS INT) AS r_cos,
+           round(rrf, 9) AS rrf_score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+    WHERE rnk <= {k}"""
+
+
+# ---------------------------------------------------------------------------
 # positional phrase search
 # ---------------------------------------------------------------------------
 

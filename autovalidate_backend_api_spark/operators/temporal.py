@@ -302,3 +302,72 @@ def activity_streaks(
         "streak_len",
         F.count("*").over(nper).cast("bigint").alias("n_streaks_of_key"),
     )
+
+
+def ewma_by_key(
+    events: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponential moving average over the time-ordered value
+    sequence: ``s_0 = x_0``, ``s_i = (1-alpha)*s_{i-1} + alpha*x_i``.
+
+    The sequential-recurrence op class (smoothing / online state) the
+    reference's freshness-weighted cache scoring implies
+    (db_lookup.py:24-50 — newer ingests dominate older state). A
+    recurrence has no order-free decomposition, so it is computed as a
+    LEFT-ASSOCIATIVE FOLD over the (ts, tiebreak)-sorted value list —
+    the bm25 fold contract: Spark's ``F.aggregate(slice(xs, 2, n-1),
+    element_at(xs, 1), f)`` runs the identical exactly-rounded op
+    sequence as DuckDB's ``list_reduce(list(x ORDER BY ts, id), f)``
+    (list_reduce seeds with the first element), so the raw double is
+    bit-identical cross-engine and value-hash-checkable unrounded.
+
+    Scale shape: ONE key shuffle (groupBy collect_list); state per key
+    is a single double. Per-key sequence length is the only memory
+    bound — for unbounded streams the same recurrence runs under
+    applyInPandasWithState (streaming/stateful.py). alpha must be a
+    small dyadic (0.5, 0.25) so both factors are exact literals.
+    """
+    seq = events.groupBy(key).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts), F.col(tiebreak), F.col(value)))
+        ).alias("xs"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    vals = F.transform(F.col("xs"), lambda s: s[value])
+    seq = seq.select(key, "n_events", vals.alias("vs"))
+    folded = F.aggregate(
+        F.slice(F.col("vs"), F.lit(2), F.size("vs") - F.lit(1)),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(1.0 - alpha) * acc + F.lit(alpha) * x,
+    )
+    return seq.select(
+        F.col(key),
+        "n_events",
+        folded.alias("ewma_value"),
+        F.element_at(F.col("vs"), -1).alias("last_value"),
+    )
+
+
+def ewma_oracle_sql(
+    *,
+    table: str,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`ewma_by_key` — same fold, same literals."""
+    return f"""SELECT {key},
+      CAST(count(*) AS BIGINT) AS n_events,
+      list_reduce(list(CAST({value} AS DOUBLE) ORDER BY {ts}, {tiebreak}),
+                  (a, x) -> {1.0 - alpha!r} * a + {alpha!r} * x) AS ewma_value,
+      list_reduce(list(CAST({value} AS DOUBLE) ORDER BY {ts}, {tiebreak}),
+                  (a, x) -> x) AS last_value
+    FROM {table} GROUP BY 1"""

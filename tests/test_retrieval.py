@@ -78,3 +78,61 @@ def test_bm25_k_cap_and_rare_term_outranks_common(spark):
     assert len(rows) == 5
     top = min(rows, key=lambda r: r["rnk"])
     assert top["doc_id"] == 0 and top["n_terms_matched"] == 2
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_is_nonvacuous_and_bounded(spark):
+    """The fused order must genuinely combine both rankers, so build
+    the canonical disagreement: BM25's tf-saturation prefers the doc
+    that REPEATS the query term (doc 2: tf=3 beats the length penalty),
+    while cosine's norm prefers the pure single-occurrence doc (doc 1:
+    cos = 1.0 exactly vs 3/√10). Verified by hand from the definitions:
+    N=3, df(a)=2, idf=1.6, avgdl=2 → s(doc1)=2.01 < s(doc2)=2.07.
+    With opposite rank-1s the two RRF scores TIE (1/61 + 1/62 on both),
+    so the fused order must fall back to doc_id asc — the tie rule
+    pinned alongside non-vacuity and the 2/(k+1) bound."""
+    from autovalidate_backend_api_spark.operators.retrieval import hybrid_rrf_topk
+
+    occ = (
+        [(1, "a")]
+        + [(2, "a"), (2, "a"), (2, "a"), (2, "p")]
+        + [(3, "x")]
+    )
+    q = [(0, "a")]
+    terms = spark.createDataFrame(occ, "doc_id: bigint, term: string")
+    queries = spark.createDataFrame(q, "qid: bigint, term: string")
+    rows = {
+        r["doc_id"]: r
+        for r in hybrid_rrf_topk(terms, queries, k=10).collect()
+    }
+    # only the docs matching >=1 query term are candidates
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert 0.0 < r["rrf_score"] <= 2.0 / 61.0 + 1e-12
+    # the two rankers disagree at the top
+    assert rows[2]["r_bm25"] == 1 and rows[2]["r_cos"] == 2
+    assert rows[1]["r_cos"] == 1 and rows[1]["r_bm25"] == 2
+    # identical fused scores -> deterministic doc_id tie-break
+    assert rows[1]["rrf_score"] == rows[2]["rrf_score"]
+    assert rows[1]["rnk"] == 1 and rows[2]["rnk"] == 2
+
+
+def test_rrf_score_is_exact_reciprocal_sum(spark):
+    """rrf_score must equal round(1/(60+r_bm25) + 1/(60+r_cos), 9)
+    exactly — the two-term exactly-rounded expression, no drift."""
+    from autovalidate_backend_api_spark.operators.retrieval import hybrid_rrf_topk
+
+    occ = [(d, t) for d in range(1, 6) for t in ("a", "b")] + [(2, "a")]
+    q = [(0, "a"), (1, "b")]
+    terms = spark.createDataFrame(occ, "doc_id: bigint, term: string")
+    queries = spark.createDataFrame(q, "qid: bigint, term: string")
+    for r in hybrid_rrf_topk(terms, queries, k=10).collect():
+        want = round(
+            1.0 / (60.0 + float(r["r_bm25"])) + 1.0 / (60.0 + float(r["r_cos"])),
+            9,
+        )
+        assert r["rrf_score"] == want

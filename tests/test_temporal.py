@@ -178,3 +178,40 @@ def test_activity_streaks_islands(spark):
         ).collect()
     }
     assert got == {("u1", 0): (3, 2), ("u1", 5): (1, 2), ("u2", 7): (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# ewma_by_key
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_fold_bitwise(spark):
+    """The fold must replay Python's identical op sequence bit-for-bit:
+    s_0 = x_0, s_i = 0.5*s + 0.5*x over (ts, id)-sorted values —
+    including a single-event key (fold over empty tail = seed)."""
+    import datetime as dt
+
+    from autovalidate_backend_api_spark.operators.temporal import ewma_by_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 0, 10.5),
+        (1, t0 + dt.timedelta(hours=1), 1, 3.25),
+        (1, t0 + dt.timedelta(hours=1), 2, 7.75),  # ts tie -> id order
+        (2, t0, 3, 42.125),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id: bigint, ts: timestamp, event_id: bigint, value: double"
+    )
+    got = {
+        r["user_id"]: r
+        for r in ewma_by_key(
+            ev, key="user_id", ts="ts", tiebreak="event_id", value="value"
+        ).collect()
+    }
+    s = 10.5
+    for x in (3.25, 7.75):
+        s = 0.5 * s + 0.5 * x
+    assert got[1]["ewma_value"] == s
+    assert got[1]["last_value"] == 7.75 and got[1]["n_events"] == 3
+    assert got[2]["ewma_value"] == 42.125 and got[2]["n_events"] == 1
