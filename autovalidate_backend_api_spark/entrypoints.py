@@ -4421,6 +4421,65 @@ def graph_triangle_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+# Kahn gate graph: an affine permutation on Z41 (u → 17u+5 mod 41 — every
+# node on a cycle, the unbuildable nucleus), a 64-node binary dependency
+# tree on 41..104 (child → parent; peels top-down in 7 rounds — the node
+# ids are offset +41 so the regions are disjoint), 11 nodes 105..115 each
+# depending on a cycle node (blocked transitively, depth 1), and one
+# chain edge 116 → 105 (blocked at depth 2). Expected: 64 built across
+# rounds 1..7, 53 blocked.
+_KAHN_EDGES_SQL = """raw AS (
+      SELECT doc_id % 41 AS src, ((doc_id % 41) * 17 + 5) % 41 AS dst
+      FROM documents
+      UNION ALL
+      SELECT (doc_id % 64) + 41, ((doc_id % 64) // 2) + 41
+      FROM documents WHERE doc_id % 64 > 0
+      UNION ALL
+      SELECT (doc_id % 11) + 105, ((doc_id % 11) * 7) % 41
+      FROM documents
+      UNION ALL
+      SELECT 116, 105 FROM documents WHERE doc_id % 997 = 0
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)"""
+
+
+def _kahn_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import kahn_oracle_sql
+
+    return kahn_oracle_sql(_KAHN_EDGES_SQL, rounds=10)
+
+
+# Dependency-cycle detection (Kahn residual) over a synthetic import
+# graph — the build-order / module-loader pass over extract_imports'
+# edge inventory: per node the 1-based build round, or blocked = true
+# for nodes on or transitively depending on a cycle. The oracle replays
+# every peel round as MATERIALIZED CTEs; pure BIGINT set arithmetic.
+@_register("import_cycle_detect", _kahn_oracle_sql())
+def import_cycle_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import kahn_residual
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m41 = F.col("doc_id") % 41
+    m64 = F.col("doc_id") % 64
+    m11 = F.col("doc_id") % 11
+    fams = [
+        docs.select(m41.alias("src"), ((m41 * 17 + 5) % 41).alias("dst")),
+        docs.filter(m64 > 0).select(
+            (m64 + 41).alias("src"),
+            (F.expr("(doc_id % 64) div 2") + 41).alias("dst"),
+        ),
+        docs.select((m11 + 105).alias("src"), ((m11 * 7) % 41).alias("dst")),
+        docs.filter(F.col("doc_id") % 997 == 0).select(
+            F.lit(116).cast("bigint").alias("src"),
+            F.lit(105).cast("bigint").alias("dst"),
+        ),
+    ]
+    edges = fams[0]
+    for f in fams[1:]:
+        edges = edges.unionByName(f)
+    return kahn_residual(edges, rounds=10)
+
+
 # k-core gate graph over 53 nodes, engineered for a genuinely multi-round
 # peel (measured at k=5: five rounds to fixpoint): threshold-gated affine
 # families (edge r → a·r+c mod 53 only for residues r < T, so degree
@@ -5393,6 +5452,65 @@ def rrf_hybrid_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hybrid_rrf_topk(terms, queries, k=10)
+
+
+_BM_TERMS_CTE = f"""t AS (SELECT doc_id, term FROM (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents) WHERE term <> '')"""
+
+
+def _posting_bitmaps_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        posting_bitmaps_oracle_sql,
+    )
+
+    return posting_bitmaps_oracle_sql(_BM_TERMS_CTE)
+
+
+# Word-aligned bitmap posting-list build (Chan & Ioannidis SIGMOD'98 /
+# roaring-style) — the index structure the term stats ride at scale:
+# per term the bitmap word count and popcount doc count, certified
+# bit-for-bit against the direct distinct count in the SAME row
+# (n_docs ≡ n_docs_exact). Mergeable bit_or state, pure integers,
+# sign-safe 32-bit words in BIGINT.
+@_register("posting_bitmap_stats", _posting_bitmaps_oracle_sql())
+def posting_bitmap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import posting_bitmaps
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    return posting_bitmaps(terms)
+
+
+def _posting_intersections_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        posting_bitmap_intersections_oracle_sql,
+    )
+
+    return posting_bitmap_intersections_oracle_sql(_BM_TERMS_CTE, top_terms=8)
+
+
+# Conjunctive bitmap-index queries: co-occurrence doc counts for all
+# pairs of the top-8 terms computed ENTIRELY in bitmap algebra
+# (word equi-join → mask AND → popcount sum) — cost Θ(shared words),
+# never Θ(docs), the reason OLAP engines keep bitmap indexes.
+@_register(
+    "posting_bitmap_intersections", _posting_intersections_oracle_sql()
+)
+def posting_bitmap_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.sketches import (
+        posting_bitmap_intersections,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    return posting_bitmap_intersections(terms, top_terms=8)
 
 
 def _hist_quantiles_oracle_sql() -> str:

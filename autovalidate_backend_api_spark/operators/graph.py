@@ -655,3 +655,101 @@ def degree_assortativity_sql(edges_cte: str) -> str:
                               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
            END AS assortativity
     FROM m"""
+
+
+def kahn_residual(edges: DataFrame, *, rounds: int = 10) -> DataFrame:
+    """Dependency-cycle detection by Kahn's algorithm, distributed as a
+    fixed-``rounds`` parallel peel: edge ``src → dst`` reads "src
+    depends on dst". Each round BUILDS every alive node with no
+    remaining dependencies (out-degree 0 in the surviving edge set),
+    removes the edges into the built set, and repeats. The residual —
+    nodes never buildable — is exactly the set of nodes on a dependency
+    cycle or with a (transitive) dependency path into one: the
+    import-cycle report a build system / module loader emits over a
+    code corpus (extract_imports produces the edge inventory; this
+    schedules it).
+
+    Returns ``node, built_round, blocked`` for EVERY node of the edge
+    set: ``built_round`` = the 1-based peel round that scheduled it
+    (−1 for residual nodes, ``blocked`` = true). Same fixpoint
+    semantics as :func:`kcore`: the loop breaks early when a round
+    builds nothing (monotone — built sets only grow), ``rounds``
+    bounds the oracle-replayable worst case.
+
+    Pure BIGINT/set arithmetic, zero floats — exact oracle replay by
+    construction. Scale shape per round: one distinct-src projection,
+    one anti-join of the Θ(|V|) alive set against it (the ready set),
+    one anti-join of the edge list on dst (peeled edges); nothing
+    broadcast by hint, nothing collected but the per-round ready
+    count. Per-round ``localCheckpoint`` is MANDATORY — round i's plan
+    references round i−1's alive/edge frames multiple times (the
+    k-core 3^rounds analysis-blowup gotcha).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    built = None
+    for rnd in range(1, rounds + 1):
+        srcs = e.select(F.col("src").alias("node")).distinct()
+        ready = alive.join(srcs, "node", "left_anti").select(
+            "node", F.lit(rnd).cast("bigint").alias("built_round")
+        )
+        n_ready = ready.count()
+        if n_ready == 0:
+            break  # fixpoint: only cycle-tainted nodes remain
+        built = (
+            ready if built is None else built.unionByName(ready)
+        ).localCheckpoint()
+        alive = alive.join(ready.select("node"), "node", "left_anti").localCheckpoint()
+        e = e.join(
+            ready.select(F.col("node").alias("dst")), "dst", "left_anti"
+        ).localCheckpoint()
+    residual = alive.select(
+        "node", F.lit(-1).cast("bigint").alias("built_round")
+    )
+    out = residual if built is None else built.unionByName(residual)
+    return out.select(
+        "node", "built_round", (F.col("built_round") < 0).alias("blocked")
+    )
+
+
+def kahn_oracle_sql(edges_cte: str, *, rounds: int = 10) -> str:
+    """DuckDB SQL replaying :func:`kahn_residual` round-for-round.
+    ``edges_cte`` must define ``e(src, dst)`` (distinct, no self
+    loops). Round CTEs are MATERIALIZED (the k-core inlining blowup —
+    each round references the previous alive/edge sets repeatedly)."""
+    steps = [
+        """e0 AS MATERIALIZED (SELECT src, dst FROM e),
+    n0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (SELECT node FROM n{i - 1}
+      WHERE node NOT IN (SELECT src FROM e{i - 1})),
+    n{i} AS MATERIALIZED (SELECT node FROM n{i - 1}
+      WHERE node NOT IN (SELECT node FROM r{i})),
+    e{i} AS MATERIALIZED (SELECT src, dst FROM e{i - 1}
+      WHERE dst NOT IN (SELECT node FROM r{i}))"""
+        )
+    built_union = "\n      UNION ALL ".join(
+        f"SELECT node, CAST({i} AS BIGINT) AS built_round FROM r{i}"
+        for i in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {edges_cte},\n    "
+        + ",\n    ".join(steps)
+        + f""",
+    res AS ({built_union}
+      UNION ALL SELECT node, CAST(-1 AS BIGINT) FROM n{rounds})
+    SELECT node, built_round, built_round < 0 AS blocked FROM res"""
+    )

@@ -837,3 +837,141 @@ def ams_join_size_oracle_sql(a_src: str, b_src: str) -> str:
                     / CAST({AMS_PER_GROUP} AS DOUBLE) AS ams_join_estimate
            FROM sa, sb)
     SELECT r, ams_join_estimate, join_exact FROM jr, je"""
+
+
+# ---------------------------------------------------------------------------
+# bitmap posting-list index (roaring-style word-aligned bitmaps)
+# ---------------------------------------------------------------------------
+
+_BM_WORD_BITS = 32  # 32-bit words carried in BIGINT: every mask stays
+# positive, so shifts/ORs/popcounts are sign-safe and identical across
+# engines (the sign-safe-words rule from the HOF bit-shift gotcha).
+
+
+def posting_bitmaps(term_rows: DataFrame) -> DataFrame:
+    """Bitmap posting-list build: per term, the doc-id set as a sparse
+    word-aligned bitmap — ``(term, word, mask)`` rows with
+    ``word = doc_id div 32`` and bit ``doc_id mod 32`` set, OR-merged
+    per (term, word).
+
+    The bitmap-index primitive every OLAP engine keeps for low-
+    cardinality predicates (Chan & Ioannidis SIGMOD'98; roaring bitmaps
+    are the run/array-compressed refinement): membership AND/OR/NOT
+    become word-wise integer ops instead of set joins. The build is ONE
+    map-side-combinable ``bit_or`` groupBy — masks merge by OR on any
+    shard topology, so the index is mergeable state like the HLL/KMV
+    sketches. Returns per-term summary rows:
+    ``term, n_words, n_docs`` where ``n_docs`` is the popcount sum —
+    exactly the distinct-doc count, certified against the direct
+    ``count(DISTINCT)`` in ``n_docs_exact``.
+
+    Scale shape: (term, word) keys shard a hot term's bitmap across
+    partitions (no single-reducer bitmap concat); masks are 8 bytes.
+    Pure integer arithmetic — shift/OR/popcount — zero floats.
+    """
+    bits = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(doc_id % {_BM_WORD_BITS} AS INT))"
+    )
+    cells = (
+        term_rows.select(
+            "term",
+            F.expr(f"doc_id div {_BM_WORD_BITS}").alias("word"),
+            bits.alias("mask"),
+            "doc_id",
+        )
+        .groupBy("term", "word")
+        .agg(
+            F.bit_or("mask").alias("mask"),
+            F.countDistinct("doc_id").cast("bigint").alias("nd"),
+        )
+    )
+    return cells.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("mask")).cast("bigint").alias("n_docs"),
+        F.sum("nd").cast("bigint").alias("n_docs_exact"),
+    )
+
+
+def posting_bitmap_intersections(
+    term_rows: DataFrame, *, top_terms: int = 8
+) -> DataFrame:
+    """Pairwise co-occurrence counts between the ``top_terms`` most
+    frequent terms, computed ENTIRELY in bitmap algebra: build the
+    word-aligned bitmaps, equi-join the two posting maps on ``word``,
+    AND the masks, popcount. The classic bitmap-index conjunctive
+    query — cost is Θ(shared words), never Θ(candidate docs), and at
+    28 pairs of corpus-scale terms the word join is the only exchange.
+
+    Returns ``term_a, term_b, n_and`` (term_a < term_b) — the doc
+    count containing BOTH terms. Top terms are chosen by (doc
+    frequency desc, term asc), a deterministic cut.
+    """
+    distinct_td = term_rows.select("term", "doc_id").distinct()
+    df_t = distinct_td.groupBy("term").agg(F.count("*").alias("df"))
+    top = (
+        df_t.orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_terms)
+        .select("term")
+    )
+    bits = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(doc_id % {_BM_WORD_BITS} AS INT))"
+    )
+    bm = (
+        distinct_td.join(F.broadcast(top), "term")
+        .select(
+            "term",
+            F.expr(f"doc_id div {_BM_WORD_BITS}").alias("word"),
+            bits.alias("mask"),
+        )
+        .groupBy("term", "word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    a = bm.select(
+        F.col("term").alias("term_a"), "word", F.col("mask").alias("ma")
+    )
+    b = bm.select(
+        F.col("term").alias("term_b"), "word", F.col("mask").alias("mb")
+    )
+    joined = a.join(b, "word").filter(F.col("term_a") < F.col("term_b"))
+    return (
+        joined.groupBy("term_a", "term_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))))
+            .cast("bigint")
+            .alias("n_and")
+        )
+        .filter(F.col("n_and") > 0)
+    )
+
+
+def posting_bitmaps_oracle_sql(terms_cte: str) -> str:
+    """DuckDB twin of :func:`posting_bitmaps` over ``t(doc_id, term)``."""
+    return f"""WITH {terms_cte},
+    cells AS (SELECT term, doc_id // {_BM_WORD_BITS} AS word,
+        bit_or((CAST(1 AS BIGINT) << CAST(doc_id % {_BM_WORD_BITS} AS INT)))
+          AS mask,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM t GROUP BY 1, 2)
+    SELECT term, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(mask)) AS BIGINT) AS n_docs,
+           CAST(sum(nd) AS BIGINT) AS n_docs_exact
+    FROM cells GROUP BY 1"""
+
+
+def posting_bitmap_intersections_oracle_sql(
+    terms_cte: str, *, top_terms: int = 8
+) -> str:
+    """DuckDB twin of :func:`posting_bitmap_intersections`."""
+    return f"""WITH {terms_cte},
+    td AS (SELECT DISTINCT term, doc_id FROM t),
+    top AS (SELECT term FROM (
+        SELECT term, count(*) AS df FROM td GROUP BY 1)
+      ORDER BY df DESC, term LIMIT {top_terms}),
+    bm AS (SELECT term, doc_id // {_BM_WORD_BITS} AS word,
+        bit_or((CAST(1 AS BIGINT) << CAST(doc_id % {_BM_WORD_BITS} AS INT)))
+          AS mask
+      FROM td JOIN top USING (term) GROUP BY 1, 2)
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT) AS n_and
+    FROM bm a JOIN bm b ON a.word = b.word AND a.term < b.term
+    GROUP BY 1, 2 HAVING sum(bit_count(a.mask & b.mask)) > 0"""

@@ -325,3 +325,34 @@ def test_lpa_separates_bridged_triangles(spark):
         "a1": "a1", "a2": "a1", "a3": "a1",
         "b1": "b1", "b2": "b1", "b3": "b1",
     }
+
+
+# ---------------------------------------------------------------------------
+# kahn_residual (dependency-cycle detection)
+# ---------------------------------------------------------------------------
+
+
+def test_kahn_residual_rounds_and_blockage(spark):
+    """Hand-checkable graph: cycle 1→2→3→1 (all blocked), 4→1 (blocked
+    transitively), 5→6 and 7→5 (6 builds round 1, 5 round 2, 7 round 3),
+    self-loop 8→8 dropped (8 vanishes — not a node of the cleaned edge
+    set). Also pins early fixpoint: rounds=10 must not invent rounds."""
+    from autovalidate_backend_api_spark.operators.graph import kahn_residual
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (5, 6), (7, 5), (8, 8)],
+        "src: bigint, dst: bigint",
+    )
+    got = {
+        r["node"]: (r["built_round"], r["blocked"])
+        for r in kahn_residual(edges, rounds=10).collect()
+    }
+    assert got == {
+        1: (-1, True),
+        2: (-1, True),
+        3: (-1, True),
+        4: (-1, True),
+        5: (2, False),
+        6: (1, False),
+        7: (3, False),
+    }
