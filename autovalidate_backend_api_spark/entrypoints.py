@@ -1551,6 +1551,34 @@ def cluster_aware_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_aware_split(res.clusters.select("key", "cluster_rep"))
 
 
+def _quota_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.datapipe import (
+        quota_allocation_oracle_sql,
+    )
+
+    grp = """grp AS (SELECT lang || '/' || source AS domain,
+      CAST(count(*) AS BIGINT) AS n_items FROM documents GROUP BY 1)"""
+    return quota_allocation_oracle_sql(grp, key="domain", total_slots=1000)
+
+
+# Largest-remainder (Hamilton) apportionment of a 1000-slot sample
+# budget across (lang, source) domains — the exact-integer bridge
+# between domain_mixture_weights (ratios) and stratified_sample (the
+# draw): Σ quota ≡ 1000 by construction, zero float rounding drift.
+# BIGINT multiply/div/mod only.
+@_register("domain_quota_allocation", _quota_oracle_sql())
+def domain_quota_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.datapipe import quota_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    grp = docs.groupBy(
+        F.concat_ws("/", F.col("lang"), F.col("source")).alias("domain")
+    ).agg(F.count("*").cast("bigint").alias("n_items"))
+    return quota_allocation(
+        grp, key="domain", count_col="n_items", total_slots=1000
+    )
+
+
 # deterministic md5-bucket train/val/test split (engine-independent:
 # md5 of the decimal doc_id string, first 8 hex chars mod 100)
 @_register(
@@ -6567,6 +6595,64 @@ def events_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_by_key(
         ev, key="user_id", ts="ts", tiebreak="event_id", value="value",
         alpha=0.5,
+    )
+
+
+def _cusum_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.temporal import cusum_oracle_sql
+
+    return cusum_oracle_sql(
+        table="events", key="user_id", ts="ts", tiebreak="event_id",
+        value="value", allowance=120.0, threshold=250.0,
+    )
+
+
+# One-sided CUSUM level-shift monitor per user (Page 1954) — the
+# change-detection member of the recurrence class: struct-accumulator
+# fold (current S, max S), Spark's explicit zero init reproduced in
+# DuckDB by prepending a literal 0.0 to the value list, so the raw
+# drift statistic is bitwise cross-engine. allowance=120/threshold=250
+# split the sf0.01 population non-vacuously (measured median max-S
+# ≈ 190).
+@_register("events_cusum_drift", _cusum_oracle_sql())
+def events_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import cusum_drift
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return cusum_drift(
+        ev, key="user_id", ts="ts", tiebreak="event_id", value="value",
+        allowance=120.0, threshold=250.0,
+    )
+
+
+def _seq_regex_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.temporal import (
+        event_sequence_regex_oracle_sql,
+    )
+
+    return event_sequence_regex_oracle_sql(
+        table="events", key="user_id", ts="ts", tiebreak="event_id",
+        type_col="event_type", pattern="s[^e]*p",
+    )
+
+
+# CEP-lite sequence matching (the MATCH_RECOGNIZE shape): per user the
+# time-ordered event-type initials string and whether it contains a
+# signup followed by a purchase with NO error between (s[^e]*p —
+# RE2-safe, both engines agree). One key shuffle builds the string;
+# the match is a projection.
+@_register("event_sequence_regex", _seq_regex_oracle_sql())
+def event_sequence_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import (
+        event_sequence_regex,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return event_sequence_regex(
+        ev, key="user_id", ts="ts", tiebreak="event_id",
+        type_col="event_type", pattern="s[^e]*p",
     )
 
 

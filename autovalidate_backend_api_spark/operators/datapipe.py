@@ -2687,3 +2687,80 @@ def cluster_aware_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def quota_allocation(
+    groups: DataFrame, *, key: str, count_col: str, total_slots: int
+) -> DataFrame:
+    """Largest-remainder apportionment (Hamilton's method): split
+    ``total_slots`` sample slots across groups proportionally to
+    ``count_col``, EXACTLY — ``Σ quota = total_slots`` by construction,
+    no float rounding drift ever.
+
+    The missing piece between domain_mixture_weights (the ratios) and
+    stratified_sample (the draw): a mixture ratio times a slot budget
+    is fractional, and naive per-group rounding mis-totals. Hamilton:
+    ``base = (N·c) div C`` slots per group, then the ``N − Σbase``
+    leftover slots go to the largest remainders ``(N·c) mod C``
+    (rank ties broken by key asc). Everything is BIGINT multiply /
+    div / mod — bit-exact on any engine, no quotient floats.
+
+    Scale shape: one map-side-combinable count per group feeds this;
+    the allocation itself runs on the GROUP table (domains — tiny by
+    definition), so the remainder rank is a window over rows that fit
+    one task by construction; C and the leftover R are the only driver
+    scalars. Returns ``key, n_items, base_quota, extra, quota``.
+    """
+    tot = groups.agg(F.sum(count_col).cast("bigint").alias("c")).first()
+    c_total = int(tot["c"])
+    scaled = groups.select(
+        F.col(key),
+        F.col(count_col).cast("bigint").alias("n_items"),
+        F.expr(
+            f"(CAST({total_slots} AS BIGINT) * CAST({count_col} AS BIGINT))"
+            f" div {c_total}"
+        ).alias("base_quota"),
+        F.expr(
+            f"(CAST({total_slots} AS BIGINT) * CAST({count_col} AS BIGINT))"
+            f" % {c_total}"
+        ).alias("rem"),
+    )
+    base_sum = int(scaled.agg(F.sum("base_quota")).first()[0])
+    leftover = total_slots - base_sum
+    w = Window.orderBy(F.desc("rem"), F.asc(key))
+    return scaled.select(
+        key,
+        "n_items",
+        "base_quota",
+        (F.row_number().over(w) <= leftover).cast("bigint").alias("extra"),
+    ).select(
+        key,
+        "n_items",
+        "base_quota",
+        "extra",
+        (F.col("base_quota") + F.col("extra")).cast("bigint").alias("quota"),
+    )
+
+
+def quota_allocation_oracle_sql(
+    groups_cte: str, *, key: str, total_slots: int
+) -> str:
+    """DuckDB twin of :func:`quota_allocation`; ``groups_cte`` must
+    define ``grp(key, n_items)``."""
+    return f"""WITH {groups_cte},
+    tot AS (SELECT CAST(sum(n_items) AS BIGINT) AS c FROM grp),
+    scaled AS (SELECT {key}, n_items,
+        ({total_slots} * n_items) // tot.c AS base_quota,
+        ({total_slots} * n_items) % tot.c AS rem
+      FROM grp, tot),
+    bs AS (SELECT CAST(sum(base_quota) AS BIGINT) AS s FROM scaled),
+    ranked AS (SELECT *,
+        row_number() OVER (ORDER BY rem DESC, {key}) AS rk FROM scaled)
+    SELECT {key}, CAST(n_items AS BIGINT) AS n_items,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(CASE WHEN rk <= {total_slots} - bs.s THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+           CAST(base_quota
+                + CASE WHEN rk <= {total_slots} - bs.s THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked, bs"""

@@ -371,3 +371,176 @@ def ewma_oracle_sql(
       list_reduce(list(CAST({value} AS DOUBLE) ORDER BY {ts}, {tiebreak}),
                   (a, x) -> x) AS last_value
     FROM {table} GROUP BY 1"""
+
+
+_EVENT_INITIALS = "substr({c}, 1, 1)"
+
+
+def event_sequence_regex(
+    events: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    type_col: str,
+    pattern: str,
+) -> DataFrame:
+    """CEP-lite sequence matching: per key, the time-ordered event-type
+    sequence folded to an initials string, regex-matched against
+    ``pattern`` — MATCH_RECOGNIZE's most-used shape (does this user's
+    history contain signup … purchase with anything between?) without
+    the per-row NFA machinery.
+
+    The string IS the per-key state: one key shuffle builds it
+    (sort_array + concat of collect_list — the EWMA fold contract
+    applied to strings, where concatenation order is the only float-
+    free analog of the recurrence), then the match is a pure
+    projection. Pattern must stay in the RE2-safe subset (no
+    backrefs/lookaround) so Spark's regexp and DuckDB's RE2 agree.
+
+    Returns ``key, n_events, seq, matched``. Per-key sequence length
+    bounds memory — for unbounded keys, window the input upstream
+    (the sessionizer) before matching.
+    """
+    seq = events.groupBy(key).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(ts), F.col(tiebreak), F.col(type_col))
+            )
+        ).alias("xs"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    initials = F.array_join(
+        F.transform(F.col("xs"), lambda s: F.substring(s[type_col], 1, 1)), ""
+    )
+    return seq.select(
+        F.col(key),
+        "n_events",
+        initials.alias("seq"),
+    ).withColumn("matched", F.col("seq").rlike(pattern))
+
+
+def event_sequence_regex_oracle_sql(
+    *,
+    table: str,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    type_col: str,
+    pattern: str,
+) -> str:
+    """DuckDB twin of :func:`event_sequence_regex` — same ordered
+    concatenation, same RE2 pattern."""
+    return f"""SELECT {key},
+      CAST(count(*) AS BIGINT) AS n_events,
+      string_agg(substr({type_col}, 1, 1), '' ORDER BY {ts}, {tiebreak})
+        AS seq,
+      regexp_matches(
+        string_agg(substr({type_col}, 1, 1), '' ORDER BY {ts}, {tiebreak}),
+        '{pattern}') AS matched
+    FROM {table} GROUP BY 1"""
+
+
+def cusum_drift(
+    events: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+    allowance: float,
+    threshold: float,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key (Page 1954):
+    ``S_i = max(0, S_{i-1} + x_i − allowance)`` over the time-ordered
+    values, with the running max of ``S`` as the drift statistic and a
+    flag when it exceeds ``threshold`` — the classic upward level-shift
+    monitor a metrics pipeline runs per entity.
+
+    Second member of the recurrence class beside :func:`ewma_by_key`,
+    with a STRUCT accumulator (current S, max S): Spark folds with an
+    explicit ``struct(0.0, 0.0)`` init. The DuckDB oracle does NOT
+    mirror the fold — struct-accumulator ``list_reduce`` lambdas are
+    miscompiled in DuckDB 1.0.0 (see :func:`cusum_oracle_sql`) — it
+    runs the identical recurrence as a row-by-row recursive CTE, so
+    every op (add, subtract-literal, greatest) is the same exactly-
+    rounded sequence and the raw doubles are bitwise cross-engine.
+    ``allowance``/``threshold`` are ``repr`` literals shared by both
+    engines.
+
+    Scale shape: identical to ewma_by_key — ONE key shuffle, O(1)
+    state per key.
+    """
+    seq = events.groupBy(key).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts), F.col(tiebreak), F.col(value)))
+        ).alias("xs"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    vals = F.transform(F.col("xs"), lambda s: s[value])
+    seq = seq.select(key, "n_events", vals.alias("vs"))
+    step = lambda a, x: F.struct(
+        F.greatest(F.lit(0.0), a["s"] + x - F.lit(allowance)).alias("s"),
+        F.greatest(
+            a["m"], F.greatest(F.lit(0.0), a["s"] + x - F.lit(allowance))
+        ).alias("m"),
+    )
+    folded = F.aggregate(
+        F.col("vs"),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("m")),
+        step,
+    )
+    return seq.select(
+        F.col(key),
+        "n_events",
+        folded["s"].alias("cusum_final"),
+        folded["m"].alias("cusum_max"),
+    ).withColumn("drifted", F.col("cusum_max") > threshold)
+
+
+def cusum_oracle_sql(
+    *,
+    table: str,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+    allowance: float,
+    threshold: float,
+) -> str:
+    """DuckDB twin of :func:`cusum_drift` — recursive-CTE recurrence.
+
+    NOT a ``list_reduce`` struct fold: DuckDB 1.0.0 evaluates struct-
+    ACCUMULATOR lambdas wrongly when a later field shares a
+    subexpression with an earlier one (the shared subtree is re-bound
+    to the partially-updated accumulator — measured ``[150,150]`` →
+    max 90 instead of 60, and the lagged form ``greatest(a.m, a.s)``
+    breaks in the opposite direction). Scalar-accumulator folds (ewma,
+    bm25) are unaffected. The row-by-row recursive CTE evaluates each
+    SELECT functionally, so the identical exactly-rounded op sequence
+    runs on both engines; ``ordered`` is MATERIALIZED per the kcore
+    lineage rule (plain CTEs inline into every recursion step and
+    exhaust parquet file handles).
+    """
+    k, h = repr(float(allowance)), repr(float(threshold))
+    return f"""WITH RECURSIVE ordered AS MATERIALIZED (
+      SELECT {key} AS key,
+             CAST(row_number() OVER (PARTITION BY {key}
+               ORDER BY {ts}, {tiebreak}) AS BIGINT) AS pos,
+             CAST({value} AS DOUBLE) AS x,
+             CAST(count(*) OVER (PARTITION BY {key}) AS BIGINT) AS n
+      FROM {table}),
+    rec AS (
+      SELECT key, CAST(0 AS BIGINT) AS pos,
+             CAST(0.0 AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS m,
+             max(n) AS n
+      FROM ordered GROUP BY key
+      UNION ALL
+      SELECT o.key, o.pos,
+             greatest(0.0, r.s + o.x - {k}) AS s,
+             greatest(r.m, greatest(0.0, r.s + o.x - {k})) AS m,
+             r.n
+      FROM rec r JOIN ordered o ON o.key = r.key AND o.pos = r.pos + 1)
+    SELECT key AS {key}, n AS n_events, s AS cusum_final,
+           m AS cusum_max, m > {h} AS drifted
+    FROM rec WHERE pos = n"""

@@ -243,3 +243,73 @@ def cdc_state_latest(changes: DataFrame, *, delete_op: str = "D") -> DataFrame:
     return changes.groupBy("k").applyInPandasWithState(
         update, CDC_OUT, CDC_STATE, "update", "NoTimeout"
     )
+
+
+EWMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_value", T.DoubleType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+
+def ewma_state(events: DataFrame, *, alpha: float = 0.5) -> DataFrame:
+    """Streaming per-user EWMA — the online form of
+    :func:`~autovalidate_backend_api_spark.operators.temporal.
+    ewma_by_key`: state per key is (last event epoch-us, count, ewma,
+    last value); each micro-batch sorts ITS OWN rows by (ts, event_id)
+    and folds ``s ← (1−alpha)·s + alpha·x``.
+
+    Order-sensitive state with the sessionize_stateful contract:
+    correct under event-time-ordered arrival per key (intra-batch
+    disorder absorbed by the sort); unordered history belongs to the
+    batch backfill. Because every fold step is the identical
+    exactly-rounded double op sequence the batch operator runs
+    (Python's float IS IEEE binary64 — same bits as the JVM fold), the
+    post-stream state equals the batch EWMA BITWISE under ordered
+    replay — pinned in tests. Per-key state is O(1): two longs, two
+    doubles.
+    """
+    if not events.isStreaming:
+        raise ValueError("ewma_state is streaming-only; "
+                         "use temporal.ewma_by_key for batch DataFrames")
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, n, ewma, last_v = (
+            state.get if state.exists else (None, 0, None, None)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts_us, x in zip(
+            rows["ts"].astype("int64") // 1_000, rows["value"]
+        ):
+            x = float(x)
+            ewma = x if ewma is None else (1.0 - alpha) * ewma + alpha * x
+            last_ts, last_v, n = int(ts_us), x, n + 1
+        state.update((last_ts, n, ewma, last_v))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_value": [ewma],
+                "last_value": [last_v],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, EWMA_OUT, EWMA_STATE, "update", "NoTimeout"
+    )

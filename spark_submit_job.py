@@ -89,6 +89,12 @@ def main() -> None:
                          "cohesion), k-core (community depth) — the "
                          "quality-weighting signals a curation run "
                          "feeds sampling (requires --output)")
+    ap.add_argument("--search-report", action="store_true",
+                    help="also build the corpus inverted index and write "
+                         "the ranked-retrieval pair over it: BM25 top-10 "
+                         "and the BM25⊕tf-cosine reciprocal-rank-fusion "
+                         "top-10 per md5-bucketed query set (requires "
+                         "--output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -503,6 +509,63 @@ def main() -> None:
         summary["maintenance"] = {
             "compaction_bins": back.count(),
             "digest_ranges": spark.read.parquet(prev_path).count(),
+        }
+
+    if args.search_report:
+        if not args.output:
+            ap.error("--search-report requires --output")
+        # Ranked retrieval over the deduped corpus — the reference's
+        # /search flow at batch scale: one inverted index feeds BM25
+        # and the BM25⊕tf-cosine RRF fusion (queries = the vocabulary
+        # md5-bucketed into 4 term sets, the same deterministic rule
+        # as the driver gates, so the report is reproducible run to
+        # run with no query fixture to ship).
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.functions.normalize import (
+            normalize_text_col,
+        )
+        from autovalidate_backend_api_spark.operators.retrieval import (
+            bm25_topk,
+            hybrid_rrf_topk,
+        )
+
+        sdocs = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        terms = sdocs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text_col(F.col("text")), " ")
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+        queries = (
+            terms.select("term")
+            .distinct()
+            .select(
+                (
+                    F.conv(F.substring(F.md5("term"), 1, 3), 16, 10)
+                    .cast("bigint")
+                    % 4
+                ).alias("qid"),
+                "term",
+            )
+        )
+        bm = bm25_topk(terms, queries, k=10)
+        bm.write.mode("overwrite").parquet(f"{args.output}/search_bm25")
+        rrf = hybrid_rrf_topk(terms, queries, k=10)
+        rrf.write.mode("overwrite").parquet(f"{args.output}/search_rrf")
+        back = spark.read.parquet(f"{args.output}/search_rrf")
+        summary["search"] = {
+            "index_terms": terms.select("term").distinct().count(),
+            "bm25_rows": spark.read.parquet(
+                f"{args.output}/search_bm25"
+            ).count(),
+            "rrf_rows": back.count(),
+            "fused_rank_moves": back.filter(
+                (F.col("r_bm25") != F.col("rnk")) | (F.col("r_cos") != F.col("rnk"))
+            ).count(),
         }
 
     print(json.dumps(summary))

@@ -1997,3 +1997,35 @@ def test_term_cooccurrence_max_df_cap_drops_stopwords(spark):
     assert terms <= {"w0", "w1", "w2"} and not out or all(
         r["n_ab"] >= 1 for r in out
     )
+
+
+def test_quota_allocation_sums_exactly_and_ranks_remainders(spark):
+    """Hamilton invariants: Σ quota == total_slots EXACTLY on a case
+    where naive rounding mis-totals (3 groups × 1/3 of 100), extras go
+    to the largest remainders with key-asc tie-break, and a dominant
+    group's quota is its exact floor share."""
+    from autovalidate_backend_api_spark.operators.datapipe import quota_allocation
+
+    grp = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "domain: string, n_items: bigint"
+    )
+    got = {
+        r["domain"]: r
+        for r in quota_allocation(
+            grp, key="domain", count_col="n_items", total_slots=100
+        ).collect()
+    }
+    assert sum(r["quota"] for r in got.values()) == 100
+    # 100/3: base 33 each, remainder 1 slot -> key-asc tie-break -> 'a'
+    assert [got[k]["quota"] for k in "abc"] == [34, 33, 33]
+
+    grp2 = spark.createDataFrame(
+        [("big", 997), ("s1", 2), ("s2", 1)], "domain: string, n_items: bigint"
+    )
+    got2 = {
+        r["domain"]: r["quota"]
+        for r in quota_allocation(
+            grp2, key="domain", count_col="n_items", total_slots=10
+        ).collect()
+    }
+    assert sum(got2.values()) == 10 and got2["big"] >= 9

@@ -158,3 +158,34 @@ def test_rolling_distinct_no_join(spark, sf_dir):
     any scale."""
     plan = _plan_of("events_rolling_distinct_users", spark, sf_dir)
     assert "Join" not in plan, plan
+
+
+def test_ewma_and_sequence_regex_plan_one_key_exchange(spark, sf_dir):
+    """The recurrence/sequence ops are ONE key shuffle by design: the
+    sorted collect_list agg and the fold/regex projection must not add
+    a second hash exchange or any join."""
+    import re
+
+    for name in ("events_ewma", "event_sequence_regex"):
+        plan = _plan_of(name, spark, sf_dir)
+        assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, (
+            name, plan,
+        )
+        assert "Join" not in plan, name
+
+
+def test_posting_bitmap_stats_no_join(spark, sf_dir):
+    """The bitmap build is pure aggregation — (term, word) cells then
+    per-term rollup; any join in the plan means the popcount/exact
+    certification regressed to a self-join."""
+    plan = _plan_of("posting_bitmap_stats", spark, sf_dir)
+    assert "Join" not in plan, plan
+
+
+def test_quota_allocation_window_is_on_aggregated_groups(spark, sf_dir):
+    """Hamilton's remainder rank runs over the DOMAIN table (one row
+    per group): the window must sit above the aggregation, and the
+    plan must stay join-free (C and the leftover are driver scalars,
+    not joined-in relations)."""
+    plan = _plan_of("domain_quota_allocation", spark, sf_dir)
+    assert "Window" in plan and "Join" not in plan, plan

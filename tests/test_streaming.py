@@ -429,3 +429,70 @@ def test_cdc_state_latest_rejects_batch(spark):
 
     with pytest.raises(ValueError):
         cdc_state_latest(df)
+
+
+def test_ewma_state_matches_batch_fold_bitwise(spark, tmp_path):
+    """Streaming EWMA ≡ batch ewma_by_key BITWISE under event-time-
+    ordered file arrival: the fold crosses micro-batch boundaries via
+    state, intra-file disorder is absorbed by the per-batch sort, and
+    every double op is the identical exactly-rounded sequence the
+    batch operator runs."""
+    import pyspark.sql.types as T
+
+    from autovalidate_backend_api_spark.operators.temporal import ewma_by_key
+    from autovalidate_backend_api_spark.streaming.stateful import ewma_state
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    files = [
+        # intra-file disorder; per-user event-time order across files
+        [(2, "2024-01-01 00:10:00", 1, 3.3), (1, "2024-01-01 00:00:00", 1, 10.1),
+         (3, "2024-01-01 00:05:00", 2, 42.5)],
+        [(4, "2024-01-01 00:20:00", 1, 7.77), (5, "2024-01-01 01:00:00", 2, 0.25)],
+        [(6, "2024-01-01 02:00:00", 1, 1.125)],
+    ]
+    src = str(tmp_path / "ewma_stream")
+    import glob
+    import shutil
+
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(f"{src}/tmp{i}")
+        part = glob.glob(f"{src}/tmp{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/file_{i}.parquet")
+        shutil.rmtree(f"{src}/tmp{i}")
+
+    emitted, n_batches = _stream_to_memory(
+        spark, src, schema, lambda s: ewma_state(s), "ewma_sf"
+    )
+    assert n_batches >= 3  # the fold genuinely crossed micro-batches
+    final = {}
+    for r in emitted:  # n_events is monotone → max row is latest
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+
+    batch_rows = spark.createDataFrame(
+        [r for rows in files for r in rows],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        r["user_id"]: r
+        for r in ewma_by_key(
+            batch_rows, key="user_id", ts="ts", tiebreak="event_id",
+            value="value",
+        ).collect()
+    }
+    assert set(final) == set(want) == {1, 2}
+    for uid in want:
+        assert final[uid]["n_events"] == want[uid]["n_events"]
+        assert final[uid]["ewma_value"] == want[uid]["ewma_value"]  # bitwise
+        assert final[uid]["last_value"] == want[uid]["last_value"]

@@ -215,3 +215,39 @@ def test_ewma_matches_python_fold_bitwise(spark):
     assert got[1]["ewma_value"] == s
     assert got[1]["last_value"] == 7.75 and got[1]["n_events"] == 3
     assert got[2]["ewma_value"] == 42.125 and got[2]["n_events"] == 1
+
+
+def test_cusum_drift_matches_python_fold_bitwise(spark):
+    """Hand-replayed Page CUSUM: vals (1, 5, 2) at allowance 3 →
+    S path 0, 2, 1 with max 2 (the DuckDB zero-prepend worked example);
+    a key whose values never exceed the allowance stays at 0."""
+    import datetime as dt
+
+    from autovalidate_backend_api_spark.operators.temporal import cusum_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 0, 1.0),
+        (1, t0 + dt.timedelta(hours=1), 1, 5.0),
+        (1, t0 + dt.timedelta(hours=2), 2, 2.0),
+        (2, t0, 3, 2.5),
+        (2, t0 + dt.timedelta(hours=1), 4, 1.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id: bigint, ts: timestamp, event_id: bigint, value: double"
+    )
+    got = {
+        r["user_id"]: r
+        for r in cusum_drift(
+            ev, key="user_id", ts="ts", tiebreak="event_id", value="value",
+            allowance=3.0, threshold=1.5,
+        ).collect()
+    }
+    s = m = 0.0
+    for x in (1.0, 5.0, 2.0):
+        s = max(0.0, s + x - 3.0)
+        m = max(m, s)
+    assert got[1]["cusum_final"] == s == 1.0
+    assert got[1]["cusum_max"] == m == 2.0
+    assert got[1]["drifted"] is True
+    assert got[2]["cusum_max"] == 0.0 and got[2]["drifted"] is False
