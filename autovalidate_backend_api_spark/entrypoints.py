@@ -7449,6 +7449,240 @@ def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n gates: link prediction, l-diversity, interval concurrency,
+# chi-square distinctive terms, exact range-partition bounds
+# ---------------------------------------------------------------------------
+
+# Sparse 29-node graph: two affine permutation families (union-several-
+# coprime-families densify rule) + a %97-gated hub fan-in to n0 so
+# degrees are genuinely non-uniform (deg(n0)=28 vs ~4 elsewhere). Both
+# scales cover every residue class (97·29 < 6000), so the edge set —
+# and the gate's answer — is identical at sf0.001 and sf0.01.
+_LINKPRED_EDGES_SQL = """e AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+        SELECT 'n' || CAST(doc_id % 29 AS VARCHAR) AS s,
+               'n' || CAST((doc_id * 5 + 1) % 29 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'n' || CAST(doc_id % 29 AS VARCHAR),
+               'n' || CAST((doc_id * 3 + 2) % 29 AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n' || CAST(doc_id % 29 AS VARCHAR), 'n0'
+        FROM documents WHERE doc_id % 97 = 0
+      ) WHERE s <> d)"""
+
+
+def _link_prediction_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import link_prediction_sql
+
+    return link_prediction_sql(_LINKPRED_EDGES_SQL)
+
+
+# Common-neighbor / preferential-attachment / neighborhood-Jaccard link
+# prediction (Liben-Nowell & Kleinberg) — sub-threshold fork-merge
+# candidates over the repo graph. Candidates come from the wedge join
+# (never the pair space); Adamic-Adar is deliberately absent (Σ 1/log
+# is an order-dependent accumulation over a not-correctly-rounded log).
+# The one float is cn/(du+dv-cn): one exactly-rounded division.
+@_register("graph_link_prediction", _link_prediction_oracle_sql())
+def graph_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import link_prediction
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n29 = F.concat(F.lit("n"), (F.col("doc_id") % 29).cast("string"))
+    fam1 = docs.select(
+        n29.alias("u"),
+        F.concat(F.lit("n"), ((F.col("doc_id") * 5 + 1) % 29).cast("string")).alias("v"),
+    )
+    fam2 = docs.select(
+        n29.alias("u"),
+        F.concat(F.lit("n"), ((F.col("doc_id") * 3 + 2) % 29).cast("string")).alias("v"),
+    )
+    hub = docs.filter(F.col("doc_id") % 97 == 0).select(
+        n29.alias("u"), F.lit("n0").alias("v")
+    )
+    edges = fam1.unionByName(fam2).unionByName(hub)
+    return link_prediction(edges)
+
+
+def _l_diversity_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.profiling import (
+        l_diversity_oracle_sql,
+    )
+
+    return l_diversity_oracle_sql(
+        "customer",
+        [
+            ("nationkey", "CAST(c_nationkey AS BIGINT)"),
+            ("bal_bucket", "CAST(floor(c_acctbal / 250.0) AS BIGINT)"),
+        ],
+        "c_mktsegment",
+        l=3,
+    )
+
+
+# l-diversity audit (Machanavajjhala et al. 2006) — the homogeneity-
+# attack control k-anonymity misses: per (nation, 250-wide balance
+# bucket) class, the distinct market-segment count and the l>=3
+# verdict. The 250-wide bucket makes the class-size distribution
+# genuinely mixed at sf0.01 (many sub-l classes, some passing), so both
+# verdict branches carry rows. Exact BIGINTs only.
+@_register("l_diversity_report", _l_diversity_oracle_sql())
+def l_diversity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.profiling import (
+        l_diversity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / F.lit(250.0)).cast("bigint").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return l_diversity_report(
+        cust, ["nationkey", "bal_bucket"], "segment", l=3
+    )
+
+
+def _concurrency_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.temporal import (
+        interval_concurrency_oracle_sql,
+    )
+
+    return interval_concurrency_oracle_sql(
+        table="events", key="user_id", ts="ts", bucket_us=60_000_000
+    )
+
+
+# Sweep-line interval concurrency: how many users are mid-session (
+# between their first and last event, minute buckets) at every boundary
+# — the capacity-planning step function + its peak. Events collapse to
+# Θ(|users|) intervals in the first map-side-combinable agg; the
+# running sum runs over the collapsed boundary table. Exact BIGINTs.
+@_register("interval_concurrency_curve", _concurrency_oracle_sql())
+def interval_concurrency_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return interval_concurrency(
+        ev, key_col="user_id", ts_col="ts", bucket_us=60_000_000
+    )
+
+
+# Chi-square distinctive terms per language — the keyword-extraction /
+# domain-signature op (Manning & Schütze §5.3.3) with the EXACT-
+# INTEGER-MOMENTS float discipline: the 2×2 contingency table per
+# (lang, term) reduces to BIGINTs a=tf(term,lang), tt=tf(term),
+# lt=tokens(lang), N=tokens; the cross term a·d-b·c simplifies exactly
+# to a·N - tt·lt (BIGINT, ≤9e12 at sf0.1), and chi² spends floats only
+# in ONE shared final expression: N·t²/(tt·(N-tt)·lt·(N-lt)). Top-3
+# per lang, rank ties broken by term — deterministic cross-engine
+# because the doubles are bitwise equal. N rides in as a scalar
+# subquery (oracle) / bounded collected literal (Spark): a 1-row cross
+# join would plan as the banned nested loop (corpus_summary rule).
+@_register(
+    "lang_term_chi2_top",
+    f"""WITH t AS (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+        ct AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS a
+               FROM t WHERE term != '' GROUP BY 1, 2),
+        tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS tt FROM ct GROUP BY 1),
+        lt AS (SELECT lang, CAST(sum(a) AS BIGINT) AS lt FROM ct GROUP BY 1),
+        n AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM ct),
+        x AS (SELECT ct.lang, ct.term, ct.a, tt.tt, lt.lt,
+                     (SELECT n FROM n) AS n,
+                     ct.a * (SELECT n FROM n) - tt.tt * lt.lt AS tnum
+              FROM ct JOIN tt USING (term) JOIN lt USING (lang)),
+        s AS (SELECT lang, term, a AS tf_in_lang, tt AS tf_total,
+                     round(CAST(n AS DOUBLE)
+                           * (CAST(tnum AS DOUBLE) * CAST(tnum AS DOUBLE))
+                           / (CAST(tt AS DOUBLE) * CAST(n - tt AS DOUBLE)
+                              * CAST(lt AS DOUBLE) * CAST(n - lt AS DOUBLE)),
+                           6) AS chi2
+              FROM x),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY chi2 DESC, term ASC) AS rnk
+              FROM s)
+    SELECT lang, term, tf_in_lang, tf_total, chi2, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3""",
+)
+def lang_term_chi2_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    ct = t.groupBy("lang", "term").agg(F.count("*").cast("bigint").alias("a"))
+    ct = ct.persist()
+    tt = ct.groupBy("term").agg(F.sum("a").cast("bigint").alias("tt"))
+    lt = ct.groupBy("lang").agg(F.sum("a").cast("bigint").alias("lt"))
+    n = int(ct.agg(F.sum("a")).first()[0])  # one bounded BIGINT scalar
+    x = (
+        ct.join(tt, "term")
+        .join(F.broadcast(lt), "lang")
+        .withColumn("n", F.lit(n).cast("bigint"))
+        .withColumn(
+            "tnum",
+            (F.col("a") * F.col("n") - F.col("tt") * F.col("lt")).cast("bigint"),
+        )
+    )
+    td = F.col("tnum").cast("double")
+    chi2 = F.round(
+        F.col("n").cast("double") * (td * td)
+        / (
+            F.col("tt").cast("double")
+            * (F.col("n") - F.col("tt")).cast("double")
+            * F.col("lt").cast("double")
+            * (F.col("n") - F.col("lt")).cast("double")
+        ),
+        6,
+    )
+    s = x.select(
+        "lang",
+        "term",
+        F.col("a").alias("tf_in_lang"),
+        F.col("tt").alias("tf_total"),
+        chi2.alias("chi2"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), F.col("term").asc())
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def _range_bounds_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.sources.layout import (
+        range_partition_bounds_sql,
+    )
+
+    return range_partition_bounds_sql(
+        "documents", "CAST(n_chars AS BIGINT)", n_bins=8
+    )
+
+
+# Exact equi-depth range-partition boundaries over documents.n_chars —
+# the boundary table a range-partitioned sort ships to every task
+# (Spark's RangePartitioner approximates exactly this by sampling; the
+# exact version is the auditable planning artifact). Rows collapse to
+# a value histogram first, so the running sum is over Θ(|distinct
+# values|), and ceil(k·N/8) is integer div arithmetic. Exact BIGINTs.
+@_register("range_partition_plan", _range_bounds_oracle_sql())
+def range_partition_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.sources.layout import (
+        range_partition_bounds,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    return range_partition_bounds(docs, "n_chars", n_bins=8)
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

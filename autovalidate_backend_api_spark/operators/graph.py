@@ -753,3 +753,89 @@ def kahn_oracle_sql(edges_cte: str, *, rounds: int = 10) -> str:
       UNION ALL SELECT node, CAST(-1 AS BIGINT) FROM n{rounds})
     SELECT node, built_round, built_round < 0 AS blocked FROM res"""
     )
+
+
+def link_prediction(edges: DataFrame) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph
+    ``edges(u, v)`` (any orientation; canonicalized and deduped here):
+    for every NON-adjacent pair sharing at least one neighbor, the three
+    classic scores — common-neighbor count, preferential attachment
+    (deg_u * deg_v, Barabási–Albert), and neighborhood Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)| (Liben-Nowell & Kleinberg, CIKM'03).
+
+    The dedup-pipeline use: given the repo-overlap graph, predicted
+    links are fork relationships the overlap threshold narrowly missed
+    — review candidates for cluster merging, exactly the role the
+    reference's sub-threshold fuzzy candidates play in its suggestion
+    list (/root/reference/app/api/core/search.py:100-130).
+
+    Scale shape: the pair space is NEVER enumerated — candidates come
+    from the wedge join (adjacency self-joined on the shared endpoint,
+    Θ(Σ deg²) like triangle_stats, hub-bounded by the same argument),
+    one map-side-combinable count per pair, one left-anti join against
+    the edge set to keep non-edges, and two node-keyed degree joins.
+    Adamic-Adar is deliberately absent: its Σ 1/log(deg) is an
+    order-dependent float accumulation over a NOT-correctly-rounded
+    log — unverifiable cross-engine (the corr()/stddev() rule).
+
+    Float discipline: cn, degrees, pref_attach are exact BIGINTs;
+    jaccard = cn / (deg_u + deg_v - cn) is ONE IEEE-exactly-rounded
+    division of exactly representable ints — bitwise cross-engine.
+    """
+    a, b = F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct().persist()
+    # symmetric adjacency + degrees
+    n = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = n.groupBy(F.col("x").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    # wedges: two neighbors of the same center, ordered to canonical form
+    n1 = n.select(F.col("x").alias("w"), F.col("y").alias("u"))
+    n2 = n.select(F.col("x").alias("w"), F.col("y").alias("v"))
+    cn = (
+        n1.join(n2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    nonedge = cn.join(
+        e,
+        (cn["u"] == e["a"]) & (cn["v"] == e["b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    out = nonedge.join(du, "u").join(dv, "v")
+    return out.select(
+        "u",
+        "v",
+        "cn",
+        "deg_u",
+        "deg_v",
+        (F.col("deg_u") * F.col("deg_v")).cast("bigint").alias("pref_attach"),
+        (
+            F.col("cn").cast("double")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def link_prediction_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`link_prediction`. ``edges_cte`` must define
+    ``e(a, b)`` canonical (a < b, no self-loops) and distinct. The one
+    float is the same single division."""
+    return f"""WITH {edges_cte},
+    n AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM n GROUP BY 1),
+    cn AS (SELECT n1.y AS u, n2.y AS v, CAST(count(*) AS BIGINT) AS cn
+           FROM n n1 JOIN n n2 ON n1.x = n2.x AND n1.y < n2.y
+           GROUP BY 1, 2),
+    ne AS (SELECT cn.* FROM cn LEFT JOIN e ON e.a = cn.u AND e.b = cn.v
+           WHERE e.a IS NULL)
+    SELECT ne.u, ne.v, ne.cn, du.d AS deg_u, dv.d AS deg_v,
+           CAST(du.d * dv.d AS BIGINT) AS pref_attach,
+           CAST(ne.cn AS DOUBLE) / CAST(du.d + dv.d - ne.cn AS DOUBLE)
+             AS jaccard
+    FROM ne JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v"""

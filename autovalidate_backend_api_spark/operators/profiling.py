@@ -206,3 +206,77 @@ def k_anonymity_oracle_sql(
     SELECT {names}, class_n, class_n >= {k} AS meets_k,
            g.n_rows, g.n_at_risk, g.k_anonymity
     FROM cls, g"""
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    control k-anonymity famously misses: a class can hold 50 records
+    (k-anonymous) where every record shares ONE sensitive value, so an
+    attacker linking the quasi-identifiers learns the secret without
+    identifying the row (the homogeneity attack). Distinct l-diversity
+    requires every equivalence class to carry >= ``l`` distinct
+    sensitive values.
+
+    Per class: size, distinct sensitive count, the l verdict; plus the
+    global row count, the rows exposed to the homogeneity attack
+    (classes with fewer than ``l`` distinct sensitive values), and the
+    corpus-wide minimum diversity. Release rule downstream: generalize
+    or suppress every sub-l class — the trivial anti-join.
+
+    Scale shape mirrors :func:`k_anonymity_report`: one aggregation
+    keyed by the quasi tuple (count + count(DISTINCT sensitive) share
+    the grouping — a single Expand-free shuffle since there is one
+    distinct set), one 3-scalar global aggregate ridden back as
+    literals. Exact BIGINTs only; no floats anywhere.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("bigint").alias("class_n"),
+        F.countDistinct(F.col(sensitive_col)).cast("bigint").alias("l_distinct"),
+    )
+    tot = classes.agg(
+        F.sum("class_n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_distinct") < l, F.col("class_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_homogeneity_exposed"),
+        F.min("l_distinct").cast("bigint").alias("l_diversity"),
+    ).first()
+    return classes.select(
+        *quasi_cols,
+        "class_n",
+        "l_distinct",
+        (F.col("l_distinct") >= l).alias("meets_l"),
+        F.lit(int(tot["n_rows"])).cast("bigint").alias("n_rows"),
+        F.lit(int(tot["n_homogeneity_exposed"]))
+        .cast("bigint")
+        .alias("n_homogeneity_exposed"),
+        F.lit(int(tot["l_diversity"])).cast("bigint").alias("l_diversity"),
+    )
+
+
+def l_diversity_oracle_sql(
+    table: str,
+    quasi_sql: list[tuple[str, str]],
+    sensitive_sql: str,
+    *,
+    l: int = 3,
+) -> str:
+    """DuckDB twin of :func:`l_diversity_report`."""
+    sel = ", ".join(f"{expr} AS {a}" for a, expr in quasi_sql)
+    names = ", ".join(a for a, _ in quasi_sql)
+    return f"""WITH cls AS (
+      SELECT {sel}, CAST(count(*) AS BIGINT) AS class_n,
+             CAST(count(DISTINCT {sensitive_sql}) AS BIGINT) AS l_distinct
+      FROM {table} GROUP BY {names}),
+    g AS (SELECT CAST(sum(class_n) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN l_distinct < {l} THEN class_n ELSE 0 END)
+                      AS BIGINT) AS n_homogeneity_exposed,
+                 CAST(min(l_distinct) AS BIGINT) AS l_diversity FROM cls)
+    SELECT {names}, class_n, l_distinct, l_distinct >= {l} AS meets_l,
+           g.n_rows, g.n_homogeneity_exposed, g.l_diversity
+    FROM cls, g"""

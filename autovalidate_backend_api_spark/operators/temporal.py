@@ -544,3 +544,77 @@ def cusum_oracle_sql(
     SELECT key AS {key}, n AS n_events, s AS cusum_final,
            m AS cusum_max, m > {h} AS drifted
     FROM rec WHERE pos = n"""
+
+
+def interval_concurrency(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Sweep-line concurrency over per-key activity intervals: each key
+    spans [first bucket, last bucket] of its events; the output is the
+    step function (boundary bucket, number of concurrently active keys)
+    plus an ``is_peak`` flag on the global maximum — the
+    capacity-planning primitive (max simultaneous sessions/tenants) and
+    the classic interval-stabbing aggregation.
+
+    Shape: one groupBy(key) builds the intervals (a Θ(|keys|) table —
+    the events themselves never leave that first map-side-combinable
+    aggregation), each interval emits exactly two delta rows (+1 at
+    start, -1 one bucket past the end), one groupBy(boundary) sums
+    deltas, and a running sum over the boundary order yields the step
+    function. The running sum's window is a global ORDER BY over
+    Θ(|distinct boundaries|) rows — bounded by 2·|keys|, NOT by |events|;
+    at 1000-executor scale this is the standard two-phase prefix sum
+    (range-partition boundaries, per-partition partials, broadcast
+    offsets), which AQE-era Spark executes acceptably as a single-task
+    window only because the input is already key-collapsed. Exact
+    BIGINTs only.
+    """
+    # exact BIGINT `div` bucket math — never float-divide-then-cast a
+    # bucket id (the activity_streaks/rolling_distinct discipline)
+    bucketed = df.select(
+        F.col(key_col).alias("k"), _us(ts_col).alias("_ts_us")
+    ).select("k", F.expr(f"_ts_us div {bucket_us}").alias("b"))
+    iv = bucketed.groupBy("k").agg(
+        F.min("b").alias("s"), F.max("b").alias("e")
+    )
+    deltas = iv.select(F.col("s").alias("boundary"), F.lit(1).alias("delta")).unionByName(
+        iv.select((F.col("e") + 1).alias("boundary"), F.lit(-1).alias("delta"))
+    )
+    steps = deltas.groupBy("boundary").agg(
+        F.sum("delta").cast("bigint").alias("d")
+    )
+    w = Window.orderBy("boundary").rowsBetween(Window.unboundedPreceding, 0)
+    curve = steps.select(
+        "boundary", F.sum("d").over(w).cast("bigint").alias("n_active")
+    )
+    peak = Window.partitionBy()
+    return curve.select(
+        "boundary",
+        "n_active",
+        (F.col("n_active") == F.max("n_active").over(peak)).alias("is_peak"),
+    )
+
+
+def interval_concurrency_oracle_sql(
+    *, table: str, key: str, ts: str, bucket_us: int
+) -> str:
+    """DuckDB twin of :func:`interval_concurrency`. Integer-exact."""
+    return f"""WITH iv AS (
+      SELECT {key} AS k,
+             min(epoch_us({ts}) // {bucket_us}) AS s,
+             max(epoch_us({ts}) // {bucket_us}) AS e
+      FROM {table} GROUP BY 1),
+    d AS (SELECT s AS boundary, 1 AS delta FROM iv
+          UNION ALL SELECT e + 1, -1 FROM iv),
+    g AS (SELECT boundary, CAST(sum(delta) AS BIGINT) AS d
+          FROM d GROUP BY 1),
+    c AS (SELECT boundary,
+                 CAST(sum(d) OVER (ORDER BY boundary) AS BIGINT) AS n_active
+          FROM g)
+    SELECT boundary, n_active,
+           n_active = max(n_active) OVER () AS is_peak
+    FROM c"""

@@ -255,3 +255,76 @@ def hrw_shard_sql(key_expr: str, *, n_shards: int = HRW_SHARDS) -> tuple[str, st
     wmax = "greatest(" + ", ".join(ws) + ")" if len(ws) > 1 else ws[0]
     chain = " ".join(f"WHEN {w} = wmax THEN {s}" for s, w in enumerate(ws))
     return f"CAST(CASE {chain} END AS INT)", wmax
+
+
+def range_partition_bounds(
+    df: DataFrame, value_col: str, *, n_bins: int = 8
+) -> DataFrame:
+    """Exact equi-depth range-partition boundaries for an integer
+    column: for each bin k in 1..n_bins, the smallest value whose
+    cumulative row count reaches ceil(k·N / n_bins) — the boundary
+    table a range-partitioned sort/layout job ships to every task.
+
+    Spark's own RangePartitioner SAMPLES to approximate exactly this
+    table; the exact version is the auditable planning artifact (and
+    the oracle-checkable one). Shape: the rows collapse to a value
+    HISTOGRAM first (one map-side-combinable groupBy — Θ(|distinct
+    values|) rows, not Θ(N)), the cumulative sum runs over that
+    histogram's value order, and each bin picks its boundary with one
+    min() over the qualifying values. The global window is over the
+    collapsed histogram (same justification as interval_concurrency);
+    the bin fan-out is a literal n_bins-row explode. Exact BIGINTs
+    only — ceil(k·N/n_bins) is integer ``div`` arithmetic, never a
+    float division.
+
+    Output: ``bin_id, target_rank, upper_bound, cum_rows`` where
+    ``cum_rows`` is the cumulative count at the boundary value.
+    """
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v", F.sum("c").over(w).cast("bigint").alias("cum")
+    )
+    total = Window.partitionBy()
+    cum = cum.select("v", "cum", F.max("cum").over(total).alias("n"))
+    bins = cum.select(
+        "v",
+        "cum",
+        F.explode(
+            F.expr(f"sequence(1, {int(n_bins)})")
+        ).alias("bin_id"),
+        "n",
+    ).withColumn(
+        "target_rank",
+        F.expr(f"(bin_id * n + {int(n_bins)} - 1) div {int(n_bins)}"),
+    )
+    return (
+        bins.filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("bin_id", "target_rank")
+        .agg(
+            F.min("v").cast("bigint").alias("upper_bound"),
+            F.min("cum").cast("bigint").alias("cum_rows"),
+        )
+    )
+
+
+def range_partition_bounds_sql(
+    table: str, value_sql: str, *, n_bins: int = 8
+) -> str:
+    """DuckDB twin of :func:`range_partition_bounds`."""
+    return f"""WITH hist AS (
+      SELECT {value_sql} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1),
+    cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+            FROM hist),
+    tot AS (SELECT v, cum, max(cum) OVER () AS n FROM cum),
+    bins AS (SELECT v, cum, bin_id, n,
+                    (bin_id * n + {n_bins} - 1) // {n_bins} AS target_rank
+             FROM tot, (SELECT unnest(range(1, {n_bins} + 1)) AS bin_id))
+    SELECT bin_id, CAST(target_rank AS BIGINT) AS target_rank,
+           CAST(min(v) AS BIGINT) AS upper_bound,
+           CAST(min(cum) AS BIGINT) AS cum_rows
+    FROM bins WHERE cum >= target_rank
+    GROUP BY 1, 2"""

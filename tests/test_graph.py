@@ -356,3 +356,43 @@ def test_kahn_residual_rounds_and_blockage(spark):
         6: (1, False),
         7: (3, False),
     }
+
+
+def test_link_prediction_hand_checked(spark):
+    """Path graph a-b-c-d plus edge a-c: the only non-adjacent pairs
+    with a common neighbor are (a,d) via c and (b,d) via c. Degrees:
+    a=2, b=2, c=3, d=1. Jaccard((a,d)) = 1/(2+1-1) = 0.5;
+    Jaccard((b,d)) = 1/(2+1-1) = 0.5; pref_attach 2 and 2. Adjacent
+    pairs (even with common neighbors, like a-b via c) must be absent."""
+    from autovalidate_backend_api_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "u: string, v: string",
+    )
+    rows = {
+        (r["u"], r["v"]): (r["cn"], r["deg_u"], r["deg_v"], r["pref_attach"], r["jaccard"])
+        for r in link_prediction(edges).collect()
+    }
+    assert rows == {
+        ("a", "d"): (1, 2, 1, 2, 0.5),
+        ("b", "d"): (1, 2, 1, 2, 0.5),
+    }
+
+
+def test_link_prediction_orientation_and_dupes_invariant(spark):
+    """Reversed/duplicated/self-loop inputs canonicalize to the same
+    answer — the und-graph contract shared with triangle_stats."""
+    from autovalidate_backend_api_spark.operators.graph import link_prediction
+
+    clean = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "u: string, v: string"
+    )
+    messy = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("c", "b"), ("a", "a")],
+        "u: string, v: string",
+    )
+    got_clean = sorted(map(tuple, link_prediction(clean).collect()))
+    got_messy = sorted(map(tuple, link_prediction(messy).collect()))
+    assert got_clean == got_messy
+    assert got_clean == [("a", "c", 1, 1, 1, 1, 1.0)]

@@ -197,3 +197,27 @@ def test_hrw_minimal_disruption_and_balance(spark):
         return ws.index(max(ws))
 
     assert all(py_hrw(k, 8) == s for k, s in a8.items())
+
+
+def test_range_partition_bounds_exact_quartiles(spark):
+    """10 rows of values 1..10 into 4 bins: targets ceil(k·10/4) =
+    3, 5, 8, 10 → bounds 3, 5, 8, 10 with matching cumulative counts.
+    Duplicates collapse into the histogram: ten copies of value 7
+    pull every boundary ≥ its rank onto 7."""
+    from autovalidate_backend_api_spark.sources.layout import (
+        range_partition_bounds,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1, 11)], "x: bigint")
+    got = {
+        r["bin_id"]: (r["target_rank"], r["upper_bound"], r["cum_rows"])
+        for r in range_partition_bounds(df, "x", n_bins=4).collect()
+    }
+    assert got == {1: (3, 3, 3), 2: (5, 5, 5), 3: (8, 8, 8), 4: (10, 10, 10)}
+
+    dup = spark.createDataFrame([(7,)] * 10 + [(1,), (2,)], "x: bigint")
+    got2 = {
+        r["bin_id"]: r["upper_bound"]
+        for r in range_partition_bounds(dup, "x", n_bins=4).collect()
+    }
+    assert got2 == {1: 7, 2: 7, 3: 7, 4: 7}

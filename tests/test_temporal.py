@@ -251,3 +251,42 @@ def test_cusum_drift_matches_python_fold_bitwise(spark):
     assert got[1]["cusum_max"] == m == 2.0
     assert got[1]["drifted"] is True
     assert got[2]["cusum_max"] == 0.0 and got[2]["drifted"] is False
+
+
+def test_interval_concurrency_sweep_hand_checked(spark):
+    """Three keys with minute-bucket intervals [0,2], [1,1], [4,5]:
+    concurrency steps 1 (b0), 2 (b1), 1 (b2), 0 (b3), 1 (b4), 0 (b6).
+    Peak flag lands exactly on the max step (b1)."""
+    import datetime as dt
+
+    from autovalidate_backend_api_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = dt.datetime(2024, 1, 1)
+
+    def at(minute):
+        return base + dt.timedelta(minutes=minute)
+
+    ev = spark.createDataFrame(
+        [
+            (1, at(0)), (1, at(2)),      # key 1 spans buckets [b0, b2]
+            (2, at(1)),                  # key 2 point-interval [b1, b1]
+            (3, at(4)), (3, at(5)),      # key 3 spans [b4, b5]
+        ],
+        "user_id: bigint, ts: timestamp",
+    )
+    out = interval_concurrency(
+        ev, key_col="user_id", ts_col="ts", bucket_us=60_000_000
+    ).collect()
+    b0 = min(r["boundary"] for r in out)
+    got = {r["boundary"] - b0: (r["n_active"], r["is_peak"]) for r in out}
+    assert got == {
+        0: (1, False),
+        1: (2, True),
+        2: (1, False),
+        3: (0, False),
+        4: (1, False),
+        6: (0, False),
+    }
