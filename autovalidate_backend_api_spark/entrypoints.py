@@ -7683,6 +7683,270 @@ def range_partition_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 2: harmonic centrality, YoY revenue, RFM segmentation,
+# seasonal residual outliers, bigram next-token model
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import (
+        harmonic_centrality_sql,
+    )
+
+    edges = """e AS (
+      SELECT DISTINCT 'r' || CAST(doc_id % 41 AS VARCHAR) AS src,
+             'r' || CAST((doc_id * 13) % 37 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 41 <> (doc_id * 13) % 37)"""
+    return harmonic_centrality_sql(edges, rounds=6)
+
+
+# 6-truncated harmonic centrality (Boldi & Vigna 2014) over the
+# DIRECTED coprime-moduli graph (r37-r40 take no in-edges, so
+# reachability — and the centrality — is genuinely asymmetric). The
+# integer-exact-sum trick: every distance is in 1..6, so Σ 1/d =
+# (Σ lcm/d)/lcm with lcm(1..6)=60 — BIGINT numerator, ONE final
+# division. The exact all-pairs form is the oracle for the HyperBall
+# estimator at web scale.
+@_register("graph_harmonic_centrality", _harmonic_oracle_sql())
+def graph_harmonic_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import harmonic_centrality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.filter(
+        (F.col("doc_id") % 41) != ((F.col("doc_id") * 13) % 37)
+    ).select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 41).cast("string")).alias("src"),
+        F.concat(F.lit("r"), ((F.col("doc_id") * 13) % 37).cast("string")).alias("dst"),
+    )
+    return harmonic_centrality(edges, rounds=6)
+
+
+# Month-over-year revenue: monthly DECIMAL(18,2) revenue totals joined
+# to the same month one year earlier (a JOIN on (year-1, month), not
+# lag(12) — gap-safe). The decimal sums cast to DOUBLE only at the
+# FINAL select (the Decimal-stringification rule); yoy_ratio is one
+# division of those two deterministic doubles. First-year months keep
+# NULL prev columns — the driver compares NULLs positionally.
+@_register(
+    "orders_monthly_yoy",
+    """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                 CAST(month(o_orderdate) AS BIGINT) AS m,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS rev,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1, 2)
+    SELECT cur.y, cur.m, CAST(cur.rev AS DOUBLE) AS revenue, cur.n_orders,
+           CAST(prev.rev AS DOUBLE) AS prev_revenue,
+           CAST(cur.rev - prev.rev AS DOUBLE) AS yoy_delta,
+           CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE) AS yoy_ratio
+    FROM m cur LEFT JOIN m prev ON prev.y = cur.y - 1 AND prev.m = cur.m""",
+)
+def orders_monthly_yoy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("prev.y") == F.col("cur.y") - 1) & (F.col("prev.m") == F.col("cur.m")),
+        "left",
+    )
+    return j.select(
+        F.col("cur.y").alias("y"),
+        F.col("cur.m").alias("m"),
+        F.col("cur.rev").cast("double").alias("revenue"),
+        F.col("cur.n_orders").alias("n_orders"),
+        F.col("prev.rev").cast("double").alias("prev_revenue"),
+        (F.col("cur.rev") - F.col("prev.rev")).cast("double").alias("yoy_delta"),
+        (
+            F.col("cur.rev").cast("double") / F.col("prev.rev").cast("double")
+        ).alias("yoy_ratio"),
+    )
+
+
+# RFM segmentation — the classic customer scoring: recency (max order
+# epoch-day), frequency (order count), monetary (DECIMAL revenue sum)
+# per customer, each quartiled with ntile(4). ntile over floats would
+# be fine (the doubles are deterministic) but every ORDER BY carries a
+# custkey tiebreak anyway: ntile is only cross-engine-stable when the
+# total order is unique. segment_code = r·100 + f·10 + m. The three
+# global ntile windows run over the Θ(|customers|) aggregate, not the
+# orders table.
+@_register(
+    "customer_rfm_segments",
+    """WITH a AS (SELECT o_custkey AS custkey,
+                 max(epoch_us(o_orderdate) // 86400000000) AS recency_day,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS monetary
+          FROM orders GROUP BY 1),
+    s AS (SELECT custkey, recency_day, frequency,
+                 CAST(monetary AS DOUBLE) AS monetary,
+                 CAST(ntile(4) OVER (ORDER BY recency_day, custkey) AS BIGINT) AS r,
+                 CAST(ntile(4) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f,
+                 CAST(ntile(4) OVER (ORDER BY monetary, custkey) AS BIGINT) AS mny
+          FROM a)
+    SELECT custkey, recency_day, frequency, monetary, r, f, mny,
+           CAST(r * 100 + f * 10 + mny AS BIGINT) AS segment_code
+    FROM s""",
+)
+def customer_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.expr("max(unix_micros(cast(o_orderdate as timestamp)) div 86400000000)")
+        .cast("bigint")
+        .alias("recency_day"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("monetary"),
+    ).select(
+        "custkey", "recency_day", "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+    )
+    s = a.select(
+        "*",
+        F.ntile(4).over(Window.orderBy("recency_day", "custkey")).cast("bigint").alias("r"),
+        F.ntile(4).over(Window.orderBy("frequency", "custkey")).cast("bigint").alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "custkey")).cast("bigint").alias("mny"),
+    )
+    return s.select(
+        "*",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("mny"))
+        .cast("bigint")
+        .alias("segment_code"),
+    )
+
+
+# Seasonal-naive residual outliers: hourly event counts per type vs the
+# same hour one day earlier (join on bucket-24, gap-safe), flagged when
+# |residual| > 3·MAD of the type's residuals. Counts are BIGINTs;
+# the MAD of integers under the shared percentile interpolation is an
+# integer or exact half-integer (the length_outlier_flags rule), so the
+# flag decides identically cross-engine. The change-detection member
+# next to events_cusum_drift, without its recurrence.
+@_register(
+    "events_seasonal_residuals",
+    """WITH h AS (SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS b,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+    r AS (SELECT cur.event_type, cur.b, cur.cnt,
+                 prev.cnt AS prev_cnt,
+                 CAST(cur.cnt - prev.cnt AS BIGINT) AS residual
+          FROM h cur JOIN h prev
+            ON prev.event_type = cur.event_type AND prev.b = cur.b - 24),
+    s AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
+          FROM r GROUP BY 1),
+    v AS (SELECT r.*, abs(r.residual - s.med) AS dev
+          FROM r JOIN s USING (event_type)),
+    m AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          FROM v GROUP BY 1)
+    SELECT v.event_type, v.b, v.cnt, v.prev_cnt, v.residual,
+           CAST(v.dev > 3 * m.mad AS INT) AS is_outlier
+    FROM v JOIN m USING (event_type)""",
+)
+def events_seasonal_residuals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    cur, prev = h.alias("cur"), h.alias("prev")
+    r = cur.join(
+        prev,
+        (F.col("prev.event_type") == F.col("cur.event_type"))
+        & (F.col("prev.b") == F.col("cur.b") - 24),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.b").alias("b"),
+        F.col("cur.cnt").alias("cnt"),
+        F.col("prev.cnt").alias("prev_cnt"),
+        (F.col("cur.cnt") - F.col("prev.cnt")).cast("bigint").alias("residual"),
+    )
+    w = Window.partitionBy("event_type")
+    md = r.withColumn("med", F.expr("percentile(residual, 0.5)").over(w))
+    dev = F.abs(F.col("residual").cast("double") - F.col("med"))
+    out = md.withColumn("mad", F.expr("percentile(abs(cast(residual as double) - med), 0.5)").over(w))
+    return out.select(
+        "event_type", "b", "cnt", "prev_cnt", "residual",
+        (dev > F.lit(3.0) * F.col("mad")).cast("int").alias("is_outlier"),
+    )
+
+
+# Bigram next-token model: per token its maximum-likelihood successor —
+# argmax over bigram counts via ONE min(struct(-count, next)) combinable
+# aggregate (no window over the full bigram table), plus the MLE
+# probability count/total as one exact division. The n-gram LM step
+# after bpe_merge_candidates in a tokenizer-training pipeline.
+@_register(
+    "bigram_next_token",
+    f"""WITH lx AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l
+             FROM documents),
+    t AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+            i -> {{'pos': i, 'term': l[i]}}), recursive := true) FROM lx),
+    toks AS (SELECT doc_id, pos, term FROM t WHERE term != ''),
+    bi AS (SELECT a.term, b.term AS next_token,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks a JOIN toks b
+             ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           GROUP BY 1, 2),
+    tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS total FROM bi GROUP BY 1),
+    best AS (SELECT term, next_token, c FROM bi
+             QUALIFY row_number() OVER (
+               PARTITION BY term ORDER BY c DESC, next_token ASC) = 1)
+    SELECT best.term, best.next_token, best.c, tot.total,
+           CAST(best.c AS DOUBLE) / CAST(tot.total AS DOUBLE) AS mle_prob
+    FROM best JOIN tot USING (term)""",
+)
+def bigram_next_token_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text_col(F.col("text")), " ")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    a, b = toks.alias("a"), toks.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.term").alias("term"), F.col("b.term").alias("next_token"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = bi.groupBy("term").agg(F.sum("c").cast("bigint").alias("total"))
+    best = bi.groupBy("term").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("next_token").alias("nx"))).alias("s")
+    )
+    return best.join(tot, "term").select(
+        "term",
+        F.col("s.nx").alias("next_token"),
+        (-F.col("s.nc")).cast("bigint").alias("c"),
+        "total",
+        ((-F.col("s.nc")).cast("double") / F.col("total").cast("double")).alias(
+            "mle_prob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

@@ -839,3 +839,99 @@ def link_prediction_sql(edges_cte: str) -> str:
            CAST(ne.cn AS DOUBLE) / CAST(du.d + dv.d - ne.cn AS DOUBLE)
              AS jaccard
     FROM ne JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v"""
+
+
+def harmonic_centrality(
+    edges: DataFrame, *, rounds: int = 6
+) -> DataFrame:
+    """``rounds``-truncated harmonic centrality over a directed graph
+    ``edges(src, dst)``: HC(v) = Σ_{u≠v, d(u,v)≤rounds} 1/d(u,v) —
+    the centrality that handles disconnected graphs gracefully
+    (Boldi & Vigna, "Axioms for Centrality", 2014).
+
+    INTEGER-EXACT float discipline via the LCM trick: every distance
+    is an integer in 1..rounds, so Σ 1/d = (Σ L/d) / L with
+    L = lcm(1..rounds) — the numerator is an exact BIGINT sum of
+    integers and the final value ONE exactly-rounded division.
+    Order-dependent float accumulation never happens, which is what
+    makes a centrality SUM oracle-checkable at all (the corr()/log()
+    rule).
+
+    Scale: this is the exact all-pairs form — state is (seed, node)
+    distance pairs, Θ(|V|²) worst case, right for the bounded graphs
+    the gates audit (repo-overlap components, dependency graphs). At
+    web scale the same truncated-HC is estimated with HyperBall
+    (HLL-counter BFS, the sketches.py registers) — the exact form here
+    is the oracle for that estimator. Each round is one equi-join of
+    the frontier with the edge list (shuffle keyed by node) + a
+    min-aggregate; lineage is reset per round via localCheckpoint
+    (the k-core rule: any iterative op whose round references the
+    previous round more than once needs lineage control).
+    """
+    from math import lcm
+
+    L = lcm(*range(1, rounds + 1))
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # state: per (seed, node) the best-known distance
+    state = nodes.select(
+        F.col("node").alias("seed"), F.col("node"), F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        grown = state.join(e, state["node"] == e["src"]).select(
+            "seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        state = (
+            state.unionByName(grown)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint()
+        )
+    reached = state.filter(F.col("dist") > 0)
+    num = reached.groupBy("node").agg(
+        F.sum(F.expr(f"{L} div dist")).cast("bigint").alias("hc_num"),
+        F.count("*").cast("bigint").alias("n_reaching"),
+    )
+    return num.select(
+        "node",
+        "n_reaching",
+        "hc_num",
+        (F.col("hc_num").cast("double") / F.lit(float(L))).alias("harmonic"),
+    )
+
+
+def harmonic_centrality_sql(edges_cte: str, *, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`harmonic_centrality`, replayed round for
+    round. ``edges_cte`` must define ``e(src, dst)`` distinct. Round
+    CTEs are MATERIALIZED (the kcore scan-tree rule)."""
+    from math import lcm
+
+    L = lcm(*range(1, rounds + 1))
+    steps = [
+        """nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    d0 AS MATERIALIZED (
+      SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT seed, node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT d.seed, e.dst AS node, d.dist + 1
+        FROM e JOIN d{i - 1} d ON e.src = d.node) GROUP BY 1, 2)"""
+        )
+    return (
+        f"WITH {edges_cte},\n    "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS n_reaching,
+           CAST(sum({L} // dist) AS BIGINT) AS hc_num,
+           CAST(sum({L} // dist) AS DOUBLE) / CAST({L} AS DOUBLE) AS harmonic
+    FROM d{rounds} WHERE dist > 0 GROUP BY 1"""
+    )

@@ -396,3 +396,20 @@ def test_link_prediction_orientation_and_dupes_invariant(spark):
     got_messy = sorted(map(tuple, link_prediction(messy).collect()))
     assert got_clean == got_messy
     assert got_clean == [("a", "c", 1, 1, 1, 1, 1.0)]
+
+
+def test_harmonic_centrality_hand_checked(spark):
+    """Directed path a→b→c plus isolated-source d→c: HC(b) = 1 (a at
+    distance 1); HC(c) = 1/1 (b) + 1/2 (a) + 1/1 (d) = 2.5; a and d are
+    reached by nobody and must be absent. The LCM-exact numerators:
+    L=60 → hc_num(c) = 60 + 30 + 60 = 150."""
+    from autovalidate_backend_api_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "c")], "src: string, dst: string"
+    )
+    got = {
+        r["node"]: (r["n_reaching"], r["hc_num"], r["harmonic"])
+        for r in harmonic_centrality(edges, rounds=6).collect()
+    }
+    assert got == {"b": (1, 60, 1.0), "c": (3, 150, 2.5)}
