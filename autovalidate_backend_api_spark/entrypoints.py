@@ -7947,6 +7947,206 @@ def bigram_next_token_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 3: Hilbert layout, funnel latency quantiles, ABC/Pareto
+# classes, language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.sources.layout import (
+        hilbert_layout_oracle_sql,
+    )
+
+    return hilbert_layout_oracle_sql(
+        "part", "CAST(p_size AS BIGINT)", "CAST(p_partkey % 256 AS BIGINT)"
+    )
+
+
+# Hilbert-curve clustering report over part(p_size, p_partkey%256) —
+# the locality-tighter sibling of zorder_layout (the Hilbert walk never
+# jumps, so range buckets carry tighter per-dimension min/max than
+# Morton buckets). The classic xy2d rotation transform, one projection
+# per power-of-two level on Spark ≡ one MATERIALIZED CTE per level in
+# DuckDB, generated from the same Python loop. Integer-exact.
+@_register("hilbert_layout", _hilbert_oracle_sql())
+def hilbert_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.sources.layout import (
+        hilbert_layout_report,
+    )
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("bigint").alias("x"),
+        (F.col("p_partkey") % 256).cast("bigint").alias("y"),
+    )
+    return hilbert_layout_report(part, "x", "y")
+
+
+# Funnel conversion-latency quantiles: the signup→purchase gap_us
+# distribution per user cohort — count, exact quantile_cont points on
+# BIGINT microseconds (the doc_length_quantiles interpolation
+# contract: dyadic fractions of exact ints, round(,6)). Composes the
+# funnel_signup_purchase aggregation shape; cohort = signup day.
+@_register(
+    "funnel_conversion_latency",
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+            p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+                  FROM events e JOIN s ON e.user_id = s.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) >= s.signup_us
+                  GROUP BY 1),
+            g AS (SELECT s.user_id, s.signup_us // 86400000000 AS cohort_day,
+                         p.purchase_us - s.signup_us AS gap_us
+                  FROM s JOIN p ON s.user_id = p.user_id)
+       SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_conversions,
+              CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+              round(quantile_cont(gap_us, 0.25), 2) AS p25,
+              round(quantile_cont(gap_us, 0.50), 2) AS p50,
+              round(quantile_cont(gap_us, 0.75), 2) AS p75,
+              CAST(max(gap_us) AS BIGINT) AS max_gap_us
+       FROM g GROUP BY 1""",
+)
+def funnel_conversion_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", _us("ts").alias("p_us"))
+        .join(s, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("purchase_us"))
+    )
+    g = s.join(p, "user_id").select(
+        F.expr("signup_us div 86400000000").alias("cohort_day"),
+        (F.col("purchase_us") - F.col("signup_us")).alias("gap_us"),
+    )
+    return g.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        # round(,2): the quantiles are quarter-integers of BIGINT
+        # micros ~4e11, where one ulp is ~6e-5 — the engines'
+        # interpolation formulas differ by an ulp at that magnitude, so
+        # round to a grid the noise can't cross (noise/step ~ 1e-2)
+        F.round(F.expr("percentile(gap_us, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(gap_us, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(gap_us, 0.75)"), 2).alias("p75"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+# ABC / Pareto classification: customers ranked by DECIMAL revenue
+# desc, cumulative share against the grand total, class A ≤ 0.8 <
+# B ≤ 0.95 < C. The running DECIMAL sum is exact (the
+# customer_running_total contract); cum and total cast to DOUBLE only
+# in the one final division, and the class thresholds compare those
+# deterministic doubles. The rank/cum windows run over the
+# Θ(|customers|) aggregate with custkey tiebreaks (unique total order).
+@_register(
+    "customer_abc_classes",
+    """WITH a AS (SELECT o_custkey AS custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS rev
+          FROM orders GROUP BY 1),
+    t AS (SELECT custkey, rev,
+                 CAST(sum(rev) OVER (ORDER BY rev DESC, custkey ASC)
+                      AS DECIMAL(18,2)) AS cum,
+                 CAST(sum(rev) OVER () AS DECIMAL(18,2)) AS total,
+                 CAST(row_number() OVER (ORDER BY rev DESC, custkey ASC)
+                      AS BIGINT) AS rnk
+          FROM a)
+    SELECT custkey, CAST(rev AS DOUBLE) AS revenue, rnk,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                THEN 'B' ELSE 'C' END AS abc_class
+    FROM t""",
+)
+def customer_abc_classes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    wo = Window.orderBy(F.col("rev").desc(), F.col("custkey").asc())
+    t = a.select(
+        "custkey",
+        "rev",
+        F.sum("rev")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(18,2)")
+        .alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).cast("decimal(18,2)").alias("total"),
+        F.row_number().over(wo).cast("bigint").alias("rnk"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return t.select(
+        "custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        "rnk",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+# Language-ID confusion matrix: the lang_id_heuristic prediction
+# cross-tabulated against the labeled lang column, with per-label
+# totals and the cell rate (one exact division). The EVALUATION gate
+# for the classifier the curation layer already ships — the synthetic
+# corpus's shared vocabulary makes this an honestly hard case (the
+# dsir gate's finding), which the matrix now quantifies per cell.
+@_register(
+    "lang_id_confusion",
+    f"""WITH g AS (SELECT doc_id,
+           CASE
+             WHEN {_stop_hits_sql('de')} > {_stop_hits_sql('en')}
+              AND {_stop_hits_sql('de')} >= {_stop_hits_sql('fr')}
+              AND {_stop_hits_sql('de')} >= {_stop_hits_sql('es')} THEN 'de'
+             WHEN {_stop_hits_sql('fr')} > {_stop_hits_sql('en')}
+              AND {_stop_hits_sql('fr')} >= {_stop_hits_sql('es')} THEN 'fr'
+             WHEN {_stop_hits_sql('es')} > {_stop_hits_sql('en')} THEN 'es'
+             ELSE 'en'
+           END AS lang_guess
+        FROM documents),
+    m AS (SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n
+          FROM documents d JOIN g USING (doc_id) GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_label FROM m GROUP BY 1)
+    SELECT m.lang, m.lang_guess, m.n, t.n_label,
+           CAST(m.n AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS rate,
+           m.lang = m.lang_guess AS is_correct
+    FROM m JOIN t USING (lang)""",
+)
+def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    guesses = lang_id_heuristic(spark, sf_dir)
+    labels = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = (
+        labels.join(guesses, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = m.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_label"))
+    return m.join(t, "lang").select(
+        "lang",
+        "lang_guess",
+        "n",
+        "n_label",
+        (F.col("n").cast("double") / F.col("n_label").cast("double")).alias("rate"),
+        (F.col("lang") == F.col("lang_guess")).alias("is_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

@@ -328,3 +328,131 @@ def range_partition_bounds_sql(
            CAST(min(cum) AS BIGINT) AS cum_rows
     FROM bins WHERE cum >= target_rank
     GROUP BY 1, 2"""
+
+
+HILBERT_BITS = 8  # order-8 curve → 2^8 × 2^8 grid, d < 2^16
+
+
+def _hilbert_levels(bits: int):
+    """Power-of-two side lengths, high to low — shared by the Spark and
+    SQL generators so the two engines cannot drift."""
+    return [1 << k for k in range(bits - 1, -1, -1)]
+
+
+def hilbert_layout_report(
+    df: DataFrame,
+    a: str,
+    b: str,
+    *,
+    bits: int = HILBERT_BITS,
+    n_bucket_bits: int = 4,
+) -> DataFrame:
+    """Hilbert-curve clustering report — the locality-tighter sibling of
+    :func:`zorder_layout_report`: the Hilbert index never jumps (every
+    consecutive pair of d values is grid-adjacent), so range buckets
+    carry strictly tighter per-dimension min/max ranges than Morton
+    buckets of the same size, which is why lakehouse OPTIMIZE
+    implementations offer it beside Z-order.
+
+    The classic xy2d transform (Hamilton, "Compact Hilbert Indices",
+    TR-2006; the Wikipedia-standard rotation form): per power-of-two
+    level, accumulate s²·((3·rx) XOR ry) and rotate/reflect the
+    coordinates. Each level is ONE projection in the plan (a select
+    chain, mirrored by a CTE chain in the oracle) — all integer
+    shift/and/xor/sub arithmetic with literal shift amounts, so the
+    whole report is value-hash bit-exact cross-engine. Inputs must be
+    non-negative and < 2^bits (caller buckets them first).
+    """
+    rows = df.select(
+        F.col(a).cast("bigint").alias("x"),
+        F.col(b).cast("bigint").alias("y"),
+        F.col(a).cast("bigint").alias("a"),
+        F.col(b).cast("bigint").alias("b"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for s in _hilbert_levels(bits):
+        rx = F.when(F.col("x").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("y").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        rows = rows.select(
+            "x", "y", "a", "b", "d",
+            rx.cast("bigint").alias("rx"),
+            ry.cast("bigint").alias("ry"),
+        )
+        d2 = F.col("d") + F.lit(s * s) * (
+            (F.lit(3) * F.col("rx")).bitwiseXOR(F.col("ry"))
+        )
+        # rotation: ry==1 → unchanged; ry==0 → swap (+ reflect if rx==1)
+        nx = F.when(F.col("ry") == 1, F.col("x")).otherwise(
+            F.when(F.col("rx") == 1, F.lit(s - 1) - F.col("y")).otherwise(F.col("y"))
+        )
+        ny = F.when(F.col("ry") == 1, F.col("y")).otherwise(
+            F.when(F.col("rx") == 1, F.lit(s - 1) - F.col("x")).otherwise(F.col("x"))
+        )
+        rows = rows.select(
+            nx.cast("bigint").alias("x"),
+            ny.cast("bigint").alias("y"),
+            "a",
+            "b",
+            d2.cast("bigint").alias("d"),
+        )
+    shift = 2 * bits - n_bucket_bits
+    return (
+        rows.select(
+            F.shiftright(F.col("d"), shift).cast("bigint").alias("bucket"),
+            "a",
+            "b",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+    )
+
+
+def hilbert_layout_oracle_sql(
+    table: str,
+    a: str,
+    b: str,
+    *,
+    bits: int = HILBERT_BITS,
+    n_bucket_bits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`hilbert_layout_report`: the same level
+    loop emitted as a MATERIALIZED CTE chain (x/y referenced twice per
+    level — the kcore inlining rule)."""
+    steps = [
+        f"""h0 AS MATERIALIZED (
+      SELECT CAST({a} AS BIGINT) AS x, CAST({b} AS BIGINT) AS y,
+             CAST({a} AS BIGINT) AS a, CAST({b} AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS d FROM {table})"""
+    ]
+    for i, s in enumerate(_hilbert_levels(bits), start=1):
+        steps.append(
+            f"""h{i} AS MATERIALIZED (
+      SELECT CASE WHEN ry = 1 THEN x
+                  WHEN rx = 1 THEN {s - 1} - y ELSE y END AS x,
+             CASE WHEN ry = 1 THEN y
+                  WHEN rx = 1 THEN {s - 1} - x ELSE x END AS y,
+             a, b,
+             d + {s * s} * xor(3 * rx, ry) AS d
+      FROM (SELECT x, y, a, b, d,
+                   CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM h{i - 1}))"""
+        )
+    n = len(_hilbert_levels(bits))
+    shift = 2 * bits - n_bucket_bits
+    return (
+        "WITH "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT CAST(d >> {shift} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(a) AS min_a, max(a) AS max_a,
+           min(b) AS min_b, max(b) AS max_b
+    FROM h{n} GROUP BY 1"""
+    )
