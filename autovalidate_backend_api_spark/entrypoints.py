@@ -8147,6 +8147,121 @@ def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 4: SSJoin filter-cascade report, self-retrieval MRR
+# ---------------------------------------------------------------------------
+
+
+def _ssjoin_filter_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        ssjoin_filter_report_sql,
+    )
+
+    return ssjoin_filter_report_sql(_VARIANT_CORPUS_SQL, theta_num=7, theta_den=10)
+
+
+# The set-similarity-join filter cascade (SSJoin prefix → length →
+# PPJoin positional) as a measured report over the borderline-variant
+# shingle corpus: candidate counts per stage, the exact verified count,
+# and a live losslessness row (verified pairs missed by the cascade —
+# certified 0 by the oracle). The scale-lever calibration gate next to
+# lsh_recall_report: it prices each filter BEFORE a 100 TB self-join.
+@_register("ssjoin_filter_report", _ssjoin_filter_oracle_sql())
+def ssjoin_filter_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.dedup_eval import (
+        ssjoin_filter_report,
+    )
+
+    return ssjoin_filter_report(
+        _variant_shingles(spark, sf_dir), token_col="s", theta_num=7, theta_den=10
+    )
+
+
+def _mrr_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.retrieval import bm25_oracle_sql
+
+    terms = f"""t AS (SELECT doc_id, term FROM (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents) WHERE term <> '')"""
+    queries = """q AS (SELECT DISTINCT doc_id AS qid, term FROM t
+      WHERE doc_id % 37 = 1)"""
+    base = bm25_oracle_sql(terms, queries, k=10)
+    return f"""WITH base AS ({base}),
+    qn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_queries
+           FROM documents
+           WHERE doc_id % 37 = 1 AND len(list_filter(
+             string_split({_NORM_SQL}, ' '), x -> x <> '')) > 0),
+    dh AS (SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents),
+    hits AS (SELECT b.qid, CAST(min(b.rnk) AS BIGINT) AS best
+             FROM base b
+             JOIN dh qh ON qh.doc_id = b.qid
+             JOIN dh rh ON rh.doc_id = b.doc_id AND rh.h = qh.h
+             GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(sum(2520 // best) AS BIGINT) AS mrr_num FROM hits)
+    SELECT qn.n_queries, m.n_hits, m.mrr_num,
+           CAST(m.mrr_num AS DOUBLE) / CAST(2520 * qn.n_queries AS DOUBLE)
+             AS mrr,
+           CAST(m.n_hits AS DOUBLE) / CAST(qn.n_queries AS DOUBLE)
+             AS hit_rate
+    FROM m, qn"""
+
+
+# Self-retrieval MRR@10 of the BM25 ranker: every 37th document becomes
+# a query made of its own tokens; a result is relevant iff its
+# normalized text hashes equal to the query doc's (so exact duplicates
+# outranking the doc itself still count — the honest labeling). The
+# LCM trick again: ranks are in 1..10, so Σ 1/rank = (Σ 2520/rank)/2520
+# with BIGINT numerator and ONE final division each for mrr and
+# hit_rate. Misses count as 0 via the n_queries denominator. The IR
+# evaluation row next to ann_recall_report — nDCG is deliberately
+# absent (log2 discounts are not correctly rounded cross-engine).
+@_register("search_eval_mrr", _mrr_oracle_sql())
+def search_eval_mrr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    queries = (
+        terms.filter(F.col("doc_id") % 37 == 1)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    n_queries = queries.select("qid").distinct().count()  # bounded scalar
+    topk = bm25_topk(terms, queries, k=10)
+    dh = docs.select(
+        "doc_id", F.md5(normalize_text_col(F.col("text"))).alias("h")
+    )
+    qh = dh.select(F.col("doc_id").alias("qid"), F.col("h").alias("qhash"))
+    rh = dh.select(F.col("doc_id").alias("doc_id"), F.col("h").alias("rhash"))
+    hits = (
+        topk.join(qh, "qid")
+        .join(rh, "doc_id")
+        .filter(F.col("rhash") == F.col("qhash"))
+        .groupBy("qid")
+        .agg(F.min("rnk").cast("bigint").alias("best"))
+    )
+    m = hits.agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.sum(F.expr("2520 div best")).cast("bigint").alias("mrr_num"),
+    )
+    return m.select(
+        F.lit(n_queries).cast("bigint").alias("n_queries"),
+        "n_hits",
+        "mrr_num",
+        (
+            F.col("mrr_num").cast("double")
+            / F.lit(float(2520 * n_queries))
+        ).alias("mrr"),
+        (F.col("n_hits").cast("double") / F.lit(float(n_queries))).alias(
+            "hit_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

@@ -31,7 +31,7 @@ Scale contract:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # band configs under evaluation: (n_bands, rows_per_band); n_bands *
@@ -647,3 +647,181 @@ def simhash_recall_report(
             ).alias("candidate_precision"),
         )
     )
+
+
+def ssjoin_filter_report(
+    token_rows: DataFrame,
+    *,
+    token_col: str = "s",
+    theta_num: int = 7,
+    theta_den: int = 10,
+) -> DataFrame:
+    """The set-similarity-join FILTER CASCADE as a measured report:
+    candidate-pair counts under each of the published prefix-filter
+    refinements (Chaudhuri et al. SSJoin ICDE'06; Xiao et al. PPJoin
+    WWW'08), plus the exact verified-pair count and a losslessness
+    check — the numbers that justify choosing a filter stack BEFORE a
+    100 TB self-join shuffles its posting lists.
+
+    Stages (set semantics over ``doc_id, token``; θ = num/den exact):
+
+    - ``prefix``: pairs sharing ≥1 token whose per-doc position (in
+      global (df asc, token asc) rarity order) lies in the Jaccard
+      prefix ``n - ⌈θ·n⌉ + 1`` of BOTH docs.
+    - ``prefix_length``: + the length filter ``min·den ≥ num·max``
+      (a pair can't reach θ when sizes alone cap Jaccard below it).
+    - ``prefix_length_positional``: + PPJoin's positional filter on
+      the FIRST common prefix token (min global rank): the overlap
+      upper bound ``1 + min(nx - px, ny - py)`` must reach
+      ``α = ⌈num·(nx+ny)/(num+den)⌉`` — integer cross-multiplied as
+      ``ubound·(num+den) ≥ num·(nx+ny)``.
+    - ``verified``: exact set overlap ``o·(num+den) ≥ num·(nx+ny)``
+      (⇔ Jaccard ≥ θ).
+    - ``verified_missed_by_filters``: verified pairs NOT in the
+      positional candidate set — the cascade is lossless, so this row
+      certifies 0 live (the lsh_recall_report discipline: claims as
+      measured numbers).
+
+    All counts are exact BIGINTs; zero floats anywhere. The global
+    rarity window runs over Θ(|vocab|) rows; candidate generation is
+    prefix-posting equi-joins (rare tokens by construction — the
+    SourcererCC argument); verification here is the full inverted-
+    index join because the REPORT needs the exact baseline — the
+    production join (token_bag_clone_pairs) verifies only candidates.
+    """
+    num, den = theta_num, theta_den
+    tc = token_rows.select("doc_id", F.col(token_col).alias("tok")).distinct()
+    sz = tc.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    dft = tc.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    rk = dft.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").asc(), F.col("tok").asc()))
+        .cast("bigint")
+        .alias("trank"),
+    )
+    tr = tc.join(rk, "tok").join(sz, "doc_id")
+    ps = tr.select(
+        "doc_id",
+        "tok",
+        "trank",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("trank"))
+        .cast("bigint")
+        .alias("p"),
+    )
+    plen = F.col("n") - F.expr(f"({num} * n + {den} - 1) div {den}") + 1
+    pref = ps.filter(F.col("p") <= plen).select("doc_id", "tok", "trank", "p", "n")
+    a, b = pref.alias("a"), pref.alias("b")
+    shared = a.join(b, "tok").filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    cand = (
+        shared.select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            F.struct(
+                F.col("a.trank").alias("trank"),
+                F.col("a.p").alias("px"),
+                F.col("b.p").alias("py"),
+            ).alias("m"),
+            F.col("a.n").alias("nx"),
+            F.col("b.n").alias("ny"),
+        )
+        .groupBy("x", "y", "nx", "ny")
+        .agg(F.min("m").alias("m"))
+        .persist()
+    )
+    lengthok = cand.filter(
+        F.least("nx", "ny") * den >= num * F.greatest("nx", "ny")
+    ).persist()
+    ubound = F.lit(1) + F.least(
+        F.col("nx") - F.col("m.px"), F.col("ny") - F.col("m.py")
+    )
+    positional = lengthok.filter(
+        ubound * (num + den) >= num * (F.col("nx") + F.col("ny"))
+    ).persist()
+    ta, tb = tc.alias("ta"), tc.alias("tb")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .groupBy(F.col("ta.doc_id").alias("x"), F.col("tb.doc_id").alias("y"))
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    nx = sz.select(F.col("doc_id").alias("x"), F.col("n").alias("nx"))
+    ny = sz.select(F.col("doc_id").alias("y"), F.col("n").alias("ny"))
+    verified = (
+        inter.join(nx, "x")
+        .join(ny, "y")
+        .filter(F.col("o") * (num + den) >= num * (F.col("nx") + F.col("ny")))
+        .select("x", "y")
+        .persist()
+    )
+    missed = verified.join(positional.select("x", "y"), ["x", "y"], "left_anti")
+
+    def row(stage: str, df_: DataFrame) -> DataFrame:
+        return df_.agg(
+            F.lit(stage).alias("stage"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+
+    return (
+        row("prefix", cand)
+        .unionByName(row("prefix_length", lengthok))
+        .unionByName(row("prefix_length_positional", positional))
+        .unionByName(row("verified", verified))
+        .unionByName(row("verified_missed_by_filters", missed))
+    )
+
+
+def ssjoin_filter_report_sql(
+    corpus_cte: str,
+    *,
+    theta_num: int = 7,
+    theta_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ssjoin_filter_report`; ``corpus_cte`` must
+    define ``d(doc_id, s)`` distinct token rows. Generated from the
+    same θ constants so the engines cannot drift."""
+    num, den = theta_num, theta_den
+    return f"""WITH {corpus_cte},
+    tc AS (SELECT doc_id, s AS tok FROM d),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tc GROUP BY 1),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY 1),
+    rk AS (SELECT tok, CAST(row_number() OVER (ORDER BY df ASC, tok ASC)
+                           AS BIGINT) AS trank FROM dft),
+    ps AS (SELECT tc.doc_id, tc.tok, rk.trank, sz.n,
+                  CAST(row_number() OVER (PARTITION BY tc.doc_id
+                                          ORDER BY rk.trank) AS BIGINT) AS p
+           FROM tc JOIN rk USING (tok) JOIN sz USING (doc_id)),
+    pref AS (SELECT * FROM ps
+             WHERE p <= n - (({num} * n + {den} - 1) // {den}) + 1),
+    cand AS (SELECT a.doc_id AS x, b.doc_id AS y, a.n AS nx, b.n AS ny,
+                    a.trank, a.p AS px, b.p AS py
+             FROM pref a JOIN pref b USING (tok)
+             WHERE a.doc_id < b.doc_id
+             QUALIFY row_number() OVER (PARTITION BY a.doc_id, b.doc_id
+                                        ORDER BY a.trank) = 1),
+    lok AS (SELECT * FROM cand
+            WHERE least(nx, ny) * {den} >= {num} * greatest(nx, ny)),
+    pok AS (SELECT * FROM lok
+            WHERE (1 + least(nx - px, ny - py)) * {num + den}
+                  >= {num} * (nx + ny)),
+    inter AS (SELECT a.doc_id AS x, b.doc_id AS y,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM tc a JOIN tc b USING (tok) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    ver AS (SELECT i.x, i.y FROM inter i
+            JOIN sz sx ON sx.doc_id = i.x JOIN sz sy ON sy.doc_id = i.y
+            WHERE i.o * {num + den} >= {num} * (sx.n + sy.n)),
+    mis AS (SELECT v.x, v.y FROM ver v
+            LEFT JOIN pok ON pok.x = v.x AND pok.y = v.y
+            WHERE pok.x IS NULL)
+    SELECT 'prefix' AS stage, CAST(count(*) AS BIGINT) AS n_pairs FROM cand
+    UNION ALL
+    SELECT 'prefix_length', CAST(count(*) AS BIGINT) FROM lok
+    UNION ALL
+    SELECT 'prefix_length_positional', CAST(count(*) AS BIGINT) FROM pok
+    UNION ALL
+    SELECT 'verified', CAST(count(*) AS BIGINT) FROM ver
+    UNION ALL
+    SELECT 'verified_missed_by_filters', CAST(count(*) AS BIGINT) FROM mis"""

@@ -89,6 +89,11 @@ def main() -> None:
                          "cohesion), k-core (community depth) — the "
                          "quality-weighting signals a curation run "
                          "feeds sampling (requires --output)")
+    ap.add_argument("--privacy-report", action="store_true",
+                    help="also run the privacy release gates over the "
+                         "corpus metadata: k-anonymity and l-diversity "
+                         "audits of the (repo, lang, size-bucket) "
+                         "quasi-identifier tuple (requires --output)")
     ap.add_argument("--search-report", action="store_true",
                     help="also build the corpus inverted index and write "
                          "the ranked-retrieval pair over it: BM25 top-10 "
@@ -566,6 +571,44 @@ def main() -> None:
             "fused_rank_moves": back.filter(
                 (F.col("r_bm25") != F.col("rnk")) | (F.col("r_cos") != F.col("rnk"))
             ).count(),
+        }
+
+    if args.privacy_report:
+        if not args.output:
+            ap.error("--privacy-report requires --output")
+        # The release gates a corpus passes before it ships: structure-
+        # level privacy audits over the file-metadata quasi-identifier
+        # tuple (repo, lang, 1KiB size bucket) with the file's repo as
+        # the "sensitive" attribute for diversity — the k-anonymity /
+        # l-diversity pair of the driver gates at job scale. Sub-k and
+        # sub-l classes are the suppress-or-generalize worklist, written
+        # next to the clusters.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.operators.profiling import (
+            k_anonymity_report,
+            l_diversity_report,
+        )
+
+        meta = corpus.select(
+            F.col("repo"),
+            F.col("lang"),
+            F.expr("length(content) div 1024").cast("bigint").alias("size_kib"),
+        )
+        kan = k_anonymity_report(meta, ["lang", "size_kib"], k=4)
+        ldv = l_diversity_report(meta, ["lang", "size_kib"], "repo", l=3)
+        kan.write.mode("overwrite").parquet(f"{args.output}/privacy_k_anonymity")
+        ldv.write.mode("overwrite").parquet(f"{args.output}/privacy_l_diversity")
+        kb = spark.read.parquet(f"{args.output}/privacy_k_anonymity")
+        lb = spark.read.parquet(f"{args.output}/privacy_l_diversity")
+        summary["privacy"] = {
+            "classes": kb.count(),
+            "sub_k_classes": kb.filter(~F.col("meets_k")).count(),
+            "at_risk_rows": int(kb.agg(F.max("n_at_risk")).first()[0]),
+            "sub_l_classes": lb.filter(~F.col("meets_l")).count(),
+            "homogeneity_exposed_rows": int(
+                lb.agg(F.max("n_homogeneity_exposed")).first()[0]
+            ),
         }
 
     print(json.dumps(summary))
