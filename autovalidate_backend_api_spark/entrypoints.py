@@ -8262,6 +8262,122 @@ def search_eval_mrr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 5: multiset (bag) Jaccard pairs, tokenizer fertility
+# ---------------------------------------------------------------------------
+
+# Multiset (bag) Jaccard similarity join — the fourth similarity
+# geometry (set-Jaccard: minhash/ngram; overlap/max: token_bag;
+# tf-cosine: tf_cosine_pairs): J_bag = Σ min(tf_a, tf_b) / Σ max,
+# with Σ max = n_a + n_b - Σ min, so ONLY the intersection join is
+# computed — exact BIGINTs, admission cross-multiplied
+# (inter·den ≥ num·(na+nb-inter)), the reported sim one division.
+# The 31-term shared vocabulary makes counts ≫ 1 per (doc, term) —
+# exactly the regime where multiset similarity separates docs that
+# SET Jaccard cannot (most doc pairs share the whole vocabulary).
+# Σ_t |postings_t|² inverted-index join, never a cross join; at
+# corpus scale the hot-term postings take the SourcererCC prefix
+# filter (priced by ssjoin_filter_report).
+@_register(
+    "bag_jaccard_pairs",
+    f"""WITH t AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+    c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM t WHERE term != '' GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM c GROUP BY 1),
+    i AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter
+          FROM c a JOIN c b USING (term) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT src, dst, inter, na.n AS n_src, nb.n AS n_dst,
+           CAST(inter AS DOUBLE)
+             / CAST(na.n + nb.n - inter AS DOUBLE) AS bag_jaccard
+    FROM i JOIN n na ON na.doc_id = src JOIN n nb ON nb.doc_id = dst
+    WHERE inter * 4 >= 3 * (na.n + nb.n - inter)""",
+)
+def bag_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    c = t.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    n = c.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("n"))
+    a, b = c.alias("a"), c.alias("b")
+    i = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).cast("bigint").alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("src"), F.col("n").alias("n_src"))
+    nb = n.select(F.col("doc_id").alias("dst"), F.col("n").alias("n_dst"))
+    un = F.col("n_src") + F.col("n_dst") - F.col("inter")
+    return (
+        i.join(na, "src")
+        .join(nb, "dst")
+        .filter(F.col("inter") * 4 >= 3 * un)
+        .select(
+            "src",
+            "dst",
+            "inter",
+            "n_src",
+            "n_dst",
+            (F.col("inter").cast("double") / un.cast("double")).alias(
+                "bag_jaccard"
+            ),
+        )
+    )
+
+
+# Tokenizer fertility per (lang, source): tokens-per-100-chars and
+# chars-per-token — the number a tokenizer-training run watches per
+# language slice (high fertility = the vocab underserves the slice).
+# Exact BIGINT sums; two single-division floats.
+@_register(
+    "tokenizer_fertility",
+    f"""WITH d AS (SELECT lang, source,
+                 CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                      x -> x <> '')) AS BIGINT) AS toks,
+                 CAST(len({_NORM_SQL}) AS BIGINT) AS chars
+          FROM documents)
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(100 * sum(toks) AS DOUBLE) / CAST(sum(chars) AS DOUBLE)
+             AS tokens_per_100_chars,
+           CAST(sum(chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+             AS chars_per_token
+    FROM d GROUP BY 1, 2""",
+)
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text_col(F.col("text"))
+    d = docs.select(
+        "lang",
+        "source",
+        F.size(F.filter(F.split(norm, " "), lambda x: x != F.lit(""))).cast(
+            "bigint"
+        ).alias("toks"),
+        F.length(norm).cast("bigint").alias("chars"),
+    )
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+    )
+    return g.select(
+        "*",
+        (
+            (F.lit(100) * F.col("n_tokens")).cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("tokens_per_100_chars"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
