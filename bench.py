@@ -146,6 +146,20 @@ GATE_QUERIES = [
     # scale path applies.
     "scd2_user_status",
     "part_skyline",
+    # r5n: the SSJoin/PPJoin filter-cascade report (prefix-posting
+    # joins + exact verify over the borderline-variant corpus), the
+    # LCM-exact truncated harmonic centrality (6 bounded-graph rounds),
+    # and the chi-square distinctive-terms scan (two keyed exchanges).
+    # search_eval_mrr and bag_jaccard_pairs are deliberately NOT
+    # benched for the same reason as tf_cosine_pairs: the synthetic
+    # corpus's 31-term vocabulary is the documented inverted-index
+    # worst case (every posting ~n; measured mrr 28-31 s at sf0.1 vs
+    # 9 s at the driver's sf0.01 gate scale); real corpora are Zipf
+    # and the scale path applies the prefilters ssjoin_filter_report
+    # prices.
+    "ssjoin_filter_report",
+    "graph_harmonic_centrality",
+    "lang_term_chi2_top",
 ]
 
 
