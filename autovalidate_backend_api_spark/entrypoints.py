@@ -8378,6 +8378,135 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 6: LOCF hourly gap-fill, exact-dedup token savings
+# ---------------------------------------------------------------------------
+
+# Hourly LOCF (last observation carried forward) per user: a complete
+# hourly spine from each user's first to last bucket, gaps filled with
+# the most recent observed value — the time-series regularization step
+# before any per-bucket model. "Last in bucket" is the max
+# (ts, event_id, value) struct (deterministic total order); the fill
+# uses the engine-portable grouped-LOCF trick (running count of
+# non-null observations = group id, then one max per group) instead of
+# IGNORE NULLS, which not every engine spells the same way. The spine
+# explode is Θ(total user-hours); windows run keyed by user. Values
+# are copied doubles, never computed — exact cross-engine.
+@_register(
+    "events_hourly_locf",
+    """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+                 max(struct_pack(us := epoch_us(ts), eid := event_id,
+                                 v := value)) AS m
+          FROM events GROUP BY 1, 2),
+    o AS (SELECT user_id, b, m.v AS obs FROM h),
+    bounds AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM o GROUP BY 1),
+    spine AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM bounds),
+    j AS (SELECT s.user_id, s.b, o.obs,
+                 count(o.obs) OVER (PARTITION BY s.user_id ORDER BY s.b)
+                   AS grp
+          FROM spine s LEFT JOIN o ON o.user_id = s.user_id AND o.b = s.b)
+    SELECT user_id, CAST(b AS BIGINT) AS b,
+           max(obs) OVER (PARTITION BY user_id, grp) AS value_filled,
+           CAST(obs IS NOT NULL AS INT) AS is_observed
+    FROM j""",
+)
+def events_hourly_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+            F.struct(
+                _us("ts").alias("us"), F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            ).alias("m"),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.max("m").alias("m"))
+    )
+    o = h.select("user_id", "b", F.col("m.v").alias("obs"))
+    bounds = o.groupBy("user_id").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"),
+    )
+    j = spine.join(o, ["user_id", "b"], "left")
+    wg = Window.partitionBy("user_id").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j = j.withColumn("grp", F.count("obs").over(wg))
+    wfill = Window.partitionBy("user_id", "grp")
+    return j.select(
+        "user_id",
+        F.col("b").cast("bigint").alias("b"),
+        F.max("obs").over(wfill).alias("value_filled"),
+        F.col("obs").isNotNull().cast("int").alias("is_observed"),
+    )
+
+
+# What exact dedup SAVES, as a per-lang report: docs and tokens before,
+# after keeping one representative per normalized-text hash (min
+# doc_id — the Stage-A survivor rule), and the reduction ratios (one
+# exact division each). The cost-avoidance number a curation run
+# reports before the expensive near-dup stages ever run. One
+# tokenization; hash-grouped min; counts are map-side-combinable.
+@_register(
+    "exact_dedup_token_savings",
+    f"""WITH d AS (SELECT doc_id, lang, md5({_NORM_SQL}) AS h,
+                 CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                      x -> x <> '')) AS BIGINT) AS toks
+          FROM documents),
+    surv AS (SELECT h, min(doc_id) AS keep FROM d GROUP BY 1),
+    m AS (SELECT d.lang, d.toks,
+                 CASE WHEN d.doc_id = s.keep THEN 1 ELSE 0 END AS kept
+          FROM d JOIN surv s ON s.h = d.h)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_before,
+           CAST(sum(kept) AS BIGINT) AS n_docs_after,
+           CAST(sum(toks) AS BIGINT) AS n_tokens_before,
+           CAST(sum(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS BIGINT)
+             AS n_tokens_after,
+           CAST(sum(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS DOUBLE)
+             / CAST(sum(toks) AS DOUBLE) AS token_keep_ratio
+    FROM m GROUP BY 1""",
+)
+def exact_dedup_token_savings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(norm).alias("h"),
+        F.size(F.filter(F.split(norm, " "), lambda x: x != F.lit("")))
+        .cast("bigint")
+        .alias("toks"),
+    )
+    surv = d.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    m = d.join(surv, "h").select(
+        "lang",
+        "toks",
+        (F.col("doc_id") == F.col("keep")).cast("int").alias("kept"),
+    )
+    g = m.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs_before"),
+        F.sum("kept").cast("bigint").alias("n_docs_after"),
+        F.sum("toks").cast("bigint").alias("n_tokens_before"),
+        F.sum(F.when(F.col("kept") == 1, F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_after"),
+    )
+    return g.select(
+        "*",
+        (
+            F.col("n_tokens_after").cast("double")
+            / F.col("n_tokens_before").cast("double")
+        ).alias("token_keep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
