@@ -8507,6 +8507,126 @@ def exact_dedup_token_savings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 7: vacuum planner, rolling windowed-moments correlation
+# ---------------------------------------------------------------------------
+
+
+def _vacuum_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.sources.layout import vacuum_plan_sql
+
+    return vacuum_plan_sql(
+        "documents",
+        "lang",
+        "CAST(doc_id % 5 AS BIGINT)",
+        "n_chars",
+        keep_snapshots=2,
+    )
+
+
+# Snapshot-retention planning (expire_snapshots/VACUUM) over a
+# deterministic manifest projection of documents (partition = lang,
+# snapshot = doc_id % 5, bytes = n_chars): per (partition, snapshot)
+# file/byte counts, newest-first rank, expire verdict past
+# keep_snapshots=2, and the partition's reclaimable bytes. The
+# retention sibling of compaction_plan; exact BIGINTs only.
+@_register("vacuum_plan", _vacuum_oracle_sql())
+def vacuum_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.sources.layout import vacuum_plan
+
+    manifest = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("part"),
+        (F.col("doc_id") % 5).cast("bigint").alias("snapshot_id"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return vacuum_plan(
+        manifest,
+        partition_col="part",
+        snapshot_col="snapshot_id",
+        bytes_col="bytes",
+        keep_snapshots=2,
+    )
+
+
+# Rolling correlation between two event streams (click vs purchase
+# hourly counts) over a trailing 24-bucket RANGE frame — windowed
+# EXACT-INTEGER-MOMENTS: every Σx, Σy, Σxy, Σx², Σy² is a BIGINT
+# window sum (no float accumulation anywhere), and corr spends floats
+# only in the one shared final expression (sqrt IS correctly rounded).
+# Degenerate windows (zero variance on either side) yield NULL on both
+# engines. The time-windowed member of the moments family
+# (length_token_correlation is its global cousin).
+@_register(
+    "events_rolling_corr",
+    """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS b,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1),
+    m AS (SELECT b, x, y,
+                 CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(sum(x) OVER w AS BIGINT) AS sx,
+                 CAST(sum(y) OVER w AS BIGINT) AS sy,
+                 CAST(sum(x*y) OVER w AS BIGINT) AS sxy,
+                 CAST(sum(x*x) OVER w AS BIGINT) AS sxx,
+                 CAST(sum(y*y) OVER w AS BIGINT) AS syy
+          FROM h
+          WINDOW w AS (ORDER BY b RANGE BETWEEN 23 PRECEDING
+                       AND CURRENT ROW))
+    SELECT b, x, y, n,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                           / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                              * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+                END AS rolling_corr
+    FROM m""",
+)
+def events_rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+            "event_type",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("b").rangeBetween(-23, 0)
+    m = h.select(
+        "b",
+        "x",
+        "y",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    corr = F.round(
+        num / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double"))), 6
+    )
+    return m.select(
+        "b",
+        "x",
+        "y",
+        "n",
+        F.when((dxx > 0) & (dyy > 0), corr).alias("rolling_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

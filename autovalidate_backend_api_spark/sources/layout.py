@@ -456,3 +456,76 @@ def hilbert_layout_oracle_sql(
            min(b) AS min_b, max(b) AS max_b
     FROM h{n} GROUP BY 1"""
     )
+
+
+def vacuum_plan(
+    manifest: DataFrame,
+    *,
+    partition_col: str = "part",
+    snapshot_col: str = "snapshot_id",
+    bytes_col: str = "bytes",
+    keep_snapshots: int = 2,
+) -> DataFrame:
+    """Snapshot-retention (VACUUM / expire_snapshots) planning: per
+    partition, rank snapshots newest-first and mark every file owned
+    by a snapshot past the ``keep_snapshots`` horizon as expired —
+    the plan (files to delete, bytes reclaimed) a table-maintenance
+    job ships, the retention sibling of :func:`compaction_plan`.
+
+    Shape: one Θ(|partition, snapshot|) aggregate ranks snapshots
+    (dense window per partition — snapshot cardinality per partition
+    is bounded by the retention policy itself, never by file count),
+    broadcast back onto the file-level counts. Exact BIGINTs only.
+
+    Output per (partition, snapshot): file/byte counts, the newest-
+    first rank, the expire verdict, and the partition's reclaimable
+    byte total.
+    """
+    per_snap = manifest.groupBy(
+        F.col(partition_col).alias("part"), F.col(snapshot_col).alias("snapshot_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.col(bytes_col)).cast("bigint").alias("n_bytes"),
+    )
+    w = Window.partitionBy("part").orderBy(F.col("snapshot_id").desc())
+    ranked = per_snap.withColumn(
+        "snap_rank", F.row_number().over(w).cast("bigint")
+    ).withColumn("expire", F.col("snap_rank") > keep_snapshots)
+    wp = Window.partitionBy("part")
+    return ranked.select(
+        "part",
+        "snapshot_id",
+        "n_files",
+        "n_bytes",
+        "snap_rank",
+        "expire",
+        F.sum(F.when(F.col("expire"), F.col("n_bytes")).otherwise(0))
+        .over(wp)
+        .cast("bigint")
+        .alias("part_bytes_reclaimable"),
+    )
+
+
+def vacuum_plan_sql(
+    table: str,
+    partition_sql: str,
+    snapshot_sql: str,
+    bytes_sql: str,
+    *,
+    keep_snapshots: int = 2,
+) -> str:
+    """DuckDB twin of :func:`vacuum_plan`."""
+    return f"""WITH ps AS (
+      SELECT {partition_sql} AS part, {snapshot_sql} AS snapshot_id,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum({bytes_sql}) AS BIGINT) AS n_bytes
+      FROM {table} GROUP BY 1, 2),
+    rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY part
+                         ORDER BY snapshot_id DESC) AS BIGINT) AS snap_rank
+           FROM ps)
+    SELECT part, snapshot_id, n_files, n_bytes, snap_rank,
+           snap_rank > {keep_snapshots} AS expire,
+           CAST(sum(CASE WHEN snap_rank > {keep_snapshots} THEN n_bytes
+                         ELSE 0 END) OVER (PARTITION BY part) AS BIGINT)
+             AS part_bytes_reclaimable
+    FROM rk"""

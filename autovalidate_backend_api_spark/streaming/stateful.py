@@ -313,3 +313,79 @@ def ewma_state(events: DataFrame, *, alpha: float = 0.5) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, EWMA_OUT, EWMA_STATE, "update", "NoTimeout"
     )
+
+
+CUSUM_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cusum_final", T.DoubleType()),
+        T.StructField("cusum_max", T.DoubleType()),
+        T.StructField("drifted", T.BooleanType()),
+    ]
+)
+CUSUM_STATE = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+    ]
+)
+
+
+def cusum_state(
+    events: DataFrame, *, allowance: float, threshold: float
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift monitor — the online form of
+    :func:`~autovalidate_backend_api_spark.operators.temporal.
+    cusum_drift` (Page 1954): per-key state is (last event epoch-us,
+    count, current S, running max S); each micro-batch sorts its own
+    rows by (ts, event_id) and folds
+    ``S ← max(0, S + x − allowance)``, ``M ← max(M, S)``.
+
+    The ewma_state contract verbatim: correct under event-time-ordered
+    arrival per key (intra-batch disorder absorbed by the sort);
+    Python floats are IEEE binary64, and max/add/subtract are the
+    identical exactly-rounded op sequence the batch fold runs — so the
+    post-stream (S, M) equal the batch operator's BITWISE under
+    ordered replay (pinned in tests). This is the alarm the batch gate
+    calibrates: events_cusum_drift certifies the statistic against the
+    DuckDB recurrence, and this operator raises it online with O(1)
+    state per key.
+    """
+    if not events.isStreaming:
+        raise ValueError("cusum_state is streaming-only; "
+                         "use temporal.cusum_drift for batch DataFrames")
+    k = float(allowance)
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, n, s, m = (
+            state.get if state.exists else (None, 0, 0.0, 0.0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts_us, x in zip(
+            rows["ts"].astype("int64") // 1_000, rows["value"]
+        ):
+            s = max(0.0, s + float(x) - k)
+            m = max(m, s)
+            last_ts, n = int(ts_us), n + 1
+        state.update((last_ts, n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cusum_final": [s],
+                "cusum_max": [m],
+                "drifted": [m > float(threshold)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, CUSUM_OUT, CUSUM_STATE, "update", "NoTimeout"
+    )

@@ -496,3 +496,82 @@ def test_ewma_state_matches_batch_fold_bitwise(spark, tmp_path):
         assert final[uid]["n_events"] == want[uid]["n_events"]
         assert final[uid]["ewma_value"] == want[uid]["ewma_value"]  # bitwise
         assert final[uid]["last_value"] == want[uid]["last_value"]
+
+
+def test_cusum_state_matches_batch_fold_bitwise(spark, tmp_path):
+    """Streaming CUSUM ≡ batch cusum_drift BITWISE under event-time-
+    ordered file arrival — the ewma_state contract applied to the
+    struct-accumulator recurrence (S, M). allowance=5.0 keeps both the
+    clamped-to-zero and accumulating branches exercised; user 1 drifts
+    (values ≫ allowance), user 2 stays flat."""
+    import pyspark.sql.types as T
+
+    from autovalidate_backend_api_spark.operators.temporal import cusum_drift
+    from autovalidate_backend_api_spark.streaming.stateful import cusum_state
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    files = [
+        [(2, "2024-01-01 00:10:00", 1, 9.5), (1, "2024-01-01 00:00:00", 1, 12.25),
+         (3, "2024-01-01 00:05:00", 2, 1.5)],
+        [(4, "2024-01-01 00:20:00", 1, 0.75), (5, "2024-01-01 01:00:00", 2, 2.25)],
+        [(6, "2024-01-01 02:00:00", 1, 30.125), (7, "2024-01-01 02:30:00", 2, 0.5)],
+    ]
+    src = str(tmp_path / "cusum_stream")
+    import glob
+    import shutil
+
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(f"{src}/tmp{i}")
+        part = glob.glob(f"{src}/tmp{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/file_{i}.parquet")
+        shutil.rmtree(f"{src}/tmp{i}")
+
+    emitted, n_batches = _stream_to_memory(
+        spark, src, schema,
+        lambda s: cusum_state(s, allowance=5.0, threshold=20.0), "cusum_sf"
+    )
+    assert n_batches >= 3
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+
+    batch_rows = spark.createDataFrame(
+        [r for rows in files for r in rows],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        r["user_id"]: r
+        for r in cusum_drift(
+            batch_rows, key="user_id", ts="ts", tiebreak="event_id",
+            value="value", allowance=5.0, threshold=20.0,
+        ).collect()
+    }
+    assert set(final) == set(want) == {1, 2}
+    for uid in want:
+        assert final[uid]["n_events"] == want[uid]["n_events"]
+        assert final[uid]["cusum_final"] == want[uid]["cusum_final"]  # bitwise
+        assert final[uid]["cusum_max"] == want[uid]["cusum_max"]
+        assert final[uid]["drifted"] == want[uid]["drifted"]
+    assert want[1]["drifted"] and not want[2]["drifted"]
+
+
+def test_cusum_state_rejects_batch(spark):
+    from autovalidate_backend_api_spark.streaming.stateful import cusum_state
+
+    df = spark.createDataFrame([(1,)], "user_id: long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cusum_state(df, allowance=1.0, threshold=2.0)
