@@ -8627,6 +8627,159 @@ def events_rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 8: order-independent table checksum, path-tree rollup,
+# cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+# Order-independent table checksum per lang slice: XOR of 48-bit md5
+# row hashes + a bounded additive check (sum of the low 20 bits — at
+# 10^12 rows that sum stays < 2^60) + the row count. XOR alone is
+# blind to even multiplicities (a row inserted twice cancels), which
+# the additive component catches; together they are the O(1)-state,
+# shuffle-free cheap-path next to the Merkle tree (merkle_range_diff)
+# for anti-entropy: compare checksums first, walk the tree only on
+# mismatch. Both aggregates are commutative/associative → map-side
+# combinable, any partition order. Exact BIGINTs.
+@_register(
+    "table_checksum",
+    """WITH r AS (SELECT lang,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                     1, 12) AS BIGINT) AS h
+          FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+           CAST(sum(h % 1048576) AS BIGINT) AS add_checksum
+    FROM r GROUP BY 1""",
+)
+def table_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    r = docs.select("lang", h.alias("h"))
+    return r.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("bigint").alias("xor_checksum"),
+        F.sum(F.col("h") % 1048576).cast("bigint").alias("add_checksum"),
+    )
+
+
+# Hierarchical namespace rollup: each file's deterministic path
+# explodes into its directory-prefix chain (the classic filesystem-
+# analytics shape — per directory, recursive file count and bytes
+# WITHOUT a recursive query: ancestors are enumerated per row, one
+# groupBy aggregates the whole tree). Θ(depth) fan-out per file; at
+# repo scale depth is bounded (~10), so the explode is a constant
+# factor, not a join.
+@_register(
+    "path_tree_rollup",
+    """WITH f AS (SELECT doc_id, n_chars,
+                 'src/d' || CAST(doc_id % 5 AS VARCHAR) || '/m'
+                   || CAST(doc_id % 25 AS VARCHAR) || '/f'
+                   || CAST(doc_id AS VARCHAR) || '.py' AS path
+          FROM documents),
+    pre AS (SELECT doc_id, n_chars,
+                   unnest(['src',
+                           'src/d' || CAST(doc_id % 5 AS VARCHAR),
+                           'src/d' || CAST(doc_id % 5 AS VARCHAR) || '/m'
+                             || CAST(doc_id % 25 AS VARCHAR)]) AS dir
+            FROM f)
+    SELECT dir, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+           CAST(count(DISTINCT doc_id % 5) AS BIGINT) AS n_child_shards
+    FROM pre GROUP BY 1""",
+)
+def path_tree_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d5 = (F.col("doc_id") % 5).cast("string")
+    d25 = (F.col("doc_id") % 25).cast("string")
+    pre = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.array(
+                F.lit("src"),
+                F.concat(F.lit("src/d"), d5),
+                F.concat(F.lit("src/d"), d5, F.lit("/m"), d25),
+            )
+        ).alias("dir"),
+    )
+    return pre.groupBy("dir").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes"),
+        F.countDistinct(F.col("doc_id") % 5).cast("bigint").alias("n_child_shards"),
+    )
+
+
+# Cross-source quantile normalization (the microarray-famous
+# preprocessing op): map each source's n_chars distribution onto the
+# GLOBAL distribution by rank — value → the global value at rank
+# ceil(r · N_global / N_source). Pure rank selection, NO interpolation
+# (the funnel gate's ulp lesson: selection is exact where
+# interpolation is not). Ranks come from two windows over Θ(n) and
+# the mapping join is a single equi-join on the computed global rank.
+@_register(
+    "quality_quantile_normalize",
+    """WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+                 CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+          FROM documents),
+    g AS (SELECT CAST(n_chars AS BIGINT) AS gv,
+                 CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                      AS BIGINT) AS gr,
+                 CAST(count(*) OVER () AS BIGINT) AS ng
+          FROM documents),
+    m AS (SELECT s.doc_id, s.source, s.v, s.r, s.ns,
+                 (s.r * g0.ng + s.ns - 1) // s.ns AS target_rank
+          FROM s, (SELECT DISTINCT ng FROM g) g0)
+    SELECT m.doc_id, m.source, m.v AS n_chars,
+           m.r AS rank_in_source, m.target_rank,
+           g.gv AS normalized_value
+    FROM m JOIN g ON g.gr = m.target_rank""",
+)
+def quality_quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("v"),
+        F.row_number().over(ws).cast("bigint").alias("r"),
+        F.count("*").over(Window.partitionBy("source")).cast("bigint").alias("ns"),
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    g = docs.select(
+        F.col("n_chars").cast("bigint").alias("gv"),
+        F.row_number().over(wg).cast("bigint").alias("gr"),
+    )
+    ng = int(docs.count())  # one bounded scalar (1-row cross join is the
+    # banned nested loop — the corpus_summary rule)
+    m = s.select(
+        "doc_id",
+        "source",
+        "v",
+        "r",
+        "ns",
+        F.expr(f"(r * {ng} + ns - 1) div ns").alias("target_rank"),
+    )
+    return m.join(g, m["target_rank"] == g["gr"]).select(
+        "doc_id",
+        "source",
+        F.col("v").alias("n_chars"),
+        F.col("r").alias("rank_in_source"),
+        "target_rank",
+        F.col("gv").alias("normalized_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
