@@ -8780,6 +8780,149 @@ def quality_quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 9: 1-NN label accuracy, next-event prediction eval
+# ---------------------------------------------------------------------------
+
+# 1-NN label accuracy of the embedding space: for each query vector
+# (vec_id < 50) the exact cosine nearest neighbor (self excluded,
+# ranked on the same rounded cos as cosine_topk), predicted label =
+# neighbor's label, accuracy per true label. The intrinsic-quality
+# eval for the embedding column the ANN stack serves — if 1-NN can't
+# recover labels, neither will any downstream semantic dedup. Exact
+# brute force on the bounded query sample (the cosine_topk
+# dispensation); the fold-based dot product is bit-exact cross-engine.
+@_register(
+    "knn_label_accuracy",
+    """WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                  WHERE vec_id < 50),
+    p AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+                 e.vec_id AS nid, e.label AS nlabel,
+                 round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))),
+                       6) AS cos
+          FROM q JOIN embeddings e ON e.vec_id != q.vec_id),
+    b AS (SELECT qid, qlabel, nlabel FROM p
+          QUALIFY row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, nid) = 1)
+    SELECT CAST(qlabel AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS accuracy
+    FROM b GROUP BY 1""",
+)
+def knn_label_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    withn = emb.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    q = withn.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    p = (
+        q.crossJoin(F.broadcast(withn))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.round(
+                dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    b = p.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    g = b.groupBy(F.col("qlabel").cast("bigint").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum((F.col("nlabel") == F.col("qlabel")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    return g.select(
+        "*",
+        (F.col("n_correct").cast("double") / F.col("n_queries").cast("double")).alias(
+            "accuracy"
+        ),
+    )
+
+
+# Next-event prediction eval: the global bigram-argmax model
+# (event_transition_matrix's table, argmaxed per previous type) scored
+# against every actual transition — accuracy per previous type, the
+# evaluation row for the transition matrix the way lang_id_confusion
+# evaluates the language heuristic. One user-keyed window builds the
+# transitions; the predictor is a |types|-row broadcast. Exact counts
+# + one division.
+@_register(
+    "event_next_prediction_eval",
+    """WITH o AS (SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events),
+    tr AS (SELECT event_type AS prev, nxt FROM o WHERE nxt IS NOT NULL),
+    c AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+          FROM tr GROUP BY 1, 2),
+    pred AS (SELECT prev, nxt AS predicted FROM c
+             QUALIFY row_number() OVER (PARTITION BY prev
+                                        ORDER BY n DESC, nxt ASC) = 1)
+    SELECT tr.prev, p.predicted,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN tr.nxt = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN tr.nxt = p.predicted THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+    FROM tr JOIN pred p USING (prev) GROUP BY 1, 2""",
+)
+def event_next_prediction_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tr = o.select(F.col("event_type").alias("prev"), "nxt")
+    c = tr.groupBy("prev", "nxt").agg(F.count("*").cast("bigint").alias("n"))
+    pred = (
+        c.groupBy("prev")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("nxt").alias("nx"))
+            ).alias("s")
+        )
+        .select("prev", F.col("s.nx").alias("predicted"))
+    )
+    j = tr.join(F.broadcast(pred), "prev")
+    g = j.groupBy("prev", "predicted").agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        F.sum((F.col("nxt") == F.col("predicted")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    return g.select(
+        "*",
+        (
+            F.col("n_correct").cast("double") / F.col("n_transitions").cast("double")
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

@@ -28,8 +28,12 @@ QUERIES = entrypoints.queries()
 # - ivf_lloyd_topk: the same IVF assignment shape with the 8-row
 #   Lloyd-trained codebook broadcast (training itself is join-free —
 #   pinned in test_clustering.py::test_plan_has_no_join_for_centroids)
+# - knn_label_accuracy: the cosine_topk brute-force shape verbatim
+#   (bounded ≤50-query side vs broadcast corpus) evaluating 1-NN label
+#   recovery; the scale paths remain the ann_/ivf_ variants
 _NL_WHITELIST = {
     "cosine_topk",
+    "knn_label_accuracy",
     "ivf_cosine_topk",
     "ann_cosine_topk",
     "semdedup_prune",
