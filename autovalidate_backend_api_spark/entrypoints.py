@@ -8923,6 +8923,79 @@ def event_next_prediction_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 10: strongly connected components (FW-BW peeling)
+# ---------------------------------------------------------------------------
+
+# Three cycles (5, 4, 3 nodes — distinct SCCs) + DAG bridges a0→b0,
+# b1→c0 and a pendant a1→d: peel 1 extracts only SCC A (every other
+# component is shadowed by a0's forward label), peel 2 surfaces B and
+# the singleton d, peel 3 surfaces C — the peeling mechanism is
+# genuinely exercised, not just the label propagation. Full residue
+# coverage at both sf scales ⇒ identical graph.
+_SCC_EDGES_SQL = """e AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT 'a' || CAST(doc_id % 5 AS VARCHAR) AS s,
+               'a' || CAST((doc_id + 1) % 5 AS VARCHAR) AS d FROM documents
+        UNION ALL
+        SELECT 'b' || CAST(doc_id % 4 AS VARCHAR),
+               'b' || CAST((doc_id + 1) % 4 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 3 AS VARCHAR),
+               'c' || CAST((doc_id + 1) % 3 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT 'a0', 'b0' FROM documents WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT 'b1', 'c0' FROM documents WHERE doc_id % 89 = 0
+        UNION ALL
+        SELECT 'a1', 'd' FROM documents WHERE doc_id % 83 = 0
+      ))"""
+
+
+def _scc_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import scc_fwbw_sql
+
+    edges = _SCC_EDGES_SQL.replace("SELECT DISTINCT s, d FROM",
+                                   "SELECT DISTINCT s AS src, d AS dst FROM")
+    return scc_fwbw_sql(edges, peels=3, rounds=6)
+
+
+# Strongly connected components via deterministic FW-BW min-label
+# peeling (Fleischer et al. 2000) — the SCC layer that turns
+# import_cycle_detect's WHICH-nodes-cycle into which cycle EACH node
+# shares with whom. The oracle replays every peel's forward/backward
+# rounds as MATERIALIZED CTEs; the gate certifies (node, scc_id, peel)
+# — including the peel schedule itself.
+@_register("graph_scc_components", _scc_oracle_sql())
+def graph_scc_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import scc_fwbw
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def cyc(prefix: str, m: int) -> DataFrame:
+        return docs.select(
+            F.concat(F.lit(prefix), (F.col("doc_id") % m).cast("string")).alias("src"),
+            F.concat(F.lit(prefix), ((F.col("doc_id") + 1) % m).cast("string")).alias(
+                "dst"
+            ),
+        )
+
+    def bridge(s: str, d: str, mod: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % mod == 0).select(
+            F.lit(s).alias("src"), F.lit(d).alias("dst")
+        )
+
+    edges = (
+        cyc("a", 5)
+        .unionByName(cyc("b", 4))
+        .unionByName(cyc("c", 3))
+        .unionByName(bridge("a0", "b0", 97))
+        .unionByName(bridge("b1", "c0", 89))
+        .unionByName(bridge("a1", "d", 83))
+    )
+    return scc_fwbw(edges, peels=3, rounds=6)
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

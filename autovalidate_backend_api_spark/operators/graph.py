@@ -935,3 +935,141 @@ def harmonic_centrality_sql(edges_cte: str, *, rounds: int = 6) -> str:
            CAST(sum({L} // dist) AS DOUBLE) / CAST({L} AS DOUBLE) AS harmonic
     FROM d{rounds} WHERE dist > 0 GROUP BY 1"""
     )
+
+
+def scc_fwbw(
+    edges: DataFrame, *, peels: int = 3, rounds: int = 6
+) -> DataFrame:
+    """Strongly connected components by deterministic forward-backward
+    peeling (the FW-BW/coloring family — Fleischer et al. 2000; the
+    min-label variant Pregel/GraphFrames ship): per peel, propagate
+    min node labels ``rounds`` times along edges (F = least node that
+    reaches u) and along reversed edges (B = least node u reaches),
+    both restricted to still-alive nodes; every node with ``F = B``
+    belongs to the SCC of that common label (mutual reachability with
+    it), and — because mutually reachable nodes see identical reach
+    sets once ``rounds`` covers the alive diameter — an SCC is
+    extracted either whole or not at all. Extracted nodes leave the
+    graph; the next peel's F/B run on the residual, so SCCs shadowed
+    by a smaller outside label (F < B) surface once that label's SCC
+    is gone. Each peel extracts at least the SCC of the least alive
+    node ⇒ ``peels`` bounds completeness the way ``rounds`` bounds
+    diameter: both are explicit contracts, asserted by callers on
+    bounded graphs (the Kahn-residual convention for cycle analysis).
+
+    The SCC layer completes the directed-graph family: kahn_residual
+    says WHICH nodes sit on cycles; this says which cycle EACH node
+    shares with whom — the import-cycle grouping a monorepo build
+    planner needs.
+
+    Scale shape: state is Θ(|alive|) (node, label) rows; every round
+    is one equi-join of the label table with the alive edge list +
+    a min-aggregate — the pagerank shuffle pattern. Lineage resets
+    per round via localCheckpoint (the k-core rule: each round
+    references the previous ≥2×). The per-peel alive-edge semi-joins
+    are Θ(|E|) each.
+
+    Returns ``node, scc_id, peel`` for every node assigned within
+    ``peels``.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    alive = nodes.localCheckpoint()
+    assigned = None
+    for p in range(1, peels + 1):
+        ae = (
+            e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        f = alive.select("node", F.col("node").alias("lbl")).localCheckpoint()
+        b = f
+        for _ in range(rounds):
+            gf = f.join(ae, f["node"] == ae["src"]).select(
+                F.col("dst").alias("node"), "lbl"
+            )
+            f = (
+                f.unionByName(gf)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+            gb = b.join(ae, b["node"] == ae["dst"]).select(
+                F.col("src").alias("node"), "lbl"
+            )
+            b = (
+                b.unionByName(gb)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+        ext = (
+            f.withColumnRenamed("lbl", "flbl")
+            .join(b.withColumnRenamed("lbl", "blbl"), "node")
+            .filter(F.col("flbl") == F.col("blbl"))
+            .select(
+                "node",
+                F.col("flbl").alias("scc_id"),
+                F.lit(p).cast("int").alias("peel"),
+            )
+        )
+        assigned = ext if assigned is None else assigned.unionByName(ext)
+        alive = alive.join(ext, "node", "left_anti").localCheckpoint()
+    return assigned
+
+
+def scc_fwbw_sql(edges_cte: str, *, peels: int = 3, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`scc_fwbw`, peel-for-peel and
+    round-for-round; ``edges_cte`` must define ``e(src, dst)``
+    distinct. Every stage CTE is MATERIALIZED (the kcore scan-tree
+    rule — F/B rounds each reference their predecessor twice)."""
+    steps = [
+        """nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    alive0 AS MATERIALIZED (SELECT node FROM nodes)"""
+    ]
+    exts = []
+    for p in range(1, peels + 1):
+        steps.append(
+            f"""ae{p} AS MATERIALIZED (
+      SELECT src, dst FROM e
+      WHERE src IN (SELECT node FROM alive{p - 1})
+        AND dst IN (SELECT node FROM alive{p - 1})),
+    f{p}_0 AS MATERIALIZED (SELECT node, node AS lbl FROM alive{p - 1}),
+    b{p}_0 AS MATERIALIZED (SELECT node, node AS lbl FROM alive{p - 1})"""
+        )
+        for r in range(1, rounds + 1):
+            steps.append(
+                f"""f{p}_{r} AS MATERIALIZED (
+      SELECT node, min(lbl) AS lbl FROM (
+        SELECT node, lbl FROM f{p}_{r - 1}
+        UNION ALL
+        SELECT a.dst AS node, x.lbl
+        FROM ae{p} a JOIN f{p}_{r - 1} x ON x.node = a.src) GROUP BY 1),
+    b{p}_{r} AS MATERIALIZED (
+      SELECT node, min(lbl) AS lbl FROM (
+        SELECT node, lbl FROM b{p}_{r - 1}
+        UNION ALL
+        SELECT a.src AS node, x.lbl
+        FROM ae{p} a JOIN b{p}_{r - 1} x ON x.node = a.dst) GROUP BY 1)"""
+            )
+        steps.append(
+            f"""ext{p} AS MATERIALIZED (
+      SELECT f.node, f.lbl AS scc_id, CAST({p} AS INT) AS peel
+      FROM f{p}_{rounds} f JOIN b{p}_{rounds} b ON b.node = f.node
+      WHERE f.lbl = b.lbl),
+    alive{p} AS MATERIALIZED (
+      SELECT node FROM alive{p - 1}
+      WHERE node NOT IN (SELECT node FROM ext{p}))"""
+        )
+        exts.append(f"SELECT node, scc_id, peel FROM ext{p}")
+    return (
+        f"WITH {edges_cte},\n    "
+        + ",\n    ".join(steps)
+        + "\n    "
+        + "\n    UNION ALL ".join(exts)
+    )

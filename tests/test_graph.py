@@ -413,3 +413,26 @@ def test_harmonic_centrality_hand_checked(spark):
         for r in harmonic_centrality(edges, rounds=6).collect()
     }
     assert got == {"b": (1, 60, 1.0), "c": (3, 150, 2.5)}
+
+
+def test_scc_fwbw_peeling_hand_checked(spark):
+    """2-cycle {1,2} + chain 1→3→4: peel 1 extracts SCC {1,2} (label
+    '1') — 3 and 4 are shadowed by node 1's forward label; peel 2
+    extracts both singletons... except 3 still shadows 4 (3→4), so 4
+    lands in peel 3. The peel schedule IS the semantics."""
+    from autovalidate_backend_api_spark.operators.graph import scc_fwbw
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "1"), ("1", "3"), ("3", "4")],
+        "src: string, dst: string",
+    )
+    got = {
+        r["node"]: (r["scc_id"], r["peel"])
+        for r in scc_fwbw(edges, peels=3, rounds=4).collect()
+    }
+    assert got == {
+        "1": ("1", 1),
+        "2": ("1", 1),
+        "3": ("3", 2),
+        "4": ("4", 3),
+    }
