@@ -8996,6 +8996,165 @@ def graph_scc_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 11: weekly profile, watermark lateness audit,
+# embedding data-quality report
+# ---------------------------------------------------------------------------
+
+# Calendar seasonality profile: event share per (day-of-week, hour)
+# cell. Day-of-week via pure epoch arithmetic — (epoch_days + 4) % 7
+# with 0 = Monday… wait: 1970-01-01 was a THURSDAY, so +4 makes
+# 0 = Monday only under (d + 3) % 7; here 0 = Thursday-anchored
+# weekday index ((epoch_days + 4) % 7 = 0 on Sundays). The point is
+# ENGINE-FREE integer math: Spark's dayofweek() is 1=Sunday while
+# DuckDB's is 0=Sunday — the literal-mod form can't drift. Counts
+# exact; share one division against the injected-as-subquery total.
+@_register(
+    "events_weekly_profile",
+    """WITH b AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                 (epoch_us(ts) // 3600000000) % 24 AS hour
+          FROM events),
+    c AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+           CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM c, t""",
+)
+def events_weekly_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    b = ev.select(
+        ((F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24)
+        .cast("bigint")
+        .alias("hour"),
+    )
+    c = b.groupBy("dow", "hour").agg(F.count("*").cast("bigint").alias("n"))
+    total = int(c.agg(F.sum("n")).first()[0])  # bounded scalar (no 1-row
+    # cross join — the corpus_summary rule)
+    return c.select(
+        "dow",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.lit(float(total))).alias("share"),
+    )
+
+
+# Watermark-lateness audit — the calibration behind every streaming
+# watermark choice (streaming/events.py): replay events in ARRIVAL
+# order (event_id — the synthetic arrival sequence), track the
+# running max event time, and count events that would be dropped at
+# delay W for W ∈ {0s, 1h, 6h}: an event is late iff its event time
+# < running-max-so-far − W (strictly the Spark contract: state for
+# windows older than watermark is gone). Exact BIGINT μs; the
+# running max is one global-order window over Θ(n) — the audit runs
+# on a bounded sample/day-slice at scale (same dispensation as
+# customer_running_total).
+@_register(
+    "watermark_lateness_audit",
+    """WITH o AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                 max(epoch_us(ts)) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_prev
+          FROM events),
+    w AS (SELECT delay_us FROM (VALUES (CAST(0 AS BIGINT)),
+                 (CAST(3600000000 AS BIGINT)),
+                 (CAST(21600000000 AS BIGINT))) AS v(delay_us)),
+    j AS (SELECT w.delay_us, o.event_id,
+                 CASE WHEN o.max_prev IS NOT NULL
+                       AND o.ts_us < o.max_prev - w.delay_us
+                      THEN 1 ELSE 0 END AS late
+          FROM o, w)
+    SELECT delay_us, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           CAST(sum(late) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_share
+    FROM j GROUP BY 1""",
+)
+def watermark_lateness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    wprev = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    o = ev.select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    ).withColumn("max_prev", F.max("ts_us").over(wprev))
+    o = o.persist()
+    rows = []
+    for delay_us in (0, 3_600_000_000, 21_600_000_000):
+        late = (
+            F.col("max_prev").isNotNull()
+            & (F.col("ts_us") < F.col("max_prev") - F.lit(delay_us))
+        ).cast("int")
+        rows.append(
+            o.agg(
+                F.lit(delay_us).cast("bigint").alias("delay_us"),
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(late).cast("bigint").alias("n_late"),
+                (
+                    F.sum(late).cast("double") / F.count("*").cast("double")
+                ).alias("late_share"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# Data-quality profile of the embedding column — the dq_profile
+# sibling for vectors, everything a similarity stack breaks on:
+# dimension consistency, zero-norm vectors (cosine undefined), NaN
+# components, and the norm RANGE (min/max are selections of
+# deterministic fold-computed doubles — never interpolated
+# quantiles, the funnel ulp lesson). One scan, one row.
+@_register(
+    "embedding_dq_report",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+    s AS (SELECT vec_id, len(e) AS dim,
+                 list_dot_product(e, e) AS nrm2,
+                 len(list_filter(e, x -> isnan(x))) AS n_nan
+          FROM v)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           CAST(sum(CASE WHEN nrm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_nan,
+           sqrt(min(nrm2)) AS min_norm,
+           sqrt(max(nrm2)) AS max_norm
+    FROM s""",
+)
+def embedding_dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    s = emb.select(
+        F.size("e").cast("bigint").alias("dim"),
+        dot(F.col("e"), F.col("e")).alias("nrm2"),
+        F.size(F.filter(F.col("e"), lambda x: F.isnan(x))).alias("n_nan"),
+    )
+    return s.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.sum((F.col("nrm2") == 0.0).cast("int")).cast("bigint").alias("n_zero_norm"),
+        F.sum((F.col("n_nan") > 0).cast("int")).cast("bigint").alias("n_with_nan"),
+        F.sqrt(F.min("nrm2")).alias("min_norm"),
+        F.sqrt(F.max("nrm2")).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
