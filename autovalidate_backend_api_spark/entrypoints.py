@@ -9155,6 +9155,109 @@ def embedding_dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 12: feature-hashing collision report, ship-latency stats
+# ---------------------------------------------------------------------------
+
+# The hashing trick (Weinberger et al., ICML'09) audited: terms hash
+# into 16 feature buckets (16 forces pigeonhole collisions on the
+# 31-term vocabulary — the thing the report exists to price) with a
+# ±1 sign from the next hash nibble; per bucket the distinct-term
+# count, occurrence mass, the SIGNED net mass (how much of a
+# collision cancels — the reason the trick keeps expectations
+# unbiased), and the collision verdict. All exact BIGINTs.
+@_register(
+    "feature_hashing_report",
+    f"""WITH t AS (SELECT doc_id,
+                 unnest(string_split({_NORM_SQL}, ' ')) AS term
+          FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS occ
+          FROM t WHERE term != '' GROUP BY 1),
+    h AS (SELECT term, occ,
+                 CAST('0x' || substr(md5(term), 1, 6) AS BIGINT) % 16
+                   AS bucket,
+                 CASE WHEN CAST('0x' || substr(md5(term), 7, 1) AS BIGINT) % 2
+                      = 0 THEN 1 ELSE -1 END AS sgn
+          FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           CAST(sum(sgn * occ) AS BIGINT) AS signed_mass,
+           count(*) > 1 AS is_collision,
+           min(term) AS example_term
+    FROM h GROUP BY 1""",
+)
+def feature_hashing_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    c = t.groupBy("term").agg(F.count("*").cast("bigint").alias("occ"))
+    md5 = F.md5(F.col("term"))
+    h = c.select(
+        "term",
+        "occ",
+        (F.conv(F.substring(md5, 1, 6), 16, 10).cast("bigint") % 16).alias(
+            "bucket"
+        ),
+        F.when(
+            F.conv(F.substring(md5, 7, 1), 16, 10).cast("bigint") % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return h.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+        F.sum(F.col("sgn") * F.col("occ")).cast("bigint").alias("signed_mass"),
+        (F.count("*") > 1).alias("is_collision"),
+        F.min("term").alias("example_term"),
+    )
+
+
+# Order→ship latency distribution per order priority: exact day gaps
+# (epoch-day integer subtraction), count/min/max/mean — the mean is
+# ONE division of a BIGINT sum (never a float accumulation) — and the
+# interpolated median of small-int day gaps (integer/half-integer —
+# the doc_length_quantiles contract holds at day magnitudes where an
+# ulp is 1e-13). The operational-latency analytics shape on the
+# TPC-H-ish tables.
+@_register(
+    "order_ship_latency",
+    """WITH g AS (SELECT o.o_orderpriority AS priority,
+                 epoch_us(l.l_shipdate) // 86400000000
+                   - epoch_us(o.o_orderdate) // 86400000000 AS gap_days
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days,
+           CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_days,
+           round(quantile_cont(gap_days, 0.5), 6) AS median_days
+    FROM g GROUP BY 1""",
+)
+def order_ship_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    g = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            - F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        ).alias("gap_days"),
+    )
+    return g.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+        (F.sum("gap_days").cast("double") / F.count("*").cast("double")).alias(
+            "mean_days"
+        ),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("median_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
