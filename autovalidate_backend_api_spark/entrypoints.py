@@ -9258,6 +9258,59 @@ def order_ship_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 13: spectral term ranking (power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _eigenvector_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.clustering import (
+        dominant_eigenvector_sql,
+    )
+
+    cooc = f"""c AS (SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents) WHERE term != ''),
+    m AS (SELECT a.term AS i, b.term AS j, CAST(count(*) AS BIGINT) AS w
+          FROM c a JOIN c b USING (doc_id) GROUP BY 1, 2)"""
+    return dominant_eigenvector_sql(cooc, iters=3)
+
+
+# Spectral term ranking: the dominant eigenvector of the term-term
+# doc-co-occurrence matrix by 3 rounds of deterministic power
+# iteration — the LSA-lite factor. Every float is fold-exact (matvec
+# rows are bm25-trick folds over j-sorted products; the normalization
+# constant is a Python fold op-for-op identical to the oracle's
+# scalar-subquery fold), so the EIGENVECTOR ITSELF is value-hash
+# oracle-checked. Driver state = the |vocab|-double vector re-entered
+# as a literal map per round (the kmeans_lloyd pattern — zero joins
+# against iteration state); the matvec join is Θ(nnz(M)).
+@_register("spectral_term_rank", _eigenvector_oracle_sql())
+def spectral_term_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.clustering import (
+        dominant_eigenvector,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    a, b = c.alias("a"), c.alias("b")
+    m = (
+        a.join(b, "doc_id")
+        .groupBy(F.col("a.term").alias("i"), F.col("b.term").alias("j"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    return dominant_eigenvector(m, iters=3)
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

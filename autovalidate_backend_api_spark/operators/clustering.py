@@ -244,3 +244,116 @@ def kmeans_oracle_sql(
     SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster,
            round(dist, {round_digits}) AS dist
     FROM a{final}"""
+
+
+def dominant_eigenvector(
+    cooc: DataFrame, *, iters: int = 3
+) -> DataFrame:
+    """Dominant eigenvector of a symmetric nonnegative co-occurrence
+    matrix by deterministic power iteration — the LSA/spectral-ranking
+    primitive (the first factor of a truncated eigendecomposition; on
+    a term-term doc-co-occurrence matrix the entries rank terms by
+    participation in the corpus's main topic).
+
+    ``cooc``: the FULL matrix as ``(i, j, w)`` BIGINT rows (both
+    orientations + diagonal). Uses the kmeans_lloyd driver-state
+    pattern: the current vector v (|vocab| doubles — bounded, the
+    production analog broadcasts it per round) re-enters each round as
+    a literal map, so the matvec plan has ZERO joins against iteration
+    state; and the house float contract end to end:
+
+    - matvec row: Σ_j w_ij·v_j as a left-assoc fold over the j-sorted
+      product list (bm25 trick) — Spark sort_array(collect_list) +
+      F.aggregate, oracle list_reduce(list(...ORDER BY j)).
+    - norms: Python folds IDENTICAL op-for-op to the oracle's SQL
+      folds (Python float IS IEEE binary64: acc=0.0; acc += x*x over
+      i-sorted entries, then one correctly-rounded sqrt), so the
+      driver-side normalization constant is the same double the
+      oracle's scalar subquery computes.
+    - the returned weights spend one division each (mv_i / ‖mv‖).
+
+    Returns ``term, weight, eigenvalue`` where eigenvalue = ‖M v‖ of
+    the final round (the Rayleigh-quotient estimate for a normalized
+    input vector), identical on every row.
+    """
+    import math
+
+    rows = cooc.select(
+        F.col("i").cast("string").alias("i"),
+        F.col("j").cast("string").alias("j"),
+        F.col("w").cast("bigint").alias("w"),
+    ).persist()
+    terms = sorted(r["i"] for r in rows.select("i").distinct().collect())
+    n = len(terms)
+    norm0 = math.sqrt(float(n))  # fold of n ones is exactly n
+    v = {t: 1.0 / norm0 for t in terms}
+
+    mv_df = None
+    norm = None
+    for _ in range(iters):
+        vmap = F.create_map(
+            *[x for t in terms for x in (F.lit(t), F.lit(v[t]))]
+        )
+        prods = rows.select(
+            "i",
+            F.struct(
+                F.col("j"),
+                (F.col("w").cast("double") * vmap[F.col("j")]).alias("p"),
+            ).alias("s"),
+        )
+        mv_df = prods.groupBy("i").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["p"],
+            ).alias("mv")
+        )
+        u = {r["i"]: float(r["mv"]) for r in mv_df.collect()}
+        acc = 0.0
+        for t in terms:  # i-sorted fold, op-for-op the oracle's
+            x = u.get(t, 0.0)
+            acc += x * x
+        norm = math.sqrt(acc)
+        v = {t: u.get(t, 0.0) / norm for t in terms}
+
+    return mv_df.select(
+        F.col("i").alias("term"),
+        (F.col("mv") / F.lit(norm)).alias("weight"),
+        F.lit(norm).alias("eigenvalue"),
+    )
+
+
+def dominant_eigenvector_sql(cooc_cte: str, *, iters: int = 3) -> str:
+    """DuckDB twin of :func:`dominant_eigenvector`; ``cooc_cte`` must
+    define ``m(i, j, w)`` — full matrix, BIGINT w, VARCHAR keys. The
+    per-round folds are scalar-accumulator ``list_reduce`` calls (safe
+    — the DuckDB struct-accumulator miscompilation hits only struct
+    states) over explicitly ordered lists; norms are scalar
+    subqueries (the oracle has no nested-loop ban)."""
+    steps = [
+        """n0 AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM m),
+    v0 AS (SELECT i AS term,
+                  1.0 / sqrt(CAST((SELECT n FROM n0) AS DOUBLE)) AS v
+           FROM (SELECT DISTINCT i FROM m))"""
+    ]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""mv{k} AS MATERIALIZED (
+      SELECT m.i AS term,
+             list_reduce(
+               list(CAST(m.w AS DOUBLE) * v.v ORDER BY m.j),
+               (a, b) -> a + b) AS mv
+      FROM m JOIN v{k - 1} v ON v.term = m.j GROUP BY 1),
+    nrm{k} AS (SELECT sqrt(list_reduce(
+                 list(mv * mv ORDER BY term), (a, b) -> a + b)) AS nrm
+               FROM mv{k}),
+    v{k} AS (SELECT term, mv / (SELECT nrm FROM nrm{k}) AS v FROM mv{k})"""
+        )
+    return (
+        f"WITH {cooc_cte},\n    "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT term, mv / (SELECT nrm FROM nrm{iters}) AS weight,
+           (SELECT nrm FROM nrm{iters}) AS eigenvalue
+    FROM mv{iters}"""
+    )
