@@ -1,0 +1,84 @@
+"""Custom Python DataSource (the Spark 4 ``pyspark.sql.datasource``
+API): a deterministic synthetic file-manifest source.
+
+The S-layer grows one more connector class: beside the file formats
+(parquet/CSV/JSON/ORC in sources/tables.py) and the table formats
+(bucketed saveAsTable, Iceberg writer), this is the EXTENSION point —
+the API a user implements to scan a system Spark has no built-in
+connector for (an internal file-catalog service, a bespoke manifest
+store). The reference's analog is its Supabase REST scan
+(/root/reference/app/api/core/db_lookup.py:24-50): a paginated
+service read, which is exactly what DataSourceReader.partitions() +
+read(partition) distribute — one partition per page/shard, rows
+yielded per partition on the executors, never through the driver.
+
+Honest contract notes (pinned in tests):
+- Parallelism: ``partitions()`` returns one InputPartition per shard;
+  Spark schedules one task per partition (getNumPartitions ==
+  n_shards).
+- Determinism: rows are a pure function of (shard, options) — two
+  reads are row-for-row identical, which makes the source safe under
+  task retries (Spark may re-run a partition; a nondeterministic
+  yield would silently corrupt joins downstream).
+- NO filter/column pushdown: the Python DataSource API streams whole
+  rows; predicates run Spark-side. A production connector pushes
+  pagination bounds into the service query instead — document the
+  delta, don't pretend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+MANIFEST_SCHEMA_DDL = (
+    "file_id bigint, repo string, path string, size_bytes bigint, shard int"
+)
+
+
+class _ManifestPartition(InputPartition):
+    def __init__(self, shard: int, n_shards: int, n_files: int):
+        self.shard = shard
+        self.n_shards = n_shards
+        self.n_files = n_files
+
+
+class ManifestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.n_files = int(options.get("n_files", 1000))
+        self.n_shards = int(options.get("n_shards", 4))
+
+    def partitions(self):
+        return [
+            _ManifestPartition(s, self.n_shards, self.n_files)
+            for s in range(self.n_shards)
+        ]
+
+    def read(self, partition: _ManifestPartition):
+        # rows are a pure function of (shard, options): file ids are the
+        # shard's residue class, sizes an affine function — deterministic
+        # under task retry by construction
+        for fid in range(partition.shard, partition.n_files, partition.n_shards):
+            yield (
+                fid,
+                f"org{fid % 7}",
+                f"src/d{fid % 5}/f{fid}.py",
+                128 + (fid * 37) % 4096,
+                partition.shard,
+            )
+
+
+class SyntheticManifestDataSource(DataSource):
+    """``spark.read.format("synthetic_manifest")`` after
+    ``spark.dataSource.register(SyntheticManifestDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_manifest"
+
+    def schema(self) -> str:
+        return MANIFEST_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> ManifestReader:
+        return ManifestReader(schema, self.options)

@@ -94,6 +94,11 @@ def main() -> None:
                          "corpus metadata: k-anonymity and l-diversity "
                          "audits of the (repo, lang, size-bucket) "
                          "quasi-identifier tuple (requires --output)")
+    ap.add_argument("--eval-report", action="store_true",
+                    help="also run the retrieval-evaluation gate over "
+                         "the corpus: BM25 self-retrieval MRR@10 and hit "
+                         "rate (relevance = equal normalized-text hash; "
+                         "requires --output)")
     ap.add_argument("--search-report", action="store_true",
                     help="also build the corpus inverted index and write "
                          "the ranked-retrieval pair over it: BM25 top-10 "
@@ -609,6 +614,63 @@ def main() -> None:
             "homogeneity_exposed_rows": int(
                 lb.agg(F.max("n_homogeneity_exposed")).first()[0]
             ),
+        }
+
+    if args.eval_report:
+        if not args.output:
+            ap.error("--eval-report requires --output")
+        # the evaluation pair of the driver gates at job scale:
+        # self-retrieval MRR of the BM25 ranker (every 37th file is a
+        # query of its own tokens; relevant = identical normalized
+        # text) and the lang-ID confusion matrix vs the corpus labels.
+        from pyspark.sql import functions as F
+
+        from autovalidate_backend_api_spark.functions.normalize import (
+            normalize_text_col,
+        )
+        from autovalidate_backend_api_spark.operators.retrieval import bm25_topk
+
+        edocs = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        eterms = edocs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text_col(F.col("text")), " ")
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+        equeries = (
+            eterms.filter(F.col("doc_id") % 37 == 1)
+            .select(F.col("doc_id").alias("qid"), "term")
+            .distinct()
+        )
+        n_q = equeries.select("qid").distinct().count()
+        topk = bm25_topk(eterms, equeries, k=10)
+        dh = edocs.select(
+            "doc_id", F.md5(normalize_text_col(F.col("text"))).alias("h")
+        )
+        qh = dh.select(F.col("doc_id").alias("qid"), F.col("h").alias("qhash"))
+        hits = (
+            topk.join(qh, "qid")
+            .join(dh, "doc_id")
+            .filter(F.col("h") == F.col("qhash"))
+            .groupBy("qid")
+            .agg(F.min("rnk").alias("best"))
+        )
+        hits.write.mode("overwrite").parquet(f"{args.output}/eval_mrr_hits")
+        hb = spark.read.parquet(f"{args.output}/eval_mrr_hits")
+        agg = hb.agg(
+            F.count("*").alias("n_hits"),
+            F.sum(F.expr("2520 div best")).alias("mrr_num"),
+        ).first()
+        n_hits = int(agg["n_hits"] or 0)
+        mrr_num = int(agg["mrr_num"] or 0)
+        summary["eval"] = {
+            "n_queries": n_q,
+            "n_hits": n_hits,
+            "mrr": round(mrr_num / (2520 * n_q), 6) if n_q else None,
+            "hit_rate": round(n_hits / n_q, 6) if n_q else None,
         }
 
     print(json.dumps(summary))
