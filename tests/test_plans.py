@@ -193,3 +193,34 @@ def test_quota_allocation_window_is_on_aggregated_groups(spark, sf_dir):
     not joined-in relations)."""
     plan = _plan_of("domain_quota_allocation", spark, sf_dir)
     assert "Window" in plan and "Join" not in plan, plan
+
+
+def test_table_checksum_is_one_exchange_mapside_combined(spark, sf_dir):
+    """The anti-entropy cheap path must stay cheap: zero joins, ONE
+    exchange, and the checksum aggregates visibly map-side combined
+    (partial_bit_xor / partial_sum before the exchange)."""
+    plan = _plan_of("table_checksum", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "partial_bit_xor" in plan and "partial_sum" in plan
+
+
+def test_hilbert_layout_is_joinfree_projection_chain(spark, sf_dir):
+    """The xy2d rotation transform must compile to projections — zero
+    joins, one exchange for the bucket aggregate, and partial min/max
+    (the data-skipping ranges combine map-side)."""
+    plan = _plan_of("hilbert_layout", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_interval_concurrency_windows_run_on_collapsed_boundaries(spark, sf_dir):
+    """The sweep-line running sum must consume the key-collapsed
+    boundary table, never raw events: the HashAggregates sit BELOW the
+    Window operators in the plan (events collapse first), and no join
+    appears anywhere."""
+    plan = _plan_of("interval_concurrency_curve", spark, sf_dir)
+    assert "Join" not in plan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], plan
