@@ -9023,7 +9023,6 @@ def graph_scc_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_weekly_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
-    us = F.expr("unix_micros(cast(ts as timestamp))")
     b = ev.select(
         ((F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 4) % 7)
         .cast("bigint")
