@@ -9310,6 +9310,128 @@ def spectral_term_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 15: winsorization by rank selection, outer-explode counts
+# ---------------------------------------------------------------------------
+
+# Winsorization at the [5%, 95%] rank bounds per source — the robust
+# preprocessing step before any mean-based quality threshold. Bounds
+# are pure RANK SELECTION (value at rank ceil(p·n/100), integer div —
+# never interpolated, the quantile-ulp lesson); the winsorized mean is
+# ONE division of the clamped BIGINT sum. Two windows over Θ(n) keyed
+# by source + a broadcast-size bounds join.
+@_register(
+    "winsorize_doc_lengths",
+    """WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+                 CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM documents),
+    b AS (SELECT source,
+                 min(CASE WHEN r >= (5 * n + 99) // 100 THEN v END) AS lo,
+                 min(CASE WHEN r >= (95 * n + 99) // 100 THEN v END) AS hi,
+                 max(n) AS n
+          FROM s GROUP BY 1)
+    SELECT b.source, b.n, b.lo AS lo_bound, b.hi AS hi_bound,
+           CAST(sum(CASE WHEN s.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN s.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           CAST(sum(least(greatest(s.v, b.lo), b.hi)) AS BIGINT)
+             AS winsorized_sum,
+           CAST(sum(least(greatest(s.v, b.lo), b.hi)) AS DOUBLE)
+             / CAST(max(b.n) AS DOUBLE) AS winsorized_mean
+    FROM s JOIN b USING (source) GROUP BY 1, 2, 3, 4""",
+)
+def winsorize_doc_lengths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("v"),
+        F.row_number().over(ws).cast("bigint").alias("r"),
+        F.count("*").over(Window.partitionBy("source")).cast("bigint").alias("n"),
+    )
+    b = s.groupBy("source").agg(
+        F.min(
+            F.when(F.col("r") >= F.expr("(5 * n + 99) div 100"), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("r") >= F.expr("(95 * n + 99) div 100"), F.col("v"))
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    j = s.join(F.broadcast(b.select("source", "lo", "hi")), "source")
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    g = j.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min("lo").cast("bigint").alias("lo_bound"),
+        F.min("hi").cast("bigint").alias("hi_bound"),
+        F.sum((F.col("v") < F.col("lo")).cast("int")).cast("bigint").alias(
+            "n_clamped_low"
+        ),
+        F.sum((F.col("v") > F.col("hi")).cast("int")).cast("bigint").alias(
+            "n_clamped_high"
+        ),
+        F.sum(clamped).cast("bigint").alias("winsorized_sum"),
+    )
+    return g.select(
+        "source",
+        "n",
+        "lo_bound",
+        "hi_bound",
+        "n_clamped_low",
+        "n_clamped_high",
+        "winsorized_sum",
+        (
+            F.col("winsorized_sum").cast("double") / F.col("n").cast("double")
+        ).alias("winsorized_mean"),
+    )
+
+
+# explode_outer semantics pinned cross-engine: every 13th doc is
+# projected to empty text, its token array explodes to NOTHING under
+# plain explode — outer explode keeps the row with a NULL token, so
+# empty docs still appear with n_tokens = 0 (exactly the rows a
+# quality filter must SEE to quarantine). DuckDB has no outer unnest;
+# the oracle expresses the same semantics with a CASE on len() —
+# which is the point: the gate certifies the two formulations agree.
+@_register(
+    "tokenize_outer_counts",
+    f"""WITH d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END AS text
+          FROM documents),
+    tk AS (SELECT doc_id,
+                  list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')
+                    AS toks
+           FROM d)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(toks) = 0 AS is_empty
+    FROM tk""",
+)
+def tokenize_outer_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("")).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(
+                F.split(normalize_text_col(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("tok").cast("bigint").alias("n_tokens"),
+        (F.count("tok") == 0).alias("is_empty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
