@@ -9432,6 +9432,59 @@ def tokenize_outer_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 16: two-sample drift tests (Mann-Whitney U, KS)
+# ---------------------------------------------------------------------------
+
+
+def _mwu_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.profiling import (
+        mann_whitney_u_sql,
+    )
+
+    return mann_whitney_u_sql(
+        "documents", "source", "n_chars", "src0", "src1"
+    )
+
+
+# Two-sample Mann-Whitney U between src0 and src1 doc lengths — the
+# nonparametric source-drift test, INTEGER-EXACT via doubled midranks
+# (2·midrank = 2·cnt_less + cnt_eq + 1; 2U stays BIGINT); the effect
+# size AUC = P(A > B, ties half) spends one division. No p-value by
+# design: Φ needs erf, which is not correctly rounded cross-engine.
+# Samples collapse to a value histogram before any window.
+@_register("mwu_source_drift", _mwu_oracle_sql())
+def mwu_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.profiling import mann_whitney_u
+
+    docs = _t(spark, sf_dir, "documents")
+    return mann_whitney_u(
+        docs, group_col="source", value_col="n_chars",
+        group_a="src0", group_b="src1",
+    )
+
+
+def _ks_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.profiling import ks_statistic_sql
+
+    return ks_statistic_sql("documents", "source", "n_chars", "src0", "src1")
+
+
+# Two-sample Kolmogorov-Smirnov distance between the same samples —
+# the ECDF shape test beside MWU (sees variance changes MWU's
+# rank-shift misses). D cross-multiplies to max|cumA·nB − cumB·nA|:
+# one BIGINT max, one final division.
+@_register("ks_source_drift", _ks_oracle_sql())
+def ks_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.profiling import ks_statistic
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs, group_col="source", value_col="n_chars",
+        group_a="src0", group_b="src1",
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

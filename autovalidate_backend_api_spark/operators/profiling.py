@@ -21,7 +21,7 @@ sketch state instead of Expand.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -280,3 +280,174 @@ def l_diversity_oracle_sql(
     SELECT {names}, class_n, l_distinct, l_distinct >= {l} AS meets_l,
            g.n_rows, g.n_homogeneity_exposed, g.l_diversity
     FROM cls, g"""
+
+
+def mann_whitney_u(
+    df: DataFrame, *, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """Two-sample Mann-Whitney U — the nonparametric drift test a
+    pipeline runs when a source's value distribution may have shifted
+    (rank-based, so robust to the outliers MAD flags). INTEGER-EXACT
+    throughout via doubled midranks: with ties, the midrank of value v
+    is cnt_less(v) + (cnt_eq(v)+1)/2, so 2·midrank = 2·cnt_less +
+    cnt_eq + 1 is an integer; 2·U_A = 2·R_A − n_A(n_A+1) stays BIGINT,
+    and the reported effect size AUC = U/(n_A·n_B) (the probability a
+    random A value exceeds a random B value, ties half-counted) spends
+    ONE division. No normal-approximation p-value: Φ needs erf, which
+    is not correctly rounded cross-engine — the U statistic and AUC
+    are the oracle-checkable values, and thresholds on AUC are the
+    actionable gate (0.5 = no drift).
+
+    Shape: the two samples collapse to a value HISTOGRAM each (the
+    range_partition_bounds trick — Θ(|distinct values|) rows), ranks
+    come from one cumulative window over the merged histogram, and the
+    statistic is a 1-row aggregate. The raw rows never shuffle twice.
+    """
+    v = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("bigint").alias("v")
+    )
+    hist = v.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("less"),
+    )
+    # 2·midrank(v) = 2·less + (ca+cb) + 1; Σ_A 2·midrank = Σ ca·that
+    agg = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * F.col("less") + F.col("ca") + F.col("cb") + 1)
+        )
+        .cast("bigint")
+        .alias("two_ra"),
+    )
+    two_u = F.col("two_ra") - F.col("na") * (F.col("na") + 1)
+    return agg.select(
+        F.col("na"),
+        F.col("nb"),
+        two_u.cast("bigint").alias("two_u"),
+        (
+            two_u.cast("double")
+            / (F.lit(2.0) * (F.col("na") * F.col("nb")).cast("double"))
+        ).alias("auc"),
+    )
+
+
+def mann_whitney_u_sql(
+    table: str, group_sql: str, value_sql: str, group_a: str, group_b: str
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u`."""
+    return f"""WITH v AS (
+      SELECT {group_sql} AS g, CAST({value_sql} AS BIGINT) AS v
+      FROM {table} WHERE {group_sql} IN ('{group_a}', '{group_b}')),
+    hist AS (SELECT v,
+                CAST(sum(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN g = '{group_b}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cb
+             FROM v GROUP BY 1),
+    ranked AS (SELECT v, ca, cb,
+                CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS less
+               FROM hist),
+    agg AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb,
+                   CAST(sum(ca * (2 * less + ca + cb + 1)) AS BIGINT)
+                     AS two_ra
+            FROM ranked)
+    SELECT na, nb, CAST(two_ra - na * (na + 1) AS BIGINT) AS two_u,
+           CAST(two_ra - na * (na + 1) AS DOUBLE)
+             / (2.0 * CAST(na * nb AS DOUBLE)) AS auc
+    FROM agg"""
+
+
+def ks_statistic(
+    df: DataFrame, *, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance — the ECDF drift test
+    beside :func:`mann_whitney_u` (KS sees shape changes MWU's
+    rank-shift misses, e.g. a variance change with equal medians).
+    INTEGER-EXACT: D = max_v |F_A(v) − F_B(v)| cross-multiplies to
+    max |cumA·n_B − cumB·n_A| over the merged value histogram — one
+    BIGINT max; the reported D spends ONE division by n_A·n_B. Same
+    histogram-collapse shape as MWU: Θ(|distinct values|) after the
+    first combinable aggregation.
+    """
+    v = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("bigint").alias("v")
+    )
+    hist = v.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("ca").over(w).cast("bigint").alias("cuma"),
+        F.sum("cb").over(w).cast("bigint").alias("cumb"),
+    )
+    tot = Window.partitionBy()
+    cum2 = cum.select(
+        "cuma",
+        "cumb",
+        F.max("cuma").over(tot).cast("bigint").alias("na"),
+        F.max("cumb").over(tot).cast("bigint").alias("nb"),
+    )
+    agg = cum2.agg(
+        F.max("na").cast("bigint").alias("na"),
+        F.max("nb").cast("bigint").alias("nb"),
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        )
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    return agg.select(
+        "na",
+        "nb",
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double")
+        ).alias("ks_d"),
+    )
+
+
+def ks_statistic_sql(
+    table: str, group_sql: str, value_sql: str, group_a: str, group_b: str
+) -> str:
+    """DuckDB twin of :func:`ks_statistic`."""
+    return f"""WITH v AS (
+      SELECT {group_sql} AS g, CAST({value_sql} AS BIGINT) AS v
+      FROM {table} WHERE {group_sql} IN ('{group_a}', '{group_b}')),
+    hist AS (SELECT v,
+                CAST(sum(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN g = '{group_b}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cb
+             FROM v GROUP BY 1),
+    cum AS (SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+                   CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+            FROM hist),
+    tot AS (SELECT max(cuma) AS na, max(cumb) AS nb FROM cum)
+    SELECT t.na, t.nb,
+           CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS d_num,
+           CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+             / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+    FROM cum c, tot t GROUP BY t.na, t.nb"""

@@ -158,3 +158,31 @@ def test_span_ops_survive_universal_hot_span(spark):
     assert keepers == [0]
     assert all(r["n_dropped"] == 1 for d, r in cleaned.items() if d != 0)
     assert cleaned[7]["cleaned"].startswith("d7w0 ")  # hot chunk cut
+
+
+def test_mann_whitney_u_hand_checked_with_ties(spark):
+    """A=[1,2,3], B=[2,4]: midranks (1, 2.5, 2.5, 4, 5) → R_A = 7.5,
+    2U = 15 − 12 = 3, AUC = 1.5/6 = 0.25 — the tie is half-counted
+    exactly (pair-definition cross-check: only (3>2)=1 and (2=2)=0.5
+    score)."""
+    from autovalidate_backend_api_spark.operators.profiling import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 4)],
+        "g: string, v: bigint",
+    )
+    r = mann_whitney_u(df, group_col="g", value_col="v", group_a="a", group_b="b").first()
+    assert (r["na"], r["nb"], r["two_u"], r["auc"]) == (3, 2, 3, 0.25)
+
+
+def test_ks_statistic_hand_checked(spark):
+    """Same samples: the ECDF gap peaks at v=3 (F_A=1, F_B=0.5) →
+    d_num = |3·2 − 1·3| = 3, D = 0.5."""
+    from autovalidate_backend_api_spark.operators.profiling import ks_statistic
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 4)],
+        "g: string, v: bigint",
+    )
+    r = ks_statistic(df, group_col="g", value_col="v", group_a="a", group_b="b").first()
+    assert (r["na"], r["nb"], r["d_num"], r["ks_d"]) == (3, 2, 3, 0.5)
