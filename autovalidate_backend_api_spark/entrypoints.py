@@ -9485,6 +9485,101 @@ def ks_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 17: sequence-trigram mining, Wilson interval estimates
+# ---------------------------------------------------------------------------
+
+# Top-10 event-type TRIGRAMS across user journeys (PrefixSpan-lite at
+# fixed length 3): two leads over the per-user time order, one count,
+# TakeOrderedAndProject for the global cut. The sequence-mining step
+# above event_transition_matrix's bigrams; ties broken lexically so
+# the cut is total-ordered.
+@_register(
+    "event_trigram_topk",
+    """WITH o AS (SELECT user_id, event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+          FROM o WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT t1, t2, t3, n,
+           CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS INT)
+             AS rnk
+    FROM c QUALIFY rnk <= 10""",
+)
+def event_trigram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    c = o.groupBy("t1", "t2", "t3").agg(F.count("*").cast("bigint").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    return (
+        c.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+_WILSON_Z = 1.96
+_WILSON_Z2 = repr(_WILSON_Z * _WILSON_Z)  # shared literal, both engines
+
+
+# Wilson 95% score interval for each event type's user-penetration
+# rate — the interval estimate that stays inside [0,1] where the
+# normal approximation doesn't. The whole interval is ONE fixed
+# expression tree over (w, n) BIGINTs with z and z² as shared repr
+# literals, so every float op is the identical exactly-rounded
+# sequence cross-engine — deterministic without any LCM/moment trick,
+# the same argument as lang_term_chi2_top.
+@_register(
+    "event_type_wilson_ci",
+    f"""WITH u AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS w
+          FROM events GROUP BY 1),
+    t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    e AS (SELECT u.event_type, u.w, t.n,
+                 CAST(u.w AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+          FROM u, t)
+    SELECT event_type, w, n, round(p, 9) AS p_hat,
+           round((p + {_WILSON_Z2} / (2.0 * CAST(n AS DOUBLE))
+                  - {_WILSON_Z} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                      + {_WILSON_Z2} / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+                 / (1.0 + {_WILSON_Z2} / CAST(n AS DOUBLE)), 9) AS ci_lo,
+           round((p + {_WILSON_Z2} / (2.0 * CAST(n AS DOUBLE))
+                  + {_WILSON_Z} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                      + {_WILSON_Z2} / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+                 / (1.0 + {_WILSON_Z2} / CAST(n AS DOUBLE)), 9) AS ci_hi
+    FROM e""",
+)
+def event_type_wilson_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("w")
+    )
+    n = int(ev.select("user_id").distinct().count())  # bounded scalar
+    nd = F.lit(float(n))
+    p = F.col("w").cast("double") / nd
+    z, z2 = F.lit(_WILSON_Z), F.lit(float(_WILSON_Z * _WILSON_Z))
+    margin = z * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+    center = p + z2 / (F.lit(2.0) * nd)
+    denom = F.lit(1.0) + z2 / nd
+    return u.select(
+        "event_type",
+        "w",
+        F.lit(n).cast("bigint").alias("n"),
+        F.round(p, 9).alias("p_hat"),
+        F.round((center - margin) / denom, 9).alias("ci_lo"),
+        F.round((center + margin) / denom, 9).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
