@@ -9580,6 +9580,113 @@ def event_type_wilson_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 18: market-basket brand lift, hourly OHLC bars
+# ---------------------------------------------------------------------------
+
+# Market-basket analysis at Apriori level 2: brand pairs co-occurring
+# in the same order, with support counts and LIFT — the exact-integer-
+# moments discipline on the relational side (lift = n·c_ab/(c_a·c_b):
+# BIGINT cross-products, ONE division, round(6)). The basket join is
+# per-order pair expansion over the DISTINCT brand set of each order
+# (bounded by basket width, never by |lineitem|); brand marginals are
+# one combinable aggregation.
+@_register(
+    "basket_brand_lift",
+    """WITH b AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM b),
+    m AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    pr AS (SELECT a.brand AS brand_a, bb.brand AS brand_b,
+                  CAST(count(*) AS BIGINT) AS c_ab
+           FROM b a JOIN b bb ON bb.okey = a.okey AND a.brand < bb.brand
+           GROUP BY 1, 2)
+    SELECT pr.brand_a, pr.brand_b, pr.c_ab, ma.c AS c_a, mb.c AS c_b,
+           round(CAST(n.n * pr.c_ab AS DOUBLE)
+                 / CAST(ma.c * mb.c AS DOUBLE), 6) AS lift
+    FROM pr JOIN m ma ON ma.brand = pr.brand_a
+            JOIN m mb ON mb.brand = pr.brand_b, n
+    WHERE pr.c_ab >= 3""",
+)
+def basket_brand_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    b = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = int(b.select("okey").distinct().count())  # bounded scalar
+    m = b.groupBy("brand").agg(F.count("*").cast("bigint").alias("c"))
+    a, bb = b.alias("a"), b.alias("bb")
+    pr = (
+        a.join(bb, "okey")
+        .filter(F.col("a.brand") < F.col("bb.brand"))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("bb.brand").alias("brand_b"))
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ma = m.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    mb = m.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    return (
+        pr.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                (F.lit(n) * F.col("c_ab")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# Hourly OHLC bars over event values: open/close are the values at the
+# bucket's first/last (ts, event_id) — min/max STRUCT selection, so the
+# doubles are COPIED, never computed — high/low are plain min/max.
+# The time-series-compaction shape (a 100 TB metrics store keeps bars,
+# not raw points); one combinable aggregation per bucket.
+@_register(
+    "events_hourly_ohlc",
+    """SELECT epoch_us(ts) // 3600000000 AS b,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(struct_pack(us := epoch_us(ts), eid := event_id,
+                           v := value)).v AS open,
+           max(struct_pack(us := epoch_us(ts), eid := event_id,
+                           v := value)).v AS close,
+           max(value) AS high, min(value) AS low
+    FROM events GROUP BY 1""",
+)
+def events_hourly_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    s = F.struct(
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+            s.alias("s"),
+            "value",
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("s").getField("v").alias("open"),
+            F.max("s").getField("v").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
