@@ -9687,6 +9687,130 @@ def events_hourly_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 19: log-template mining, chance-corrected agreement
+# ---------------------------------------------------------------------------
+
+# Log-template mining (the Drain family's output, rule-based): collapse
+# digit runs to '#' and whitespace runs to one space, group by the
+# resulting template — the variable parts of repeated message shapes
+# vanish and each template's support counts the shape. RE2-safe
+# patterns shared verbatim by both engines; top templates by (n desc,
+# template) with a total-ordered cut.
+@_register(
+    "log_template_mining",
+    """WITH t AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+                                ' +', ' ', 'g') AS template
+          FROM documents),
+    c AS (SELECT template, CAST(count(*) AS BIGINT) AS n,
+                 CAST(min(doc_id) AS BIGINT) AS example_doc
+          FROM t GROUP BY 1)
+    SELECT template, n, example_doc,
+           CAST(row_number() OVER (ORDER BY n DESC, template) AS INT) AS rnk
+    FROM c QUALIFY rnk <= 20""",
+)
+def log_template_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    template = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]+", "#"), " +", " "
+    )
+    c = (
+        docs.select("doc_id", template.alias("template"))
+        .groupBy("template")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+    )
+    w = Window.orderBy(F.col("n").desc(), "template")
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+# Cohen's kappa for the language-ID heuristic against the labels —
+# the chance-corrected agreement lang_id_confusion's raw accuracy
+# overstates when one class dominates. All moments are BIGINTs from
+# the same confusion matrix (diag sum, row·column marginal products);
+# kappa = (n·Σdiag − Σ row_i·col_i) / (n² − Σ row_i·col_i) spends
+# floats in ONE shared final expression.
+@_register(
+    "lang_id_kappa",
+    f"""WITH g AS (SELECT doc_id,
+           CASE
+             WHEN {_stop_hits_sql('de')} > {_stop_hits_sql('en')}
+              AND {_stop_hits_sql('de')} >= {_stop_hits_sql('fr')}
+              AND {_stop_hits_sql('de')} >= {_stop_hits_sql('es')} THEN 'de'
+             WHEN {_stop_hits_sql('fr')} > {_stop_hits_sql('en')}
+              AND {_stop_hits_sql('fr')} >= {_stop_hits_sql('es')} THEN 'fr'
+             WHEN {_stop_hits_sql('es')} > {_stop_hits_sql('en')} THEN 'es'
+             ELSE 'en'
+           END AS guess
+        FROM documents),
+    m AS (SELECT d.lang, g.guess, CAST(count(*) AS BIGINT) AS c
+          FROM documents d JOIN g USING (doc_id) GROUP BY 1, 2),
+    rowm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM m GROUP BY 1),
+    colm AS (SELECT guess, CAST(sum(c) AS BIGINT) AS k FROM m GROUP BY 1),
+    s AS (SELECT
+            (SELECT CAST(sum(c) AS BIGINT) FROM m) AS n,
+            (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM m
+              WHERE lang = guess) AS diag,
+            (SELECT CAST(coalesce(sum(rowm.r * colm.k), 0) AS BIGINT)
+             FROM rowm JOIN colm ON colm.guess = rowm.lang) AS chance)
+    SELECT n, diag, chance,
+           round(CAST(n * diag - chance AS DOUBLE)
+                 / CAST(n * n - chance AS DOUBLE), 9) AS kappa,
+           round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 9) AS accuracy
+    FROM s""",
+)
+def lang_id_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    guesses = lang_id_heuristic(spark, sf_dir).withColumnRenamed(
+        "lang_guess", "guess"
+    )
+    labels = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = (
+        labels.join(guesses, "doc_id")
+        .groupBy("lang", "guess")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    rowm = m.groupBy("lang").agg(F.sum("c").cast("bigint").alias("r"))
+    colm = m.groupBy(F.col("guess").alias("lang")).agg(
+        F.sum("c").cast("bigint").alias("k")
+    )
+    n = int(m.agg(F.sum("c")).first()[0])
+    diag = int(
+        m.filter(F.col("lang") == F.col("guess")).agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+        ).first()[0]
+    )
+    chance = int(
+        rowm.join(colm, "lang")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("k")), F.lit(0)))
+        .first()[0]
+    )
+    one = m.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(diag).cast("bigint").alias("diag"),
+        F.lit(chance).cast("bigint").alias("chance"),
+    )
+    return one.select(
+        "n",
+        "diag",
+        "chance",
+        F.round(
+            (F.col("n") * F.col("diag") - F.col("chance")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("chance")).cast("double"),
+            9,
+        ).alias("kappa"),
+        F.round(F.col("diag").cast("double") / F.col("n").cast("double"), 9).alias(
+            "accuracy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
