@@ -9811,6 +9811,196 @@ def lang_id_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 20: Kaplan-Meier conversion survival, journey similarity
+# ---------------------------------------------------------------------------
+
+# Kaplan-Meier survival for signup→purchase conversion WITH censoring —
+# the estimator a funnel metric needs once non-converters exist (they
+# are censored at their last activity, not failures). Per event day t:
+# d_t conversions, n_t at risk (observed time ≥ t, exact ints via one
+# cumulative window over the day histogram), and the survival curve
+# S(t_k) = Π_{i≤k} (1 − d_i/n_i) — a RUNNING PRODUCT, which the float
+# contract handles exactly like running sums: a left-assoc fold over
+# the t-ordered factor list per row (Spark F.aggregate over
+# slice(arr, 1, k) with 1.0 init ≡ DuckDB list_reduce over lst[1:k],
+# no init — 1.0·f ≡ f bitwise). O(K²) fold work for K distinct event
+# days — bounded by the observation window, never by |users|.
+@_register(
+    "km_conversion_survival",
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) >= s.signup_us GROUP BY 1),
+    last AS (SELECT e.user_id, max(epoch_us(e.ts)) AS last_us
+             FROM events e JOIN s USING (user_id) GROUP BY 1),
+    obs AS (SELECT s.user_id,
+                   CASE WHEN p.user_id IS NOT NULL
+                        THEN (p.purchase_us - s.signup_us) // 86400000000
+                        ELSE (l.last_us - s.signup_us) // 86400000000
+                   END AS t,
+                   CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM s LEFT JOIN p ON p.user_id = s.user_id
+                   JOIN last l ON l.user_id = s.user_id),
+    hist AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS leaving
+             FROM obs GROUP BY 1),
+    risk AS (SELECT t, d,
+                    CAST((SELECT count(*) FROM obs) -
+                         coalesce(sum(leaving) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS n
+             FROM hist),
+    ev AS (SELECT t, d, n,
+                  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS k
+           FROM risk WHERE d > 0),
+    arr AS (SELECT list(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                        ORDER BY t) AS fs FROM ev)
+    SELECT ev.t, ev.d, ev.n,
+           round(list_reduce(arr.fs[1:CAST(ev.k AS INT)],
+                             (a, b) -> a * b), 9) AS survival
+    FROM ev, arr""",
+)
+def km_conversion_survival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", _us("ts").alias("p_us"))
+        .join(s, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("purchase_us"))
+    )
+    last = (
+        ev.select("user_id", _us("ts").alias("e_us"))
+        .join(s.select("user_id"), "user_id")
+        .groupBy("user_id")
+        .agg(F.max("e_us").alias("last_us"))
+    )
+    obs = (
+        s.join(p, "user_id", "left")
+        .join(last, "user_id")
+        .select(
+            F.when(
+                F.col("purchase_us").isNotNull(),
+                F.expr("(purchase_us - signup_us) div 86400000000"),
+            )
+            .otherwise(F.expr("(last_us - signup_us) div 86400000000"))
+            .alias("t"),
+            F.col("purchase_us").isNotNull().cast("int").alias("ev"),
+        )
+        .persist()
+    )
+    n_total = int(obs.count())  # bounded scalar
+    hist = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = hist.select(
+        "t",
+        "d",
+        (
+            F.lit(n_total)
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    evd = risk.filter(F.col("d") > 0).withColumn(
+        "k", F.row_number().over(Window.orderBy("t")).cast("bigint")
+    )
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double")
+    evd = evd.withColumn("f", factor).persist()
+    # the factor list is DRIVER state re-entered as a foldable literal
+    # array (the kmeans_lloyd pattern) — a 1-row array broadcast would
+    # plan as the banned nested loop; collected doubles are exact
+    # binary64, so the literal is the same value the oracle folds
+    fs = [
+        float(r["f"])
+        for r in evd.select("t", "f").orderBy("t").collect()
+    ]
+    surv = F.aggregate(
+        F.slice(F.lit(fs), F.lit(1), F.col("k").cast("int")),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return evd.select("t", "d", "n", F.round(surv, 9).alias("survival"))
+
+
+# Behavioral journey similarity: per-user event-type initials string
+# (the event_sequence_regex encoding), pairs blocked on (len div 8)
+# with |Δlen| ≤ 5, admitted at levenshtein ≤ 5 — BOTH engines run the
+# identical blocking, so the (bounded-recall, SNM-style) semantics are
+# the oracle-checked contract, not a hidden approximation. One key
+# shuffle builds the strings; the block join is equi-keyed.
+@_register(
+    "user_journey_similarity",
+    """WITH j AS (SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), '' ORDER BY
+                            epoch_us(ts), event_id) AS seq
+          FROM events GROUP BY 1),
+    l AS (SELECT user_id, seq, CAST(length(seq) AS BIGINT) AS n,
+                 length(seq) // 8 AS blk
+          FROM j)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           a.n AS len_a, b.n AS len_b,
+           CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS edit_dist
+    FROM l a JOIN l b ON b.blk = a.blk AND a.user_id < b.user_id
+    WHERE abs(a.n - b.n) <= 5 AND levenshtein(a.seq, b.seq) <= 5""",
+)
+def user_journey_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(s)), x -> x.c)"), ""
+            ).alias("seq")
+        )
+    )
+    l = j.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("bigint").alias("n"),
+        F.expr("length(seq) div 8").alias("blk"),
+    )
+    a, b = l.alias("a"), l.alias("b")
+    d = F.levenshtein(F.col("a.seq"), F.col("b.seq"))
+    return (
+        a.join(b, (F.col("b.blk") == F.col("a.blk")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .filter(
+            (F.abs(F.col("a.n") - F.col("b.n")) <= 5) & (d <= 5)
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.n").alias("len_a"),
+            F.col("b.n").alias("len_b"),
+            d.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
