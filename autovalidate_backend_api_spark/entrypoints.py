@@ -10001,6 +10001,135 @@ def user_journey_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 21: community modularity, categorical edge homophily
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle_sql() -> str:
+    from autovalidate_backend_api_spark.operators.graph import (
+        label_propagation_sql,
+        modularity_report_sql,
+    )
+
+    lpa = label_propagation_sql(_LPA_EDGES_SQL, rounds=4)
+    return modularity_report_sql(_LPA_EDGES_SQL, lpa)
+
+
+# Newman modularity of the LPA partition over the bridged-communities
+# graph — the partition-QUALITY row next to lpa_communities: per
+# community L_c/L − (deg_c/2L)² from exact BIGINT moments, one shared
+# final float expression (a global Q would be an order-dependent float
+# sum — deliberately per-community). The oracle replays ALL FOUR LPA
+# rounds and then the modularity arithmetic.
+@_register("lpa_modularity_report", _modularity_oracle_sql())
+def lpa_modularity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.graph import (
+        label_propagation,
+        modularity_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string"), F.lit("n"))
+    fam1 = docs.select(
+        F.concat(g, (F.col("doc_id") % 17).cast("string")).alias("u"),
+        F.concat(g, ((F.col("doc_id") * 5 + 1) % 17).cast("string")).alias("v"),
+    )
+    fam2 = docs.select(
+        F.concat(g, (F.col("doc_id") % 17).cast("string")).alias("u"),
+        F.concat(g, ((F.col("doc_id") * 3 + 2) % 17).cast("string")).alias("v"),
+    )
+    n17 = (F.col("doc_id") % 17).cast("string")
+    br01 = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("g0n"), n17).alias("u"),
+        F.concat(F.lit("g1n"), n17).alias("v"),
+    )
+    br12 = docs.filter(F.col("doc_id") % 89 == 0).select(
+        F.concat(F.lit("g1n"), n17).alias("u"),
+        F.concat(F.lit("g2n"), n17).alias("v"),
+    )
+    edges = fam1.unionByName(fam2).unionByName(br01).unionByName(br12)
+    communities = label_propagation(edges, rounds=4)
+    return modularity_report(edges, communities)
+
+
+# Categorical edge homophily over the link-prediction graph (node
+# category = residue class mod 3): observed same-category edge share
+# vs the expected share under the endpoint-marginal null
+# (Σ_c frac_c², the categorical assortativity baseline) — exact
+# BIGINT endpoint counts, shared final float expressions.
+@_register(
+    "edge_homophily_report",
+    f"""WITH {_LINKPRED_EDGES_SQL},
+    lab AS (SELECT a, b,
+                   CAST(CAST(substr(a, 2) AS BIGINT) % 3 AS BIGINT) AS ca,
+                   CAST(CAST(substr(b, 2) AS BIGINT) % 3 AS BIGINT) AS cb
+            FROM e),
+    l AS (SELECT CAST(count(*) AS BIGINT) AS l,
+                 CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS same
+          FROM lab),
+    ends AS (SELECT cat, CAST(count(*) AS BIGINT) AS m FROM (
+               SELECT ca AS cat FROM lab UNION ALL SELECT cb FROM lab)
+             GROUP BY 1)
+    SELECT cat, m, l.l AS n_edges, l.same AS n_same_edges,
+           round(CAST(m AS DOUBLE) / (2.0 * CAST(l.l AS DOUBLE)), 9)
+             AS endpoint_share,
+           round(CAST(l.same AS DOUBLE) / CAST(l.l AS DOUBLE), 9)
+             AS observed_homophily,
+           round((CAST(m AS DOUBLE) / (2.0 * CAST(l.l AS DOUBLE)))
+                 * (CAST(m AS DOUBLE) / (2.0 * CAST(l.l AS DOUBLE))), 9)
+             AS expected_share_sq
+    FROM ends, l""",
+)
+def edge_homophily_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n29 = F.concat(F.lit("n"), (F.col("doc_id") % 29).cast("string"))
+    fam1 = docs.select(
+        n29.alias("u"),
+        F.concat(F.lit("n"), ((F.col("doc_id") * 5 + 1) % 29).cast("string")).alias("v"),
+    )
+    fam2 = docs.select(
+        n29.alias("u"),
+        F.concat(F.lit("n"), ((F.col("doc_id") * 3 + 2) % 29).cast("string")).alias("v"),
+    )
+    hub = docs.filter(F.col("doc_id") % 97 == 0).select(
+        n29.alias("u"), F.lit("n0").alias("v")
+    )
+    raw = fam1.unionByName(fam2).unionByName(hub)
+    e = (
+        raw.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cat = lambda c: (F.substring(c, 2, 10).cast("bigint") % 3).cast("bigint")
+    lab = e.select(cat(F.col("a")).alias("ca"), cat(F.col("b")).alias("cb")).persist()
+    tot = lab.agg(
+        F.count("*").cast("bigint").alias("l"),
+        F.sum((F.col("ca") == F.col("cb")).cast("int")).cast("bigint").alias("same"),
+    ).first()
+    l, same = int(tot["l"]), int(tot["same"])
+    ends = (
+        lab.select(F.col("ca").alias("cat"))
+        .unionByName(lab.select(F.col("cb").alias("cat")))
+        .groupBy("cat")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    ld = F.lit(float(l))
+    share = F.col("m").cast("double") / (F.lit(2.0) * ld)
+    return ends.select(
+        "cat",
+        "m",
+        F.lit(l).cast("bigint").alias("n_edges"),
+        F.lit(same).cast("bigint").alias("n_same_edges"),
+        F.round(share, 9).alias("endpoint_share"),
+        F.round(F.lit(float(same)) / ld, 9).alias("observed_homophily"),
+        F.round(share * share, 9).alias("expected_share_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

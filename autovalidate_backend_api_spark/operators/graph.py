@@ -1073,3 +1073,102 @@ def scc_fwbw_sql(edges_cte: str, *, peels: int = 3, rounds: int = 6) -> str:
         + "\n    "
         + "\n    UNION ALL ".join(exts)
     )
+
+
+def modularity_report(
+    edges: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """Newman modularity per community — the QUALITY metric for a
+    partition (label_propagation's output): contribution_c =
+    L_c/L − (deg_c/2L)², where L is the undirected edge count, L_c the
+    within-community edges and deg_c the community's endpoint-degree
+    mass (Σ_c deg_c = 2L). Positive contribution = denser than the
+    degree-preserving null model.
+
+    Exact BIGINT moments (L, L_c, deg_c) with the one-shared-final-
+    float-expression discipline; emitted PER COMMUNITY (a global Q
+    would be an order-dependent float sum — callers fold the t-sorted
+    contributions with the bm25 trick if they need the scalar).
+    ``communities`` is ``(node, community)``. One node-keyed join per
+    edge endpoint + two map-side-combinable aggregations.
+    """
+    a, b = F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct().persist()
+    total = e.count()  # bounded scalar: the undirected edge count
+    ca = communities.select(F.col("node").alias("a"), F.col("community").alias("cu"))
+    cb = communities.select(F.col("node").alias("b"), F.col("community").alias("cv"))
+    lab = e.join(ca, "a").join(cb, "b").persist()
+    internal = (
+        lab.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("internal_edges"))
+    )
+    deg = (
+        lab.select(F.col("cu").alias("community"))
+        .unionByName(lab.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").cast("bigint").alias("degree_sum"))
+    )
+    nn = communities.groupBy("community").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    j = (
+        nn.join(deg, "community", "left")
+        .join(internal, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).cast("bigint").alias(
+                "internal_edges"
+            ),
+            F.coalesce(F.col("degree_sum"), F.lit(0)).cast("bigint").alias(
+                "degree_sum"
+            ),
+        )
+    )
+    ld = F.lit(float(total))
+    frac = F.col("degree_sum").cast("double") / (F.lit(2.0) * ld)
+    contrib = F.col("internal_edges").cast("double") / ld - frac * frac
+    return j.select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        F.lit(total).cast("bigint").alias("l_total"),
+        F.round(contrib, 9).alias("modularity_contribution"),
+    )
+
+
+def modularity_report_sql(edges_cte: str, lpa_sql: str) -> str:
+    """DuckDB twin of :func:`modularity_report` composed over a full
+    label-propagation replay (``lpa_sql`` = label_propagation_sql
+    output, nested as a subquery). ``edges_cte`` must define
+    ``e(a, b)`` canonical distinct."""
+    return f"""WITH {edges_cte},
+    lpa AS (SELECT * FROM ({lpa_sql})),
+    lt AS (SELECT CAST(count(*) AS BIGINT) AS l FROM e),
+    lab AS (SELECT e.a, e.b, ca.community AS cu, cb.community AS cv
+            FROM e JOIN lpa ca ON ca.node = e.a
+                   JOIN lpa cb ON cb.node = e.b),
+    internal AS (SELECT cu AS community,
+                        CAST(count(*) AS BIGINT) AS internal_edges
+                 FROM lab WHERE cu = cv GROUP BY 1),
+    deg AS (SELECT community, CAST(count(*) AS BIGINT) AS degree_sum
+            FROM (SELECT cu AS community FROM lab
+                  UNION ALL SELECT cv FROM lab) GROUP BY 1),
+    nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM lpa GROUP BY 1)
+    SELECT nn.community, nn.n_nodes,
+           CAST(coalesce(internal.internal_edges, 0) AS BIGINT)
+             AS internal_edges,
+           CAST(coalesce(deg.degree_sum, 0) AS BIGINT) AS degree_sum,
+           lt.l AS l_total,
+           round(CAST(coalesce(internal.internal_edges, 0) AS DOUBLE)
+                   / CAST(lt.l AS DOUBLE)
+                 - (CAST(coalesce(deg.degree_sum, 0) AS DOUBLE)
+                    / (2.0 * CAST(lt.l AS DOUBLE)))
+                   * (CAST(coalesce(deg.degree_sum, 0) AS DOUBLE)
+                      / (2.0 * CAST(lt.l AS DOUBLE))), 9)
+             AS modularity_contribution
+    FROM nn LEFT JOIN deg USING (community)
+            LEFT JOIN internal USING (community), lt"""
