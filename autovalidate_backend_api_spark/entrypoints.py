@@ -10130,6 +10130,90 @@ def edge_homophily_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 22: inter-arrival burstiness, dup-group size spectrum
+# ---------------------------------------------------------------------------
+
+# Burstiness (Goh & Barabási 2008) of inter-event gaps per event type:
+# B = (σ − μ)/(σ + μ) ∈ (−1, 1) — poissonian ≈ 0, periodic → −1,
+# bursty → +1. Gaps in SECONDS so Σgap² stays far inside BIGINT
+# (μs-scale squares would overflow); μ and σ from exact integer
+# moments with the one-shared-final-expression discipline (sqrt is
+# correctly rounded). One per-user window builds the gaps, one
+# combinable aggregation per type.
+@_register(
+    "interarrival_burstiness",
+    """WITH o AS (SELECT event_type, user_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY epoch_us(ts), event_id)
+                   AS prev
+          FROM events),
+    g AS (SELECT event_type, (us - prev) // 1000000 AS gap_s
+          FROM o WHERE prev IS NOT NULL),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(gap_s) AS BIGINT) AS s1,
+                 CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+          FROM g GROUP BY 1)
+    SELECT event_type, n, s1, s2,
+           round((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))
+                 / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE)),
+                 9) AS burstiness
+    FROM m""",
+)
+def interarrival_burstiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.expr("unix_micros(cast(ts as timestamp))"), F.col("event_id")
+    )
+    o = ev.select(
+        "event_type", us.alias("us"), F.lag(us).over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    g = o.select(
+        "event_type", F.expr("(us - prev) div 1000000").alias("gap_s")
+    )
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+    )
+    # n·σ-scaled form: B = (sqrt(n·s2 − s1²) − s1)/(sqrt(n·s2 − s1²) + s1)
+    # (the n and 1/n factors cancel between σ and μ — exact moments in,
+    # one shared expression out)
+    sd = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    mu = F.col("s1").cast("double")
+    return m.select(
+        "event_type", "n", "s1", "s2",
+        F.round((sd - mu) / (sd + mu), 9).alias("burstiness"),
+    )
+
+
+# Frequency-of-frequencies of the EXACT duplicate groups: how many
+# md5-identical text groups have size 1, 2, 3… — the corpus-shape
+# number that predicts exact-dedup savings before running it (the
+# term_frequency_spectrum shape applied to Stage A's key). One hash
+# aggregation + one combinable count-of-counts.
+@_register(
+    "dup_group_size_spectrum",
+    f"""WITH g AS (SELECT md5({_NORM_SQL}) AS h,
+                 CAST(count(*) AS BIGINT) AS sz
+          FROM documents GROUP BY 1)
+    SELECT sz AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1""",
+)
+def dup_group_size_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5(normalize_text_col(F.col("text"))).alias("h")).agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    return g.groupBy(F.col("sz").alias("group_size")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        (F.col("group_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
