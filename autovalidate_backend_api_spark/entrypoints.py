@@ -10214,6 +10214,135 @@ def dup_group_size_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5n batch 23: pair-transitivity audit, order-size dispersion
+# ---------------------------------------------------------------------------
+
+# Transitivity audit of the exact θ=0.7 Jaccard pair set over the
+# borderline-variant corpus: of all wedge pairs (A~B and B~C), how
+# many close (A~C)? This is the number that justifies — or indicts —
+# Stage D's transitive closure: clustering merges EVERY wedge, so a
+# low closure rate means clusters mix sub-threshold members. Exact
+# integer counts (the verified-pair set is the ssjoin_filter_report
+# baseline), wedge join over the Θ(pairs) symmetric set, one division.
+@_register(
+    "pair_transitivity_audit",
+    f"""WITH {_VARIANT_CORPUS_SQL},
+    tc AS (SELECT doc_id, s AS tok FROM d),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tc GROUP BY 1),
+    inter AS (SELECT a.doc_id AS x, b.doc_id AS y,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM tc a JOIN tc b USING (tok) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    ver AS (SELECT i.x, i.y FROM inter i
+            JOIN sz sx ON sx.doc_id = i.x JOIN sz sy ON sy.doc_id = i.y
+            WHERE i.o * 17 >= 7 * (sx.n + sy.n)),
+    sym AS (SELECT x AS w, y AS u FROM ver
+            UNION ALL SELECT y, x FROM ver),
+    wedge AS (SELECT DISTINCT s1.u AS a, s2.u AS b
+              FROM sym s1 JOIN sym s2 ON s2.w = s1.w AND s1.u < s2.u),
+    closed AS (SELECT w.a, w.b FROM wedge w
+               JOIN ver v ON v.x = w.a AND v.y = w.b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedge) AS n_wedge_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_closed,
+           CAST((SELECT count(*) FROM closed) AS DOUBLE)
+             / CAST((SELECT count(*) FROM wedge) AS DOUBLE) AS closure_rate""",
+)
+def pair_transitivity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = _variant_shingles(spark, sf_dir).select(
+        "doc_id", F.col("s").alias("tok")
+    )
+    sz = tc.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = tc.alias("a"), tc.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    nx = sz.select(F.col("doc_id").alias("x"), F.col("n").alias("nx"))
+    ny = sz.select(F.col("doc_id").alias("y"), F.col("n").alias("ny"))
+    ver = (
+        inter.join(nx, "x")
+        .join(ny, "y")
+        .filter(F.col("o") * 17 >= 7 * (F.col("nx") + F.col("ny")))
+        .select("x", "y")
+        .persist()
+    )
+    sym = ver.select(F.col("x").alias("w"), F.col("y").alias("u")).unionByName(
+        ver.select(F.col("y").alias("w"), F.col("x").alias("u"))
+    )
+    s1 = sym.select("w", F.col("u").alias("ua"))
+    s2 = sym.select("w", F.col("u").alias("ub"))
+    wedge = (
+        s1.join(s2, "w")
+        .filter(F.col("ua") < F.col("ub"))
+        .select(F.col("ua").alias("a"), F.col("ub").alias("b"))
+        .distinct()
+        .persist()
+    )
+    closed = wedge.join(
+        ver, (ver["x"] == wedge["a"]) & (ver["y"] == wedge["b"]), "left_semi"
+    )
+    n_pairs = int(ver.count())
+    n_wedge = int(wedge.count())
+    n_closed = int(closed.count())
+    one = ver.agg(
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.lit(n_wedge).cast("bigint").alias("n_wedge_pairs"),
+        F.lit(n_closed).cast("bigint").alias("n_closed"),
+    )
+    return one.select(
+        "*",
+        (
+            F.lit(float(n_closed)) / F.lit(float(n_wedge))
+        ).alias("closure_rate"),
+    )
+
+
+# Dispersion index (variance-to-mean ratio) of lineitems-per-order —
+# the overdispersion check against the Poisson null (VMR ≈ 1): exact
+# BIGINT moments n, Σk, Σk² feed the one shared final expression
+# VMR = (n·Σk² − (Σk)²)/(n·Σk). Underdispersed order sizes (VMR < 1)
+# mean a capped generator; overdispersed mean bursty baskets.
+@_register(
+    "order_size_dispersion",
+    """WITH k AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+          FROM lineitem GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(sz) AS BIGINT) AS s1,
+                 CAST(sum(sz * sz) AS BIGINT) AS s2
+          FROM k)
+    SELECT n, s1, s2,
+           round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_size,
+           round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n * s1 AS DOUBLE), 9) AS dispersion_index
+    FROM m""",
+)
+def order_size_dispersion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("sz"))
+    m = k.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("sz").cast("bigint").alias("s1"),
+        F.sum(F.col("sz") * F.col("sz")).cast("bigint").alias("s2"),
+    )
+    return m.select(
+        "n",
+        "s1",
+        "s2",
+        F.round(F.col("s1").cast("double") / F.col("n").cast("double"), 9).alias(
+            "mean_size"
+        ),
+        F.round(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n") * F.col("s1")).cast("double"),
+            9,
+        ).alias("dispersion_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
