@@ -10343,6 +10343,1151 @@ def order_size_dispersion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H classics (round 5o): the multi-join shapes the reference's catalog
+# scans compose into at warehouse scale. All money math is the proven
+# q3 discipline — exact DECIMAL(18,6) accumulate, ONE final cast to
+# DOUBLE on both engines; ratios are one division of two exactly-
+# converted decimals (deterministic cross-engine; see CLAUDE.md float
+# rules). Dims (region/nation/supplier/part) broadcast — at 100 TB the
+# fact side (lineitem/orders) never moves for a dim join; the
+# customer⋈orders⋈lineitem chain shuffles on its keys as it must.
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+WITH asia_n AS (SELECT n.n_nationkey, n.n_name FROM nation n
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA')
+SELECT an.n_name AS nation,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+            AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN asia_n an ON s.s_nationkey = an.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1"""
+
+
+# TPC-H Q5 (local supplier volume): the 6-way star with the "local"
+# same-nation constraint folded into the supplier join condition — the
+# constraint prunes to ~1/|nations| of pairs AT the join, never as a
+# post-filter over the full product.
+@_register("tpch_q5_local_supplier_volume", _Q5_SQL)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_n = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_n), supp.s_nationkey == asia_n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("decimal(18,6)").cast("double").alias("revenue"))
+    )
+
+
+_Q10_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+            AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20"""
+
+
+# TPC-H Q10 (returned-item revenue ranking): selective fact filter
+# (returnflag + date window) → customer rollup → deterministic global
+# top-20 (revenue DESC with custkey tiebreak, so the LIMIT set is a
+# total order). TakeOrderedAndProject — no full sort materialized.
+@_register("tpch_q10_returned_revenue", _Q10_SQL)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(rev).cast("decimal(18,6)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+_Q14_SQL = """
+WITH j AS (
+  SELECT CAST(l.l_extendedprice AS DECIMAL(18,6))
+         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS rev,
+         p.p_type AS ptype
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-07-01'),
+s AS (
+  SELECT CAST(CAST(sum(CASE WHEN ptype = 'PROMO' THEN rev
+                            ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DECIMAL(18,6)) AS DOUBLE) AS promo_rev,
+         CAST(CAST(sum(rev) AS DECIMAL(18,6)) AS DOUBLE) AS total_rev
+  FROM j)
+SELECT promo_rev, total_rev,
+       (100.0 * promo_rev) / total_rev AS promo_share_pct
+FROM s"""
+
+
+# TPC-H Q14 (promo revenue share): one fact pass, conditional + total
+# DECIMAL sums in the same agg (map-side combined), share = a fixed
+# two-op float tree (100·promo then ÷ total) over the two exactly-
+# converted decimals — bitwise cross-engine, no rounding crutch.
+@_register("tpch_q14_promo_share", _Q14_SQL)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("decimal(18,6)").cast("double").alias("total_rev"),
+        )
+    )
+    return s.select(
+        "promo_rev",
+        "total_rev",
+        ((F.lit(100.0) * F.col("promo_rev")) / F.col("total_rev")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+            AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 15)"""
+
+
+# TPC-H Q19 (disjunctive discounted revenue): three brand/size/quantity
+# conjunctions OR'd across the join. Catalyst's constraint propagation
+# extracts the per-side disjunctions ((brand₁∨brand₂∨brand₃) to the
+# part scan, (qty ranges) to lineitem) so both scans prune before the
+# broadcast join; the full predicate re-checks post-join.
+@_register("tpch_q19_disjunctive_revenue", _Q19_SQL)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    branch = lambda brand, q_lo, q_hi, s_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("l_quantity").between(q_lo, q_hi)
+        & F.col("p_size").between(1, s_hi)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            branch("Brand#12", 1, 11, 5)
+            | branch("Brand#23", 10, 20, 10)
+            | branch("Brand#3", 20, 30, 15)
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(rev).cast("decimal(18,6)").cast("double").alias("revenue"),
+        )
+    )
+
+
+_Q8_SQL = """
+WITH am_n AS (SELECT n.n_nationkey FROM nation n
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'AMERICA'),
+flat AS (
+  SELECT year(o.o_orderdate) AS y, sn.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,6))
+         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS rev
+  FROM customer c
+  JOIN am_n ON c.c_nationkey = am_n.n_nationkey
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+SELECT y, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)
+            AS DECIMAL(18,6)) AS DOUBLE)
+       / CAST(CAST(sum(rev) AS DECIMAL(18,6)) AS DOUBLE) AS market_share
+FROM flat GROUP BY 1"""
+
+
+# TPC-H Q8 (national market share): per-year share of one supplier
+# nation within one customer region — conditional/total DECIMAL sums in
+# a single grouped agg, share = one exact division. The customer-region
+# semi-filter lands as a broadcast join BEFORE orders⋈lineitem so the
+# fact chain only carries qualifying customers.
+@_register("tpch_q8_market_share", _Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    am_n = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("am_nationkey"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(am_n), F.col("c_nationkey") == F.col("am_nationkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    supp_n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_n), supp.s_nationkey == supp_n.sn_key)
+        .select(F.year("o_orderdate").alias("y"), "supp_nation", rev.alias("rev"))
+    )
+    return flat.groupBy("y").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            / F.sum("rev").cast("decimal(18,6)").cast("double")
+        ).alias("market_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation / audit statistics (round 5o): ROC-AUC via the integer
+# Mann-Whitney identity, a Benford first-digit audit with a generated
+# literal-probability table, and a per-doc lexical-diversity profile.
+# Float discipline throughout: BIGINT accumulation, fixed shared final
+# float trees (exactly-rounded ops on exactly-converted ints + repr
+# literals — the Wilson-CI precedent), never an order-dependent float
+# sum.
+# ---------------------------------------------------------------------------
+
+_AUC_SQL = """
+WITH g AS (SELECT value AS score, CAST(count(*) AS BIGINT) AS c_tot,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END) AS BIGINT) AS c_pos
+           FROM events GROUP BY 1),
+c AS (SELECT score, c_tot, c_pos,
+             COALESCE(CAST(sum(c_tot) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum_before
+      FROM g),
+s AS (SELECT CAST(sum(c_pos * (2 * cum_before + c_tot + 1)) AS BIGINT)
+               AS sum2r,
+             CAST(sum(c_pos) AS BIGINT) AS n_pos,
+             CAST(sum(c_tot) AS BIGINT) AS n
+      FROM c)
+SELECT n_pos, n - n_pos AS n_neg, sum2r,
+       CAST(sum2r - n_pos * (n_pos + 1) AS DOUBLE)
+       / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) AS auc
+FROM s"""
+
+
+# ROC AUC of `value` as a purchase-vs-rest score, through the
+# Mann-Whitney identity AUC = U/(n⁺·n⁻) with midrank tie handling.
+# Doubled midranks keep everything BIGINT (mwu_source_drift's trick):
+# 2·midrank(score) = 2·cum_before + c_tot + 1 over score groups, so
+# Σ_pos 2·midrank and hence 2U = Σ2r − n⁺(n⁺+1) are exact integers;
+# AUC is ONE division of exactly-converted BIGINTs. The prefix sum
+# runs over DISTINCT scores (group granularity) — at 100 TB that
+# ordered window becomes a two-pass range-partitioned prefix sum; the
+# moment table it feeds is already map-side combined.
+@_register("purchase_value_auc", _AUC_SQL)
+def purchase_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("value").alias("score")).agg(
+        F.count("*").cast("bigint").alias("c_tot"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("c_pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "c_tot",
+        "c_pos",
+        F.coalesce(F.sum("c_tot").over(w).cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "cum_before"
+        ),
+    )
+    s = c.agg(
+        F.sum(
+            F.col("c_pos") * (2 * F.col("cum_before") + F.col("c_tot") + 1)
+        )
+        .cast("bigint")
+        .alias("sum2r"),
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_tot").cast("bigint").alias("n"),
+    )
+    return s.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        "sum2r",
+        (
+            (F.col("sum2r") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))).cast("double")
+        ).alias("auc"),
+    )
+
+
+# Benford first-significant-digit probabilities log10(1+1/d) as repr
+# literals — the oracle CASE is GENERATED from this same table (the
+# SECRET_PATTERNS precedent), so the two engines share one fixed
+# expression tree per digit.
+_BENFORD_P: dict[int, float] = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829993,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+# Emit literals in e-notation: DuckDB parses a bare decimal literal as
+# DECIMAL, and CAST(decimal AS DOUBLE) DOUBLE-ROUNDS when the scaled
+# mantissa exceeds 2^53 (int→double then ÷10^s — two roundings, 1 ulp
+# off Python/Spark's direct parse; measured on digit '3' at sf0.01).
+# An exponent-bearing literal parses directly as binary64.
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN '{d}' THEN {p:.17e}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+_BENFORD_SQL = f"""
+WITH b AS (SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            AS VARCHAR), 1, 1) AS digit
+           FROM orders),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM b GROUP BY 1),
+w AS (SELECT digit, observed,
+             CAST(sum(observed) OVER () AS BIGINT) AS total FROM g)
+SELECT digit, observed,
+       CAST(total AS DOUBLE) * ({_BENFORD_CASE}) AS expected,
+       CAST(observed AS DOUBLE)
+         / (CAST(total AS DOUBLE) * ({_BENFORD_CASE})) AS obs_exp_ratio
+FROM w"""
+
+
+# Benford's-law audit of order totals: first significant digit comes
+# off the DECIMAL(18,2) string form (plain notation on both engines —
+# never a double's engine-specific repr, and no log10 at runtime).
+# Counts are exact; expected/ratio are the fixed literal-coefficient
+# trees above. The synthetic generator is roughly log-uniform-ish only
+# in the low digits — the audit shape (digits 5-9 starved) is the
+# non-trivial output. Total via a 9-row unpartitioned window, never a
+# 1-row cross join (plans as the banned nested loop).
+@_register("benford_first_digit_audit", _BENFORD_SQL)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    )
+    g = orders.groupBy(digit.alias("digit")).agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wd = g.select(
+        "digit", "observed", F.sum("observed").over(w).cast("bigint").alias("total")
+    )
+    p = F.col("digit")
+    expr_p = F.when(p == "1", F.lit(_BENFORD_P[1]))
+    for d in range(2, 10):
+        expr_p = expr_p.when(p == str(d), F.lit(_BENFORD_P[d]))
+    return wd.select(
+        "digit",
+        "observed",
+        (F.col("total").cast("double") * expr_p).alias("expected"),
+        (
+            F.col("observed").cast("double")
+            / (F.col("total").cast("double") * expr_p)
+        ).alias("obs_exp_ratio"),
+    )
+
+
+_LEX_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split({_NORM_SQL}, ' '),
+                              x -> x <> '') AS toks
+           FROM documents WHERE length(text) > 0),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(length(array_to_string(toks, '')) AS BIGINT) AS tok_chars,
+             CAST(len(list_filter(toks, x -> length(x) >= 6))
+                  AS BIGINT) AS n_long
+      FROM t)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       CAST(100 * n_long AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS pct_long
+FROM m WHERE n_tokens > 0"""
+
+
+# Per-doc lexical-diversity profile: type-token ratio, mean token
+# length, % long tokens — the per-document readability/diversity cut
+# that corpus-level gini (term_gini_diversity) and Heaps
+# (vocab_growth_curve) don't give. Pure projection, zero shuffles.
+# The token array is PROJECTED into a column before any HOF consumes
+# it (the HOF-capture gotcha: a lambda capturing the split re-evaluates
+# it per element); per-token lambdas only reference their own argument.
+@_register("doc_lexical_profile", _LEX_SQL)
+def doc_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.filter(
+        F.split(normalize_text_col(F.col("text")), " "),
+        lambda t: t != F.lit(""),
+    )
+    t = docs.select("doc_id", toks.alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.length(F.concat_ws("", F.col("toks"))).cast("bigint").alias("tok_chars"),
+        F.size(F.filter(F.col("toks"), lambda x: F.length(x) >= 6))
+        .cast("bigint")
+        .alias("n_long"),
+    ).filter(F.col("n_tokens") > 0)
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "ttr"
+        ),
+        (F.col("tok_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "avg_token_len"
+        ),
+        (
+            (100 * F.col("n_long")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("pct_long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence / allocation / time-series diagnostics (round 5o).
+# ---------------------------------------------------------------------------
+
+_RLE_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL OR event_type <> prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       CAST(sum(CASE WHEN prev IS NULL OR event_type <> prev
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rle_ratio
+FROM s GROUP BY 1"""
+
+
+# Run-length compressibility of each user's event-type sequence: a run
+# starts where the type differs from its predecessor (ts, event_id
+# total order — deterministic under ts ties). rle_ratio = runs/events
+# in ONE exact division; low ratio = repetitive sessions (bot-like),
+# ~1.0 = alternating. One partitioned window + the same-keyed agg —
+# a single shuffle on user_id.
+@_register("event_rle_compression", _RLE_SQL)
+def event_rle_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    is_start = F.when(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(is_start).cast("bigint").alias("n_runs"),
+        (
+            F.sum(is_start).cast("double") / F.count("*").cast("double")
+        ).alias("rle_ratio"),
+    )
+
+
+_APPORTION_SQL = """
+WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+t AS (SELECT g.*, CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM g),
+b AS (SELECT lang, n_docs, 997 * n_docs // total AS base,
+             (997 * n_docs) % total AS rem FROM t),
+r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+             CAST(997 - sum(base) OVER () AS BIGINT) AS extra FROM b)
+SELECT lang, n_docs,
+       CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r"""
+
+
+# Largest-remainder (Hamilton) apportionment of a fixed labeling budget
+# across languages, proportional to doc counts: base = ⌊B·n/total⌋,
+# leftover seats go to the largest remainders (lang tiebreak). 100%
+# integer arithmetic — the allocation is exactly reproducible on any
+# engine. Budget 997 is prime so remainders can't all degenerate to 0
+# (B=1000 over a 500-doc corpus allocates exactly 2× and the remainder
+# rank is vacuous — measured). Windows run over |langs| rows post-agg.
+@_register("sample_budget_apportionment", _APPORTION_SQL)
+def sample_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.select("lang", "n_docs", F.sum("n_docs").over(w_all).cast("bigint").alias("total"))
+    b = t.select(
+        "lang",
+        "n_docs",
+        F.expr("997 * n_docs div total").alias("base"),
+        ((997 * F.col("n_docs")) % F.col("total")).alias("rem"),
+    )
+    r = b.select(
+        "lang",
+        "n_docs",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+        .alias("rk"),
+        (F.lit(997) - F.sum("base").over(w_all)).cast("bigint").alias("extra"),
+    )
+    return r.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("extra"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+_AUTOCORR_SQL = """
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+p AS (SELECT a.c AS x, b.c AS y FROM h a JOIN h b ON b.hr = a.hr + 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM p)
+SELECT n, CAST(n*sxy - sx*sy AS DOUBLE)
+          / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                 * CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr_lag1
+FROM m"""
+
+
+# Lag-1 autocorrelation of the hourly event-count series — the
+# self-similarity diagnostic behind seasonality detection. Hour buckets
+# via exact BIGINT `div` (never float-divide-then-cast); consecutive
+# hours pair by an hr+1 equi-join over the tiny hour table; Pearson r
+# from the EXACT-INTEGER-MOMENTS discipline (sqrt is IEEE correctly
+# rounded, so the fixed final tree is bitwise cross-engine).
+@_register("events_lag_autocorr", _AUTOCORR_SQL)
+def events_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(_us("ts").alias("us"))
+        .select(F.expr("us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    a = h.select(F.col("hr").alias("ha"), F.col("c").alias("x"))
+    b = h.select(F.col("hr").alias("hb"), F.col("c").alias("y"))
+    p = a.join(b, b.hb == a.ha + 1).select("x", "y")
+    m = p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return m.select(
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("autocorr_lag1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attribution / inequality / regression (round 5o, batch D).
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS grp
+           FROM events),
+last_np AS (SELECT user_id, grp, event_type AS chan
+            FROM s WHERE event_type <> 'purchase'),
+pur AS (SELECT user_id, grp FROM s WHERE event_type = 'purchase')
+SELECT coalesce(l.chan, '(none)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM pur p LEFT JOIN last_np l
+  ON p.user_id = l.user_id AND p.grp = l.grp
+GROUP BY 1"""
+
+
+# Last-touch purchase attribution: each purchase credits the most
+# recent preceding non-purchase event — the grouped-LOCF pattern
+# (running count of non-purchase rows = carry-group id; the k-th
+# non-purchase row and every purchase until the next one share grp=k,
+# and for purchase rows count-incl-current ≡ count-excl-current since
+# they add 0), NOT last_value(IGNORE NULLS), whose null handling is not
+# engine-portable. One user_id window + an equi-join on (user, grp).
+@_register("purchase_attribution_last_touch", _ATTR_SQL)
+def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") != "purchase", F.lit(1)))
+        .over(w)
+        .cast("bigint")
+        .alias("grp"),
+    )
+    last_np = s.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("lu"),
+        F.col("grp").alias("lg"),
+        F.col("event_type").alias("chan"),
+    )
+    pur = s.filter(F.col("event_type") == "purchase").select("user_id", "grp")
+    return (
+        pur.join(
+            last_np,
+            (pur.user_id == last_np.lu) & (pur.grp == last_np.lg),
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("chan"), F.lit("(none)")).alias("channel"))
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )
+
+
+_GMD_SQL = """
+WITH r AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS i,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+           FROM orders),
+m AS (SELECT max(n) AS n,
+             CAST(sum((2*i - n - 1) * cents) AS BIGINT) AS wsum,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM r)
+SELECT n, wsum,
+       (2.0 * CAST(wsum AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS gmd_cents,
+       CAST(wsum AS DOUBLE)
+         / (CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
+FROM m"""
+
+
+# Gini mean difference + Gini coefficient of order totals WITHOUT the
+# O(n²) pair expansion: for sorted x₍ᵢ₎, Σᵢ<ⱼ(xⱼ−xᵢ) = Σᵢ(2i−n−1)x₍ᵢ₎ —
+# a rank-weighted sum. Prices become exact BIGINT cents (a DECIMAL
+# wsum's >2^53 scaled mantissa would DOUBLE-ROUND in DuckDB's
+# decimal→double cast at sf0.1; int64→double is one correct rounding
+# in both engines). Ties rank arbitrarily — equal values make the sum
+# permutation-invariant. The global sort is rank-selection shaped: at
+# 100 TB it range-partitions like winsorize/quantile gates.
+@_register("order_total_gini", _GMD_SQL)
+def order_total_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = orders.select(
+        cents,
+        F.row_number()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("i"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+    )
+    m = r.agg(
+        F.max("n").alias("n"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+        .cast("bigint")
+        .alias("wsum"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    return m.select(
+        "n",
+        "wsum",
+        (
+            (F.lit(2.0) * F.col("wsum").cast("double"))
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        ).alias("gmd_cents"),
+        (
+            F.col("wsum").cast("double")
+            / ((F.col("n") - 1).cast("double") * F.col("s").cast("double"))
+        ).alias("gini"),
+    )
+
+
+_OLS_SQL = f"""
+WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                  CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                       t -> t <> '')) AS BIGINT) AS y
+           FROM documents),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM v GROUP BY 1)
+SELECT lang, n,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+       CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+         AS intercept
+FROM m"""
+
+
+# Per-language OLS fit of token count on char count — the chars→tokens
+# conversion-rate model (tokenizer cost estimation's regression cousin;
+# length_token_correlation gives r, this gives the fit itself). Closed
+# form from the same EXACT-INTEGER-MOMENTS: slope and intercept are
+# each ONE division of exact BIGINTs. Map-side-combinable agg, zero
+# joins.
+@_register("length_token_ols", _OLS_SQL)
+def length_token_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(normalize_text_col(F.col("text")), " "),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("bigint")
+    v = docs.select(
+        "lang", F.col("n_chars").cast("bigint").alias("x"), toks.alias("y")
+    )
+    m = v.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "lang",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / dxx
+        ).alias("slope"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / dxx
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch E (round 5o): unrestricted Damerau-Levenshtein scorer pairs,
+# model calibration bins, TPC-H Q4 EXISTS counts, zero-filled gap spine.
+# ---------------------------------------------------------------------------
+
+_DAMERAU_SQL = f"""
+WITH base AS (SELECT DISTINCT t AS term
+              FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS t
+                    FROM documents)
+              WHERE length(t) >= 4 AND regexp_matches(t, '^[a-z]+$')),
+var AS (SELECT substring(term,1,1) || substring(term,3,1)
+               || substring(term,2,1) || substring(term,4,1000000) AS term
+        FROM base),
+u AS (SELECT term FROM base UNION SELECT term FROM var),
+c AS (SELECT term, substring(term,1,2) AS blk FROM u)
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(levenshtein(a.term, b.term) AS BIGINT) AS lev,
+       CAST(damerau_levenshtein(a.term, b.term) AS BIGINT) AS dl,
+       CAST(CASE WHEN damerau_levenshtein(a.term, b.term)
+                      < levenshtein(a.term, b.term)
+                 THEN 1 ELSE 0 END AS BIGINT) AS transposition_win
+FROM c a JOIN c b ON a.blk = b.blk AND a.term < b.term"""
+
+
+# Unrestricted Damerau-Levenshtein (Lowrance-Wagner) typo pairs over
+# 2-char-prefix-blocked vocabulary terms + planted adjacent-swap
+# variants: the variants sit at dl=1 but lev=2, so transposition_win
+# rows prove the 4th edit op actually fires. Distances are INTEGERS —
+# bitwise oracle-comparable against DuckDB's damerau_levenshtein (same
+# unrestricted variant, probed) as long as terms are ASCII (DuckDB
+# scorers are byte-based; the [a-z]+ filter pins that). Arrow-batched
+# pandas UDF, never per-row Python in the JVM loop.
+@_register("damerau_term_pairs", _DAMERAU_SQL)
+def damerau_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from autovalidate_backend_api_spark.functions.fuzz import damerau_levenshtein
+
+    @pandas_udf(T.LongType())
+    def dl_udf(a: pandas.Series, b: pandas.Series) -> pandas.Series:
+        return pandas.Series(
+            [damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="int64"
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("term")
+        )
+        .filter((F.length("term") >= 4) & F.col("term").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    var = base.select(
+        F.concat(
+            F.substring("term", 1, 1),
+            F.substring("term", 3, 1),
+            F.substring("term", 2, 1),
+            F.substring("term", 4, 1_000_000),
+        ).alias("term")
+    )
+    u = base.unionByName(var).distinct()
+    c = u.select("term", F.substring("term", 1, 2).alias("blk"))
+    a = c.select(F.col("term").alias("term_a"), "blk")
+    b = c.select(F.col("term").alias("term_b"), F.col("blk").alias("blk_b"))
+    pairs = a.join(
+        b, (a.blk == b.blk_b) & (a.term_a < b.term_b)
+    ).select("term_a", "term_b")
+    out = pairs.select(
+        "term_a",
+        "term_b",
+        F.levenshtein("term_a", "term_b").cast("bigint").alias("lev"),
+        dl_udf(F.col("term_a"), F.col("term_b")).alias("dl"),
+    )
+    return out.withColumn(
+        "transposition_win",
+        F.when(F.col("dl") < F.col("lev"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+
+
+_CALIB_SQL = """
+WITH d AS (SELECT value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+                  ntile(10) OVER (ORDER BY value, event_id) AS decile
+           FROM events)
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+FROM d GROUP BY 1"""
+
+
+# Score-calibration bins: decile the `value` score (event_id tiebreak
+# makes ntile deterministic — Spark and DuckDB share the same
+# ⌈n/k⌉-then-⌊n/k⌋ bucket formula), then purchase rate per decile in
+# ONE exact division. Flat rates across deciles = the AUC≈0.51 gate's
+# "value is not predictive" read, bin by bin.
+@_register("score_calibration_bins", _CALIB_SQL)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("pos").cast("double") / F.count("*").cast("double")).alias(
+            "pos_rate"
+        ),
+    )
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1"""
+
+
+# TPC-H Q4 (order-priority checking, EXISTS flavor): count orders per
+# priority having at least one lineitem shipped >30 days after the
+# order date. The EXISTS lands as a LEFT SEMI join with the non-equi
+# ship-lag condition evaluated inside the join — one pass over
+# lineitem, no pre-aggregation, no duplicate counting.
+@_register("tpch_q4_priority_exists", _Q4_SQL)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sel = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return sel.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+
+
+_GAPFILL_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hr
+           FROM events WHERE event_type = 'error'),
+c AS (SELECT hr, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+spine AS (SELECT unnest(range((SELECT min(hr) FROM c),
+                              (SELECT max(hr) FROM c) + 1)) AS hr)
+SELECT s.hr AS hr, COALESCE(c.n, 0) AS n_errors
+FROM spine s LEFT JOIN c ON s.hr = c.hr"""
+
+
+# Zero-filled hourly error series (gap filling): monitoring series are
+# wrong without explicit zeros — a missing hour reads as "no data",
+# not "no errors". The spine bounds are two SCALAR aggregates
+# (driver-collected, the allowed bounded-collect class — same pattern
+# as kmeans' driver-state centroids); spark.range builds the dense
+# spine distributed, counts LEFT-join onto it. 538/42 genuinely empty
+# hours at sf0.001/sf0.01 — the fill is non-vacuous at the driver's
+# gate scale (all-events hourly is dense there; 'error' is ~1/5 the
+# rate).
+@_register("events_error_gapfill", _GAPFILL_SQL)
+def events_error_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    c = (
+        ev.select(_us("ts").alias("us"))
+        .select(F.expr("us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    lo, hi = c.agg(F.min("hr"), F.max("hr")).first()
+    spine = spark.range(int(lo), int(hi) + 1).select(F.col("id").alias("hr"))
+    return spine.join(c, "hr", "left").select(
+        "hr", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_errors")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch F (round 5o): TPC-H Q13 count distribution, adoption curve,
+# revenue concentration (HHI).
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+WITH oc AS (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority = '1-URGENT'
+            GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM oc GROUP BY 1"""
+
+
+# TPC-H Q13 (customer distribution): histogram of per-customer URGENT
+# order counts INCLUDING the zero class — the LEFT join with the
+# predicate in the ON clause (a WHERE would silently drop the
+# no-orders customers, the classic Q13 trap). Counting only 1-URGENT
+# keeps the zero class non-empty at every test SF (unfiltered counts
+# have no zero-order customers — measured).
+@_register("tpch_q13_custdist", _Q13_SQL)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    oc = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority == "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return oc.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+_ADOPTION_SQL = """
+WITH f AS (SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS m
+           FROM orders GROUP BY 1),
+c AS (SELECT m, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+SELECT m, n_new,
+       CAST(sum(n_new) OVER (ORDER BY m) AS BIGINT) AS cum_customers
+FROM c"""
+
+
+# Customer adoption curve: first-order month per customer → new
+# customers per month → running cumulative. Two map-side-combinable
+# aggs + ONE ordered window over |months| rows (≤ dozens) — the
+# giant input reduces before anything global happens. All integers.
+@_register("customer_adoption_curve", _ADOPTION_SQL)
+def customer_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("m")
+    )
+    c = f.groupBy("m").agg(F.count("*").cast("bigint").alias("n_new"))
+    w = Window.orderBy("m")
+    return c.select(
+        "m",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_customers"),
+    )
+
+
+_HHI_SQL = """
+WITH r AS (SELECT s.s_nationkey,
+                  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+g AS (SELECT s_nationkey, CAST(sum(cents) AS DECIMAL(38,0)) AS r
+      FROM r GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_nations,
+             CAST(sum(r*r) AS DECIMAL(38,0)) AS ssq,
+             CAST(sum(r) AS DECIMAL(38,0)) AS s
+      FROM g)
+SELECT n_nations,
+       round(CAST(ssq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)),
+             9) AS hhi
+FROM m"""
+
+
+# Herfindahl-Hirschman revenue concentration by supplier nation:
+# HHI = Σshare² computed as Σrᵢ²/S² with BOTH terms exact DECIMAL(38,0)
+# (per-nation cents fit BIGINT; their squares don't — 38-digit decimal
+# holds them exactly in both engines), so the float work is one
+# division of two converted decimals. Those conversions can DOUBLE-
+# ROUND in DuckDB above 2^53 (the benford gotcha), drifting HHI by
+# ~1e-16 relative — round(…,9) collapses a noise floor that small by
+# 7 orders of magnitude. Never Σ(share²) as floats: 25-term float sum
+# is partition-order-dependent.
+@_register("nation_revenue_hhi", _HHI_SQL)
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cents = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    g = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("s_nationkey", cents)
+        .groupBy("s_nationkey")
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("r"))
+    )
+    m = g.agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("ssq"),
+        F.sum("r").cast("decimal(38,0)").alias("s"),
+    )
+    return m.select(
+        "n_nations",
+        F.round(
+            F.col("ssq").cast("double")
+            / (F.col("s").cast("double") * F.col("s").cast("double")),
+            9,
+        ).alias("hhi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

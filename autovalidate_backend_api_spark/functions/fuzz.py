@@ -141,3 +141,44 @@ def jaro_winkler(a: str, b: str, p: float = 0.1, thresh: float = 0.7) -> float:
             break
         l += 1
     return j + l * p * (1 - j)
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein distance (Lowrance-Wagner DP
+    with last-occurrence alphabet table) — transpositions may be edited
+    through, so dl('CA','ABC') = 2, unlike the restricted/OSA variant's
+    3. This is the variant DuckDB's ``damerau_levenshtein`` implements
+    (probed: CA/ABC→2, ab/ba→1), which makes INTEGER distances bitwise
+    oracle-comparable. DuckDB's scorer is BYTE-based ('é' vs 'e' = 2),
+    so oracle-facing callers must restrict inputs to ASCII.
+    """
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            prev_db = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][prev_db] + (i - 1 - k) + 1 + (j - 1 - prev_db),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]

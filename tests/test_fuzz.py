@@ -150,3 +150,34 @@ def test_jaro_winkler_bitwise_matches_duckdb():
             "SELECT jaro_winkler_similarity(?, ?)", [a, b]
         ).fetchone()[0]
         assert jaro_winkler(a, b) == d, (a, b)
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """The oracle contract of damerau_term_pairs: our unrestricted
+    (Lowrance-Wagner) DL must equal DuckDB's damerau_levenshtein on
+    ASCII inputs — including the canonical unrestricted-vs-OSA witness
+    dl('CA','ABC') = 2 (restricted/OSA would give 3) and adjacent
+    transpositions at distance 1."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from autovalidate_backend_api_spark.functions.fuzz import damerau_levenshtein
+
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("kitten", "sitting") == 3
+    assert damerau_levenshtein("", "abc") == 3
+
+    con = duckdb.connect()
+    rng = random.Random(5)
+    words = ["spark", "sprak", "table", "tbale", "abcdef", "badcfe",
+             "", "a", "aa", "abab", "baba"]
+    words += ["".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+              for _ in range(24)]
+    for a, b in itertools.product(words, repeat=2):
+        d = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == d, (a, b)
