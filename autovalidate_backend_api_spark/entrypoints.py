@@ -11488,6 +11488,442 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch G (round 5o): Pareto concentration cut, grouped Tukey boxplot,
+# Simpson diversity, dedup-cluster label purity.
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+rk AS (SELECT cents,
+              row_number() OVER (ORDER BY cents DESC, o_custkey) AS i
+       FROM r),
+c AS (SELECT i, CAST(sum(cents) OVER (ORDER BY i) AS BIGINT) AS cum,
+             CAST(sum(cents) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM rk)
+SELECT max(n) AS n_customers,
+       CAST(min(CASE WHEN 5 * cum >= 4 * total THEN i END) AS BIGINT)
+         AS n_top_for_80pct,
+       round(CAST(min(CASE WHEN 5 * cum >= 4 * total THEN i END) AS DOUBLE)
+             / CAST(max(n) AS DOUBLE), 9) AS frac_customers
+FROM c"""
+
+
+# Pareto/80-20 concentration cut: fewest top customers covering ≥80%
+# of revenue. The 80% test is 5·cum ≥ 4·total — EXACT BIGINT cents,
+# never a float threshold (a 1-ulp cumshare drift at the boundary
+# would move the cut). Rank + prefix sum are the rank-selection shape
+# (range-partitioned two-pass at scale).
+@_register("revenue_pareto_cut", _PARETO_SQL)
+def revenue_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    rk = r.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .alias("i"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = rk.select(
+        "i",
+        F.sum("cents").over(Window.orderBy("i")).cast("bigint").alias("cum"),
+        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+    )
+    hit = F.when(5 * F.col("cum") >= 4 * F.col("total"), F.col("i"))
+    return c.agg(
+        F.max("n").alias("n_customers"),
+        F.min(hit).cast("bigint").alias("n_top_for_80pct"),
+        F.round(
+            F.min(hit).cast("double") / F.max("n").cast("double"), 9
+        ).alias("frac_customers"),
+    )
+
+
+_BOXPLOT_SQL = """
+WITH r AS (SELECT o.o_custkey, c.c_mktsegment AS seg,
+                  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+q AS (SELECT seg, quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.5) AS med,
+             quantile_cont(cents, 0.75) AS q3
+      FROM r GROUP BY 1)
+SELECT r.seg AS seg, CAST(count(*) AS BIGINT) AS n,
+       max(q.q1) AS q1, max(q.med) AS med, max(q.q3) AS q3,
+       CAST(sum(CASE WHEN r.cents > q.q3 + 1.5 * (q.q3 - q.q1)
+                       OR r.cents < q.q1 - 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM r JOIN q ON r.seg = q.seg
+GROUP BY 1"""
+
+
+# Grouped Tukey boxplot of per-customer revenue by market segment:
+# quartiles + 1.5·IQR outlier counts. Values are exact BIGINT cents;
+# quantile interpolation lands on QUARTER-points (0.25·int is dyadic)
+# so Spark percentile ≡ DuckDB quantile_cont bitwise; fences multiply
+# by dyadic 1.5 — every comparison is deterministic. Per-customer
+# totals by SEGMENT show real outliers at every SF (doc lengths and
+# raw order totals have none — measured; a vacuous n_outliers=0 gate
+# pins nothing). Five fence rows broadcast back onto the totals.
+@_register("customer_revenue_boxplot", _BOXPLOT_SQL)
+def customer_revenue_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    r = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    q = r.groupBy("seg").agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.5)").alias("med"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    )
+    j = r.join(F.broadcast(q.withColumnRenamed("seg", "qseg")),
+               F.col("seg") == F.col("qseg"))
+    out_cond = (
+        F.col("cents") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    ) | (F.col("cents") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+    return j.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("q1").alias("q1"),
+        F.max("med").alias("med"),
+        F.max("q3").alias("q3"),
+        F.sum(F.when(out_cond, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+_SIMPSON_SQL = f"""
+WITH tok AS (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS t
+             FROM documents),
+g AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE t <> '' GROUP BY 1, 2),
+m AS (SELECT lang, CAST(sum(c * (c - 1)) AS BIGINT) AS num,
+             CAST(sum(c) AS BIGINT) AS nn
+      FROM g GROUP BY 1)
+SELECT lang, nn,
+       CAST(num AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE) AS simpson,
+       CAST(nn * (nn - 1) AS DOUBLE) / CAST(num AS DOUBLE) AS eff_types
+FROM m"""
+
+
+# Simpson diversity per language: λ = Σc(c−1)/(N(N−1)) — the
+# "probability two draws are the same term" — and its inverse, the
+# effective number of types. Unlike Shannon entropy this needs NO log
+# (log is not correctly rounded — banned from oracle floats): both
+# outputs are ONE exact division of BIGINT moments each. The ~30
+# eff_types across every lang is the honest read of the 31-term
+# synthetic vocabulary.
+@_register("lang_term_simpson", _SIMPSON_SQL)
+def lang_term_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    g = tok.groupBy("lang", "t").agg(F.count("*").cast("bigint").alias("c"))
+    m = g.groupBy("lang").agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("num"),
+        F.sum("c").cast("bigint").alias("nn"),
+    )
+    return m.select(
+        "lang",
+        "nn",
+        (
+            F.col("num").cast("double")
+            / (F.col("nn") * (F.col("nn") - 1)).cast("double")
+        ).alias("simpson"),
+        (
+            (F.col("nn") * (F.col("nn") - 1)).cast("double")
+            / F.col("num").cast("double")
+        ).alias("eff_types"),
+    )
+
+
+_PURITY_CORPUS_SQL = """
+pc AS (SELECT doc_id, text, lang FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000,
+              text,
+              CASE WHEN doc_id % 15 = 0 THEN 'xx' ELSE lang END
+       FROM documents WHERE doc_id % 5 = 0)"""
+
+_PURITY_SQL = f"""
+WITH {_PURITY_CORPUS_SQL},
+g AS (SELECT md5({_NORM_SQL}) AS sha, lang, CAST(count(*) AS BIGINT) AS c
+      FROM pc GROUP BY 1, 2),
+mx AS (SELECT sha, CAST(max(c) AS BIGINT) AS maj,
+              CAST(sum(c) AS BIGINT) AS tot
+       FROM g GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN tot > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi,
+             CAST(sum(maj) AS BIGINT) AS s_maj,
+             CAST(sum(tot) AS BIGINT) AS s_tot
+      FROM mx)
+SELECT n_groups, n_multi,
+       CAST(s_maj AS DOUBLE) / CAST(s_tot AS DOUBLE) AS purity
+FROM m"""
+
+
+# Label purity of exact-dedup clusters: Σ majority-label counts / N —
+# "do metadata labels agree within a content-identical group?" (the
+# cluster-quality cut the dedup spectrum/transitivity gates don't
+# measure). Raw documents have NO exact dups (500 singletons — purity
+# vacuously 1.0), so the shared CTE plants re-keyed copies for every
+# 5th doc, flipping lang to 'xx' on every 15th — group majorities then
+# genuinely split. Integer counts; purity is one exact division.
+@_register("dedup_cluster_purity", _PURITY_SQL)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    plant = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 15 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    pc = docs.select("doc_id", "text", "lang").unionByName(plant)
+    g = pc.select(
+        F.md5(normalize_text_col(F.col("text"))).alias("sha"), "lang"
+    ).groupBy("sha", "lang").agg(F.count("*").cast("bigint").alias("c"))
+    mx = g.groupBy("sha").agg(
+        F.max("c").cast("bigint").alias("maj"),
+        F.sum("c").cast("bigint").alias("tot"),
+    )
+    m = mx.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("tot") > 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_multi"),
+        F.sum("maj").cast("bigint").alias("s_maj"),
+        F.sum("tot").cast("bigint").alias("s_tot"),
+    )
+    return m.select(
+        "n_groups",
+        "n_multi",
+        (F.col("s_maj").cast("double") / F.col("s_tot").cast("double")).alias(
+            "purity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch H (round 5o): Q6 pushdown showcase, Q18 HAVING+top-k, weighted
+# median by rank selection, integer-exact hourly anomaly flags.
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(l_discount AS DECIMAL(18,6)))
+            AS DECIMAL(18,6)) AS DOUBLE) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+# TPC-H Q6 (forecast revenue change): single-table conditional sum —
+# THE predicate-pushdown benchmark: every filter (date range, discount
+# band, quantity cap) must reach the parquet scan, the agg is one
+# map-side-combined pass with zero shuffled rows beyond partials.
+# Discount equality on doubles is exact (0.05/0.07 are the stored
+# values).
+@_register("tpch_q6_forecast_revenue", _Q6_SQL)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,6)")
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(rev).cast("decimal(18,6)").cast("double").alias("revenue_delta"),
+    )
+
+
+_Q18_SQL = """
+WITH big AS (SELECT l_orderkey,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS total_qty
+             FROM lineitem GROUP BY 1
+             HAVING sum(CAST(l_quantity AS BIGINT)) >= 230)
+SELECT o.o_custkey AS custkey, b.l_orderkey AS orderkey, b.total_qty,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+ORDER BY b.total_qty DESC, b.l_orderkey ASC
+LIMIT 100"""
+
+
+# TPC-H Q18 (large-volume orders): HAVING over the grouped fact FIRST
+# (the ≥230-qty survivors are 0.3% of orders — measured 49/390 rows at
+# sf0.001/0.01, so the orders join touches only the tail), then a
+# deterministic top-100 (qty DESC, orderkey tiebreak). Quantities are
+# integral doubles — BIGINT casts are exact.
+@_register("tpch_q18_large_orders", _Q18_SQL)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") >= 230)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_orderkey").alias("orderkey"),
+            "total_qty",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+                "totalprice"
+            ),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("orderkey"))
+        .limit(100)
+    )
+
+
+_WMEDIAN_SQL = """
+WITH w AS (SELECT o.o_orderkey,
+                  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents,
+                  CAST(count(l.l_orderkey) AS BIGINT) AS wt
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+s AS (SELECT cents, wt,
+             CAST(sum(wt) OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+               AS cumw,
+             CAST(sum(wt) OVER () AS BIGINT) AS W
+      FROM w)
+SELECT CAST(min(CASE WHEN 2 * cumw >= W THEN cents END) AS BIGINT)
+         AS weighted_median_cents,
+       max(W) AS total_weight
+FROM s"""
+
+
+# Weighted median order price (weight = lineitem count): smallest value
+# whose cumulative weight reaches half the total — PURE RANK SELECTION
+# on exact cents with an exact 2·cumw ≥ W test, no interpolation, so
+# there is no float anywhere. The prefix sum over (cents, orderkey) is
+# the usual two-pass range-partitioned scan at scale.
+@_register("weighted_median_order_price", _WMEDIAN_SQL)
+def weighted_median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .agg(F.count("l_orderkey").cast("bigint").alias("wt"))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = w.select(
+        "cents",
+        F.sum("wt").over(Window.orderBy("cents", "o_orderkey")).cast("bigint").alias("cumw"),
+        F.sum("wt").over(w_all).cast("bigint").alias("W"),
+    )
+    return s.agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("W"), F.col("cents")))
+        .cast("bigint")
+        .alias("weighted_median_cents"),
+        F.max("W").alias("total_weight"),
+    )
+
+
+_ANOM_SQL = """
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+m AS (SELECT hr, c,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(c) OVER () AS BIGINT) AS s,
+             CAST(sum(c * c) OVER () AS BIGINT) AS s2
+      FROM h)
+SELECT hr, c,
+       CAST(CASE WHEN n * (c * n - s) * (c * n - s)
+                      > 9 * n * (n * s2 - s * s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM m"""
+
+
+# Hourly event-count anomaly flags at |z| > 3 WITHOUT computing z:
+# z² > 9 ⟺ n·(cn−S)² > 9·n·(nS2−S²) — EXACT BIGINT comparison, so a
+# boundary-hugging hour can never flip on float noise (the same
+# cross-multiply trick as the Pareto cut). Non-vacuous at every SF
+# (10/3 anomalous hours measured at sf0.001/0.01). Moments via an
+# unpartitioned window over |hours| rows, never a 1-row cross join.
+@_register("events_hourly_anomaly_flags", _ANOM_SQL)
+def events_hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(_us("ts").alias("us"))
+        .select(F.expr("us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = h.select(
+        "hr",
+        "c",
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+        F.sum("c").over(w_all).cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w_all).cast("bigint").alias("s2"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    return m.select(
+        "hr",
+        "c",
+        F.when(
+            F.col("n") * dev * dev
+            > 9 * F.col("n") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 

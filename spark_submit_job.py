@@ -105,6 +105,11 @@ def main() -> None:
                          "and the BM25⊕tf-cosine reciprocal-rank-fusion "
                          "top-10 per md5-bucketed query set (requires "
                          "--output)")
+    ap.add_argument("--warehouse-report", metavar="SF_DIR",
+                    help="also run the TPC-H classic suite (Q3/Q4/Q5/Q6/"
+                         "Q8/Q10/Q13/Q14/Q18/Q19) over the warehouse "
+                         "parquet tables in SF_DIR and write each result "
+                         "(requires --output)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("autovalidate-dedup").getOrCreate()
@@ -671,6 +676,35 @@ def main() -> None:
             "n_hits": n_hits,
             "mrr": round(mrr_num / (2520 * n_q), 6) if n_q else None,
             "hit_rate": round(n_hits / n_q, 6) if n_q else None,
+        }
+
+    if args.warehouse_report:
+        if not args.output:
+            ap.error("--warehouse-report requires --output")
+        # the relational half of the engine at job scale: the TPC-H
+        # classic suite over warehouse parquet — multi-join stars,
+        # EXISTS/HAVING shapes, pushdown-heavy scans — the same
+        # oracle-gated query functions the driver checks, exercised
+        # through a real spark-submit session.
+        from autovalidate_backend_api_spark import entrypoints
+
+        qs = entrypoints.queries()
+        suite = [
+            "tpch_q3_topk", "tpch_q4_priority_exists",
+            "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+            "tpch_q8_market_share", "tpch_q10_returned_revenue",
+            "tpch_q13_custdist", "tpch_q14_promo_share",
+            "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+        ]
+        wh: dict[str, int] = {}
+        t_wh = time.monotonic()
+        for name in suite:
+            out = qs[name](spark, args.warehouse_report)
+            out.write.mode("overwrite").parquet(f"{args.output}/{name}")
+            wh[name] = spark.read.parquet(f"{args.output}/{name}").count()
+        summary["warehouse"] = {
+            "queries": wh,
+            "wall_sec": round(time.monotonic() - t_wh, 2),
         }
 
     print(json.dumps(summary))
