@@ -11924,6 +11924,782 @@ def events_hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch I (round 5o): rich-club coefficient, trigram hapax rate,
+# skewness/kurtosis from exact moments.
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_KS = (9, 11, 13)
+
+_RICH_CLUB_SQL = f"""WITH {_TRI_EDGES_SQL},
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _RICH_CLUB_KS)}]) AS k),
+nk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+ek AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+       FROM ks JOIN e ON TRUE
+       JOIN deg da ON da.node = e.a AND da.d > ks.k
+       JOIN deg db ON db.node = e.b AND db.d > ks.k
+       GROUP BY 1)
+SELECT nk.k AS k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+       CAST(2 * COALESCE(ek.n_edges, 0) AS DOUBLE)
+         / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE) AS phi
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+WHERE nk.n_nodes >= 2"""
+
+
+# Rich-club coefficient φ(k) = 2·E₍>k₎ / (N₍>k₎·(N₍>k₎−1)) over the
+# shared synthetic overlap graph (degrees span 9..15 and the graph is
+# SF-INVARIANT — every mod-101 residue is hit from 500 docs up, so the
+# same φ values pin every scale). Do hubs preferentially interconnect?
+# Degrees broadcast onto edges twice (101 nodes); per-k membership via
+# an exploded literal k-array — a projection, never a cartesian node;
+# φ is one exact division.
+@_register("graph_rich_club", _RICH_CLUB_SQL)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    raw = docs.select((d % 101).alias("u"), ((d * d + 1) % 101).alias("v"))
+    for k, c in _TRI_FAMS:
+        raw = raw.unionByName(
+            docs.select((d % 101).alias("u"), ((d * k + c) % 101).alias("v"))
+        )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    ks = F.array(*[F.lit(k) for k in _RICH_CLUB_KS])
+    nk = (
+        deg.select("d", F.explode(ks).alias("k"))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dda"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("ddb"))
+    ek = (
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select("dda", "ddb", F.explode(ks).alias("k"))
+        .filter((F.col("dda") > F.col("k")) & (F.col("ddb") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    out = nk.join(F.broadcast(ek), "k", "left").filter(F.col("n_nodes") >= 2)
+    return out.select(
+        "k",
+        "n_nodes",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint").alias("n_edges"),
+        (
+            (2 * F.coalesce(F.col("n_edges"), F.lit(0))).cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double")
+        ).alias("phi"),
+    )
+
+
+_HAPAX_SQL = f"""
+WITH toks AS (SELECT lang, string_split({_NORM_SQL}, ' ') AS ts
+              FROM documents),
+tri AS (SELECT lang,
+               array_to_string(ts[i:i+2], ' ') AS g
+        FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 3),
+g AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+      FROM tri GROUP BY 1, 2),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM g GROUP BY 1)
+SELECT lang, n_types, n_hapax,
+       CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_rate
+FROM m"""
+
+
+# Hapax-legomenon rate over word TRIGRAMS per language — the
+# once-only-type share that prices vocabulary-growth extrapolation
+# (Heaps' curve's pointwise cousin). Unigram hapax is VACUOUS here
+# (the 31-term shared vocab saturates: every term repeats thousands of
+# times); trigram types (≤31³) genuinely thin out — 2.7k/3.1k hapax
+# for de at sf0.01. Token array projected once; shingles via
+# slice-join ≡ the SQL's ts[i:i+2] join. One exact division.
+@_register("lang_trigram_hapax_rate", _HAPAX_SQL)
+def lang_trigram_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.split(normalize_text_col(F.col("text")), " ").alias("ts")
+    )
+    n = F.size(F.col("ts")) - F.lit(2)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(F.col("ts"), i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = t.select("lang", F.explode(grams).alias("g"))
+    g = tri.groupBy("lang", "g").agg(F.count("*").cast("bigint").alias("c"))
+    m = g.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    return m.select(
+        "lang",
+        "n_types",
+        "n_hapax",
+        (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")).alias(
+            "hapax_rate"
+        ),
+    )
+
+
+_SKEWKURT_SQL = """
+WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x*x) AS BIGINT) AS s2,
+             CAST(sum(x*x*x) AS BIGINT) AS s3,
+             CAST(sum(x*x*x*x) AS BIGINT) AS s4
+      FROM v GROUP BY 1),
+d AS (SELECT lang, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS a,
+             CAST(s2 AS DOUBLE) AS b, CAST(s3 AS DOUBLE) AS c,
+             CAST(s4 AS DOUBLE) AS e
+      FROM m)
+SELECT lang, n,
+       round(((sqrt(nd) * ((nd * nd * c - 3.0 * nd * a * b)
+                           + 2.0 * a * a * a))
+              / sqrt((nd * b - a * a) * (nd * b - a * a)
+                     * (nd * b - a * a))), 9) AS skewness,
+       round(((nd * (((nd * nd * nd * e - 4.0 * nd * nd * a * c)
+                      + 6.0 * nd * a * a * b) - 3.0 * a * a * a * a))
+              / ((nd * b - a * a) * (nd * b - a * a)) - 3.0), 9)
+         AS excess_kurtosis
+FROM d"""
+
+
+# Skewness and excess kurtosis of doc length per language — the
+# exact-integer-moments discipline pushed to 3rd/4th order: Σx..Σx⁴
+# are exact BIGINTs (x ≤ 577 ⇒ Σx⁴ ≤ 5.5e14 at sf0.1 — far inside
+# int64), each converted ONCE to double, then skew/kurt are one FIXED
+# multi-op float tree shared verbatim with the oracle (every op
+# exactly rounded on identical inputs — determinism needs fixed shape,
+# not single-op-ness; m2^1.5 is sqrt(m2·m2·m2), never pow, which isn't
+# correctly rounded). round(,9) guards the decimal→double noise class.
+@_register("doc_length_skew_kurtosis", _SKEWKURT_SQL)
+def doc_length_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    x = F.col("x")
+    v = docs.select("lang", F.col("n_chars").cast("bigint").alias("x"))
+    m = v.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(x * x).cast("bigint").alias("s2"),
+        F.sum(x * x * x).cast("bigint").alias("s3"),
+        F.sum(x * x * x * x).cast("bigint").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    a = F.col("s1").cast("double")
+    b = F.col("s2").cast("double")
+    c = F.col("s3").cast("double")
+    e = F.col("s4").cast("double")
+    m2n = nd * b - a * a
+    skew = (
+        F.sqrt(nd) * ((nd * nd * c - F.lit(3.0) * nd * a * b) + F.lit(2.0) * a * a * a)
+    ) / F.sqrt(m2n * m2n * m2n)
+    kurt = (
+        nd
+        * (
+            ((nd * nd * nd * e - F.lit(4.0) * nd * nd * a * c)
+             + F.lit(6.0) * nd * a * a * b)
+            - F.lit(3.0) * a * a * a * a
+        )
+    ) / (m2n * m2n) - F.lit(3.0)
+    return m.select(
+        "lang",
+        "n",
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch J (round 5o): dedup operating-point sweep, cross-table
+# reconciliation audit, running drawdown.
+# ---------------------------------------------------------------------------
+
+_SWEEP_THETAS = ((1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
+
+_SWEEP_SQL = f"""WITH {_VARIANT_CORPUS_SQL},
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+inter AS (SELECT a.doc_id AS x, b.doc_id AS y, CAST(count(*) AS BIGINT) AS o
+          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+v AS (SELECT i.o, nx.n AS nx, ny.n AS ny
+      FROM inter i JOIN sz nx ON i.x = nx.doc_id
+                   JOIN sz ny ON i.y = ny.doc_id),
+th AS (SELECT * FROM (VALUES {", ".join(f"({p}, {q})" for p, q in _SWEEP_THETAS)})
+       t(p, q))
+SELECT th.p AS theta_num, th.q AS theta_den,
+       CAST(sum(CASE WHEN th.q * v.o >= th.p * (v.nx + v.ny - v.o)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+FROM v JOIN th ON TRUE
+GROUP BY 1, 2"""
+
+
+# Dedup operating-point sweep: exact-Jaccard pair counts of the shared
+# borderline-variant corpus at θ ∈ {.5,.6,.7,.8,.9} — the threshold-
+# sensitivity table an operator reads BEFORE pinning θ (the S-curve
+# gate sweeps the LSH detector; this sweeps the GROUND TRUTH). Every
+# threshold test is the exact rational cross-multiply q·o ≥ p·(|A∪B|) —
+# a float Jaccard at a boundary pair would make the counts
+# engine-dependent. Thresholds explode from a literal array
+# (projection, not a cartesian plan node).
+@_register("pair_threshold_sweep", _SWEEP_SQL)
+def pair_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = _variant_shingles(spark, sf_dir)
+    sz = tc.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a = tc.select(F.col("doc_id").alias("x"), F.col("s").alias("tok"))
+    b = tc.select(F.col("doc_id").alias("y"), F.col("s").alias("tok"))
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    nx = sz.select(F.col("doc_id").alias("x"), F.col("n").alias("nx"))
+    ny = sz.select(F.col("doc_id").alias("y"), F.col("n").alias("ny"))
+    v = inter.join(nx, "x").join(ny, "y")
+    th = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(q).alias("q"))
+            for p, q in _SWEEP_THETAS
+        ]
+    )
+    vt = v.select("o", "nx", "ny", F.explode(th).alias("t")).select(
+        "o", "nx", "ny", F.col("t.p").alias("p"), F.col("t.q").alias("q")
+    )
+    return vt.groupBy(
+        F.col("p").alias("theta_num"), F.col("q").alias("theta_den")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("q") * F.col("o")
+                >= F.col("p") * (F.col("nx") + F.col("ny") - F.col("o")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_pairs")
+    )
+
+
+_RECON_SQL = """
+WITH ls AS (SELECT l_orderkey,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,6))) * 100
+                       AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS gross_c
+            FROM lineitem GROUP BY 1),
+j AS (SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS total_c,
+             ls.gross_c
+      FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_matched_orders,
+       CAST(sum(CASE WHEN abs(gross_c - total_c) * 1000 <= total_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS within_0p1pct,
+       CAST(sum(CASE WHEN abs(gross_c - total_c) * 100 <= total_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS within_1pct,
+       CAST(sum(CASE WHEN abs(gross_c - total_c) * 10 <= total_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS within_10pct
+FROM j"""
+
+
+# Cross-table reconciliation audit: does o_totalprice equal the
+# order's Σ extendedprice·(1−disc)·(1+tax)? Tolerance bands decided by
+# EXACT arithmetic — |Δ|·1000 ≤ total is the 0.1% test with DECIMAL
+# cents on both sides, no float ratio whose boundary could drift. The
+# honest finding on this synthetic warehouse: they DON'T reconcile
+# (12/1473 within 1% at sf0.001) — which is exactly what a
+# reconciliation audit is for.
+@_register("order_amount_reconciliation", _RECON_SQL)
+def order_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    gross = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(18,6)"))
+        * 100
+    ).cast("decimal(38,6)")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(gross).cast("decimal(38,6)").alias("gross_c")
+    )
+    j = orders.join(ls, orders.o_orderkey == ls.l_orderkey).select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("total_c"),
+        "gross_c",
+    )
+    delta = F.abs(F.col("gross_c") - F.col("total_c"))
+
+    def band(mult: int):
+        return F.sum(
+            F.when(delta * mult <= F.col("total_c"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint")
+
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_matched_orders"),
+        band(1000).alias("within_0p1pct"),
+        band(100).alias("within_1pct"),
+        band(10).alias("within_10pct"),
+    )
+
+
+_DRAWDOWN_SQL = """
+WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1)
+SELECT day, cents,
+       CAST(max(cents) OVER (ORDER BY day) AS BIGINT) AS peak,
+       CAST(max(cents) OVER (ORDER BY day) - cents AS BIGINT) AS drawdown
+FROM d"""
+
+
+# Running drawdown of daily revenue: peak-to-date minus today, the
+# finance-style regression detector reused for throughput/volume
+# monitoring. Everything is exact BIGINT cents under a running-max
+# window over |days| rows (post-agg) — running EXTREMA are exact the
+# same way running sums are (the Kaplan-Meier precedent, max instead
+# of product).
+@_register("revenue_drawdown", _DRAWDOWN_SQL)
+def revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    return d.select(
+        "day",
+        "cents",
+        F.max("cents").over(w).cast("bigint").alias("peak"),
+        (F.max("cents").over(w) - F.col("cents")).cast("bigint").alias("drawdown"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch K (round 5o): nearest-event join, average neighbor degree,
+# TPC-H Q22-style dormant-rich audit.
+# ---------------------------------------------------------------------------
+
+_NEAREST_SQL = """
+WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS bgrp,
+                  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC)
+                       AS BIGINT) AS fgrp
+           FROM events),
+pb AS (SELECT user_id, bgrp, us AS prev_us FROM s
+       WHERE event_type = 'purchase'),
+pf AS (SELECT user_id, fgrp, us AS next_us FROM s
+       WHERE event_type = 'purchase')
+SELECT s.event_id AS view_event_id, s.user_id AS user_id,
+       CASE WHEN pb.prev_us IS NOT NULL
+             AND (pf.next_us IS NULL
+                  OR s.us - pb.prev_us <= pf.next_us - s.us)
+            THEN pb.prev_us ELSE pf.next_us END AS nearest_purchase_us,
+       CASE WHEN pb.prev_us IS NOT NULL
+             AND (pf.next_us IS NULL
+                  OR s.us - pb.prev_us <= pf.next_us - s.us)
+            THEN s.us - pb.prev_us ELSE pf.next_us - s.us END AS gap_us
+FROM s LEFT JOIN pb ON s.user_id = pb.user_id AND s.bgrp = pb.bgrp
+       LEFT JOIN pf ON s.user_id = pf.user_id AND s.fgrp = pf.fgrp
+WHERE s.event_type = 'view'"""
+
+
+# Nearest-event join: each view matched to its CLOSEST purchase in
+# either direction (as-of joins only look backward) — two grouped-LOCF
+# carry ids, one per direction (the forward one is the same running
+# count over the REVERSED order), then an exact integer-µs gap compare
+# with the ≤ tie-break preferring the backward match. Engine-portable
+# by construction: no IGNORE NULLS, no interval self-join explosion —
+# two window passes + two equi-joins on (user, carry-group).
+@_register("events_nearest_purchase_join", _NEAREST_SQL)
+def events_nearest_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.when(F.col("event_type") == "purchase", F.lit(1))
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _us("ts").alias("us"),
+        F.count(is_p).over(wb).cast("bigint").alias("bgrp"),
+        F.count(is_p).over(wf).cast("bigint").alias("fgrp"),
+    )
+    pur = s.filter(F.col("event_type") == "purchase")
+    pb = pur.select(
+        F.col("user_id").alias("bu"), "bgrp", F.col("us").alias("prev_us")
+    ).withColumnRenamed("bgrp", "bg")
+    pf = pur.select(
+        F.col("user_id").alias("fu"), "fgrp", F.col("us").alias("next_us")
+    ).withColumnRenamed("fgrp", "fg")
+    v = (
+        s.filter(F.col("event_type") == "view")
+        .join(pb, (F.col("user_id") == F.col("bu")) & (F.col("bgrp") == F.col("bg")), "left")
+        .join(pf, (F.col("user_id") == F.col("fu")) & (F.col("fgrp") == F.col("fg")), "left")
+    )
+    back_wins = F.col("prev_us").isNotNull() & (
+        F.col("next_us").isNull()
+        | (F.col("us") - F.col("prev_us") <= F.col("next_us") - F.col("us"))
+    )
+    return v.select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.when(back_wins, F.col("prev_us"))
+        .otherwise(F.col("next_us"))
+        .alias("nearest_purchase_us"),
+        F.when(back_wins, F.col("us") - F.col("prev_us"))
+        .otherwise(F.col("next_us") - F.col("us"))
+        .alias("gap_us"),
+    )
+
+
+_ANND_SQL = f"""WITH {_TRI_EDGES_SQL},
+sym AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1),
+x AS (SELECT s.u AS node, CAST(sum(dn.d) AS BIGINT) AS sum_nbr_deg,
+             CAST(count(*) AS BIGINT) AS k
+      FROM sym s JOIN deg dn ON s.w = dn.node GROUP BY 1)
+SELECT x.node, dg.d AS degree, x.sum_nbr_deg,
+       CAST(x.sum_nbr_deg AS DOUBLE) / CAST(x.k AS DOUBLE)
+         AS avg_neighbor_degree
+FROM x JOIN deg dg ON x.node = dg.node"""
+
+
+# Average neighbor degree per node — graph_assortativity's pointwise
+# companion (the knn(k) curve's raw table): do high-degree nodes sit
+# next to high-degree nodes? Degree table broadcast onto the
+# symmetrized edges; one exact division per node.
+@_register("graph_avg_neighbor_degree", _ANND_SQL)
+def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    raw = docs.select((d % 101).alias("u"), ((d * d + 1) % 101).alias("v"))
+    for k, c in _TRI_FAMS:
+        raw = raw.unionByName(
+            docs.select((d % 101).alias("u"), ((d * k + c) % 101).alias("v"))
+        )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    dn = deg.select(F.col("node").alias("w"), F.col("d").alias("dn"))
+    x = (
+        sym.join(F.broadcast(dn), "w")
+        .groupBy(F.col("u").alias("node"))
+        .agg(
+            F.sum("dn").cast("bigint").alias("sum_nbr_deg"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    return x.join(F.broadcast(deg), "node").select(
+        "node",
+        F.col("d").alias("degree"),
+        "sum_nbr_deg",
+        (F.col("sum_nbr_deg").cast("double") / F.col("k").cast("double")).alias(
+            "avg_neighbor_degree"
+        ),
+    )
+
+
+_Q22_SQL = """
+WITH b AS (SELECT c_custkey, c_nationkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS bal_c
+           FROM customer WHERE c_acctbal > 0),
+w AS (SELECT b.*, CAST(sum(bal_c) OVER () AS BIGINT) AS s,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM b),
+rich AS (SELECT c_custkey, c_nationkey, bal_c FROM w
+         WHERE bal_c * n > s),
+dormant AS (SELECT r.* FROM rich r
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = r.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
+FROM dormant d JOIN nation n ON d.c_nationkey = n.n_nationkey
+GROUP BY 1"""
+
+
+# TPC-H Q22 flavor (dormant high-balance customers): above-mean balance
+# via the EXACT cross-multiply bal·n > Σbal (never a float mean
+# threshold — the boundary customer must not flip), dormancy = NOT
+# EXISTS orders since 2000 (LEFT ANTI with the date filter pushed to
+# the orders scan), rolled up by nation. The positive-balance mean
+# matches Q22's substring-avg shape. Global Σ/n via an unpartitioned
+# window, not a 1-row cross join.
+@_register("tpch_q22_dormant_rich", _Q22_SQL)
+def tpch_q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    b = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("bal_c"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rich = b.select(
+        "*",
+        F.sum("bal_c").over(w_all).cast("bigint").alias("s"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+    ).filter(F.col("bal_c") * F.col("n") > F.col("s"))
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(F.broadcast(nation), dormant.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_custs"),
+            F.sum("bal_c").cast("bigint").alias("total_bal_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch L (round 5o): Lorenz deciles, dictionary prefix compression,
+# business-day ship latency via a generated calendar lookup.
+# ---------------------------------------------------------------------------
+
+_LORENZ_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+d AS (SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM r),
+g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS c
+      FROM d GROUP BY 1),
+c AS (SELECT decile, n, c,
+             CAST(sum(c) OVER (ORDER BY decile) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS total
+      FROM g)
+SELECT decile, n,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM c"""
+
+
+# Lorenz curve by customer-revenue decile — the full inequality curve
+# behind the Gini scalar and the Pareto cut. Deciles via deterministic
+# ntile (custkey tiebreak); running/total cents exact; one division
+# per decile row over the 10-row post-agg table.
+@_register("revenue_lorenz_deciles", _LORENZ_SQL)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    d = r.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n",
+        F.sum("c").over(Window.orderBy("decile")).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("total"),
+    )
+    return c.select(
+        "decile",
+        "n",
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+_PREFIX_SQL = f"""
+WITH toks AS (SELECT string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+tri AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS term
+        FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 3),
+s AS (SELECT term, lag(term) OVER (ORDER BY term) AS prev FROM tri),
+l AS (SELECT CASE WHEN prev IS NULL THEN 0 ELSE
+               len(list_filter(range(1, least(length(term), length(prev)) + 1),
+                               k -> substring(term, 1, k)
+                                    = substring(prev, 1, k)))
+             END AS lcp
+      FROM s)
+SELECT lcp, CAST(count(*) AS BIGINT) AS n_terms
+FROM l GROUP BY 1"""
+
+
+# Dictionary prefix-compression profile: LCP of each sorted trigram-
+# dictionary key with its predecessor — the histogram that prices a
+# front-coded term dictionary (Σ lcp = chars saved; 181k over 16.5k
+# keys at sf0.001). LCP without a builtin: prefix-equality is monotone
+# in k, so size(filter(1..min_len, k → prefix_k(a)=prefix_k(b))) IS
+# the LCP — same HOF on both engines, all integers. The global sorted
+# lag is the dictionary-build scan (range-partitioned at scale).
+@_register("dict_prefix_compression", _PREFIX_SQL)
+def dict_prefix_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(F.split(normalize_text_col(F.col("text")), " ").alias("ts"))
+    n = F.size(F.col("ts")) - F.lit(2)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(F.col("ts"), i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = t.select(F.explode(grams).alias("term")).distinct()
+    s = tri.select(
+        "term", F.lag("term").over(Window.orderBy("term")).alias("prev")
+    )
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(
+                    F.lit(1), F.least(F.length("term"), F.length("prev"))
+                ),
+                lambda k: F.col("term").substr(F.lit(1), k)
+                == F.col("prev").substr(F.lit(1), k),
+            )
+        )
+    )
+    l = s.select(lcp.alias("lcp"))
+    return l.groupBy("lcp").agg(F.count("*").cast("bigint").alias("n_terms"))
+
+
+def _weekday_partial_case(w_expr: str, r_expr: str) -> str:
+    """Generated 7×7 lookup: number of weekdays (dow 1..5, 0=Sunday)
+    among the `r` consecutive days starting at dow `w` — both engines
+    run this same generated CASE (the soundex/SECRET_PATTERNS
+    generated-oracle pattern)."""
+    rows = []
+    for w in range(7):
+        for r in range(7):
+            cnt = sum(1 if 1 <= (w + i) % 7 <= 5 else 0 for i in range(r))
+            rows.append(f"WHEN {w_expr} = {w} AND {r_expr} = {r} THEN {cnt}")
+    return "CASE " + " ".join(rows) + " END"
+
+
+_BD_PARTIAL = _weekday_partial_case("dow_a", "rem")
+
+_BIZDAYS_SQL = f"""
+WITH fs AS (SELECT l_orderkey,
+                   CAST(min(epoch_us(l_shipdate)) // 86400000000 AS BIGINT)
+                     AS ship_d
+            FROM lineitem GROUP BY 1),
+j AS (SELECT CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS ord_d,
+             fs.ship_d
+      FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey),
+k AS (SELECT ship_d - ord_d AS span,
+             CAST((ord_d + 4) % 7 AS BIGINT) AS dow_a
+      FROM j WHERE ship_d >= ord_d),
+b AS (SELECT CAST(5 * (span // 7) AS BIGINT)
+               + ({_BD_PARTIAL.replace("rem", "span % 7")})
+               AS business_days
+      FROM k)
+SELECT business_days, CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY 1"""
+
+
+# Ship latency in BUSINESS days (weekends excluded) — calendar
+# arithmetic kept engine-exact: epoch-day via BIGINT div, dow via the
+# pinned (epoch_days+4)%7 convention (Spark dayofweek is 1=Sunday,
+# DuckDB's dow 0=Sunday — a literal mod can't drift), and the partial-
+# week weekday count via a GENERATED 49-case lookup shared verbatim
+# with the oracle. business_days = 5·⌊span/7⌋ + lookup(dow, span%7).
+@_register("order_ship_business_days", _BIZDAYS_SQL)
+def order_ship_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    fs = (
+        li.select("l_orderkey", _us("l_shipdate").alias("sus"))
+        .groupBy("l_orderkey")
+        .agg(F.min("sus").alias("min_sus"))
+        .select(
+            "l_orderkey", F.expr("min_sus div 86400000000").alias("ship_d")
+        )
+    )
+    j = (
+        orders.select("o_orderkey", _us("o_orderdate").alias("ous"))
+        .select("o_orderkey", F.expr("ous div 86400000000").alias("ord_d"))
+        .join(fs, F.col("o_orderkey") == fs.l_orderkey)
+    )
+    k = j.filter(F.col("ship_d") >= F.col("ord_d")).select(
+        (F.col("ship_d") - F.col("ord_d")).alias("span"),
+        ((F.col("ord_d") + 4) % 7).cast("bigint").alias("dow_a"),
+    )
+    b = k.select(
+        (
+            (5 * F.expr("span div 7")).cast("bigint")
+            + F.expr(_BD_PARTIAL.replace("rem", "span % 7"))
+        ).alias("business_days")
+    )
+    return b.groupBy("business_days").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
