@@ -10809,7 +10809,13 @@ FROM m WHERE n_tokens > 0"""
 # it per element); per-token lambdas only reference their own argument.
 @_register("doc_lexical_profile", _LEX_SQL)
 def doc_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return lexical_profile(_t(spark, sf_dir, "documents"))
+
+
+def lexical_profile(docs: DataFrame) -> DataFrame:
+    """Pure projection — runs unmodified on batch OR streaming input
+    (pinned row-for-row by tests/test_streaming.py)."""
+    docs = docs.filter(F.length("text") > 0)
     toks = F.filter(
         F.split(normalize_text_col(F.col("text")), " "),
         lambda t: t != F.lit(""),
@@ -12696,6 +12702,176 @@ def order_ship_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return b.groupBy("business_days").agg(
         F.count("*").cast("bigint").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch M (round 5o): integer-exact periodicity scan, index-number
+# revenue decomposition.
+# ---------------------------------------------------------------------------
+
+_PERIODS = (24, 8, 6)
+
+_PERIOD_SQL = f"""
+WITH raw AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1),
+spine AS (SELECT unnest(range((SELECT min(hr) FROM raw),
+                              (SELECT min(hr) FROM raw)
+                              + 24 * (((SELECT max(hr) FROM raw)
+                                       - (SELECT min(hr) FROM raw) + 1)
+                                      // 24))) AS hr),
+h AS (SELECT s.hr, COALESCE(r.c, 0) AS c
+      FROM spine s LEFT JOIN raw r ON s.hr = r.hr),
+p AS (SELECT unnest([{", ".join(str(p) for p in _PERIODS)}]) AS period),
+f AS (SELECT p.period, h.hr % p.period AS ph, h.c FROM h JOIN p ON TRUE),
+g AS (SELECT period, ph, CAST(sum(c) AS BIGINT) AS sg FROM f GROUP BY 1, 2),
+m AS (SELECT period, CAST(sum(sg * sg) AS BIGINT) AS ssg,
+             CAST(sum(sg) AS BIGINT) AS s
+      FROM g GROUP BY 1),
+sc AS (SELECT period, CAST(period * ssg - s * s AS BIGINT) AS bss_scaled
+       FROM m)
+SELECT period, bss_scaled,
+       CAST(CASE WHEN bss_scaled = max(bss_scaled) OVER () THEN 1 ELSE 0 END
+            AS BIGINT) AS is_best
+FROM sc"""
+
+
+# Periodicity scan: which folding period (24h / 8h / 6h) concentrates
+# the between-class variance of the hourly series? With the series
+# ZERO-FILLED and TRIMMED to a multiple of 24 hours, every candidate
+# divides n exactly, class sizes are equal, and the between-SS ranking
+# reduces to comparing p·Σ_g S_g² − S² — EXACT BIGINTs, so the winning
+# period is decided by integer compare, never a float F-statistic
+# (without the fill+trim the equal-size identity silently breaks: 189
+# hours are missing at sf0.001). Detects the corpus's daily cycle
+# (bss 281k at p=24 vs 62-90k) — the period the seasonal-residual gate
+# ASSUMES, now measured.
+@_register("events_periodicity_scan", _PERIOD_SQL)
+def events_periodicity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    raw = (
+        ev.select(_us("ts").alias("us"))
+        .select(F.expr("us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    lo, hi = raw.agg(F.min("hr"), F.max("hr")).first()
+    n = 24 * ((int(hi) - int(lo) + 1) // 24)
+    spine = spark.range(int(lo), int(lo) + n).select(F.col("id").alias("hr"))
+    h = spine.join(raw, "hr", "left").select(
+        "hr", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
+    )
+    pa = F.array(*[F.lit(p) for p in _PERIODS])
+    f = h.select("hr", "c", F.explode(pa).alias("period")).select(
+        "period", (F.col("hr") % F.col("period")).alias("ph"), "c"
+    )
+    g = f.groupBy("period", "ph").agg(F.sum("c").cast("bigint").alias("sg"))
+    m = g.groupBy("period").agg(
+        F.sum(F.col("sg") * F.col("sg")).cast("bigint").alias("ssg"),
+        F.sum("sg").cast("bigint").alias("s"),
+    )
+    sc = m.select(
+        "period",
+        (F.col("period") * F.col("ssg") - F.col("s") * F.col("s"))
+        .cast("bigint")
+        .alias("bss_scaled"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return sc.select(
+        "period",
+        "bss_scaled",
+        F.when(F.col("bss_scaled") == F.max("bss_scaled").over(w_all), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_best"),
+    )
+
+
+_DECOMP_SQL = """
+WITH f AS (SELECT sn.n_name AS nation, year(o.o_orderdate) AS y,
+                  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+           WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1998-01-01'),
+g AS (SELECT nation,
+             CAST(sum(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS BIGINT)
+               AS s96,
+             CAST(sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n96,
+             CAST(sum(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS BIGINT)
+               AS s97,
+             CAST(sum(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n97
+      FROM f GROUP BY 1)
+SELECT nation, s96, s97, n96, n97,
+       (CAST(n97 AS DOUBLE) - CAST(n96 AS DOUBLE))
+         * (CAST(s96 AS DOUBLE) / CAST(n96 AS DOUBLE)) AS volume_effect_c,
+       CAST(s97 - s96 AS DOUBLE)
+         - (CAST(n97 AS DOUBLE) - CAST(n96 AS DOUBLE))
+           * (CAST(s96 AS DOUBLE) / CAST(n96 AS DOUBLE)) AS price_effect_c
+FROM g WHERE n96 > 0 AND n97 > 0"""
+
+
+# Index-number (Laspeyres-style) revenue-change decomposition per
+# supplier nation, 1996→1997: volume effect = Δitems priced at the
+# base-year mean, price effect = the remainder. One conditional agg
+# builds all four exact BIGINT legs; the two effects are fixed float
+# trees over them (the delta itself stays exact). This is the "WHY did
+# revenue move" operator on top of the YoY gate's "how much".
+@_register("revenue_change_decomposition", _DECOMP_SQL)
+def revenue_change_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("y"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    g = f.groupBy("nation").agg(
+        F.sum(F.when(F.col("y") == 1996, F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s96"),
+        F.sum(F.when(F.col("y") == 1996, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n96"),
+        F.sum(F.when(F.col("y") == 1997, F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s97"),
+        F.sum(F.when(F.col("y") == 1997, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n97"),
+    )
+    base_mean = F.col("s96").cast("double") / F.col("n96").cast("double")
+    ve = (F.col("n97").cast("double") - F.col("n96").cast("double")) * base_mean
+    return g.filter((F.col("n96") > 0) & (F.col("n97") > 0)).select(
+        "nation",
+        "s96",
+        "s97",
+        "n96",
+        "n97",
+        ve.alias("volume_effect_c"),
+        ((F.col("s97") - F.col("s96")).cast("double") - ve).alias(
+            "price_effect_c"
+        ),
     )
 
 

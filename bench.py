@@ -160,6 +160,15 @@ GATE_QUERIES = [
     "ssjoin_filter_report",
     "graph_harmonic_centrality",
     "lang_term_chi2_top",
+    # r5o: the TPC-H 6-way star (Q5 — the deepest join chain on the
+    # board), the integer-Mann-Whitney ROC AUC (one distinct-score
+    # prefix-sum window), and the exact-Jaccard operating-point sweep
+    # over the borderline-variant corpus (the ground-truth half of the
+    # LSH calibration pair; one shingle self-join + a 5-way literal
+    # threshold explode).
+    "tpch_q5_local_supplier_volume",
+    "purchase_value_auc",
+    "pair_threshold_sweep",
 ]
 
 

@@ -575,3 +575,43 @@ def test_cusum_state_rejects_batch(spark):
 
     with _pytest.raises(ValueError):
         cusum_state(df, allowance=1.0, threshold=2.0)
+
+
+def test_lexical_profile_runs_as_stream(spark, sf_dir, tmp_path):
+    """doc_lexical_profile's projection (lexical_profile) is shuffle-free,
+    so the SAME function must run unmodified on a streaming DataFrame and
+    agree row-for-row with its batch twin — extending the unified-model
+    property to the per-doc lexical diversity layer."""
+    import shutil
+
+    from autovalidate_backend_api_spark.entrypoints import lexical_profile
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = batch.schema
+    src = tmp_path / "docs_lex_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-000.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    prof = lexical_profile(stream)
+    assert prof.isStreaming
+    q = (
+        prof.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lex_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    key = lambda r: (  # noqa: E731
+        r["n_tokens"], r["n_distinct"], r["ttr"], r["avg_token_len"],
+        r["pct_long"],
+    )
+    got = {
+        r["doc_id"]: key(r)
+        for r in spark.sql("SELECT * FROM lex_stream").collect()
+    }
+    want = {r["doc_id"]: key(r) for r in lexical_profile(batch).collect()}
+    assert got == want
