@@ -12876,6 +12876,200 @@ def revenue_change_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch N (round 5o): blocking-strategy comparison, Markov drift table,
+# Q21-style late-supplier attribution.
+# ---------------------------------------------------------------------------
+
+_BLOCKCMP_SQL = """
+WITH r AS (SELECT doc_id, lang, n_chars FROM documents),
+b1 AS (SELECT CAST(count(*) AS BIGINT) AS blocks,
+              CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs
+       FROM (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1)),
+b2 AS (SELECT CAST(count(*) AS BIGINT) AS blocks,
+              CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs
+       FROM (SELECT n_chars // 64, CAST(count(*) AS BIGINT) AS c
+             FROM r GROUP BY 1)),
+b3 AS (SELECT CAST(count(*) AS BIGINT) AS blocks,
+              CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs
+       FROM (SELECT lang, n_chars // 64, CAST(count(*) AS BIGINT) AS c
+             FROM r GROUP BY 1, 2))
+SELECT 'lang' AS strategy, blocks, pairs FROM b1
+UNION ALL SELECT 'len64', blocks, pairs FROM b2
+UNION ALL SELECT 'lang_len64', blocks, pairs FROM b3"""
+
+
+# Blocking-strategy comparison: candidate-pair budgets Σ C(n_b, 2) per
+# key design (lang / 64-char length bucket / their conjunction) — the
+# reduction-ratio table a linkage engineer reads BEFORE picking block
+# keys (33k → 15k → 4k candidate pairs at sf0.01). Pure per-strategy
+# count aggregation; pair counts are exact integers computed from
+# block sizes, never by materializing pairs. At 100 TB this is the
+# table that decides whether the verify join is feasible at all.
+@_register("blocking_strategy_comparison", _BLOCKCMP_SQL)
+def blocking_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def budget(keys: list, name: str) -> DataFrame:
+        g = docs.groupBy(*keys).agg(F.count("*").cast("bigint").alias("c"))
+        return g.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").cast("bigint").alias("blocks"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("pairs"),
+        )
+
+    len64 = F.expr("n_chars div 64").alias("lb")
+    return (
+        budget([F.col("lang")], "lang")
+        .unionByName(budget([len64], "len64"))
+        .unionByName(budget([F.col("lang"), len64], "lang_len64"))
+    )
+
+
+_DRIFT_SQL = """
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  CAST(count(*) OVER () AS BIGINT) AS n,
+                  row_number() OVER (ORDER BY ts, event_id) AS i
+           FROM events),
+t AS (SELECT user_id, event_type, ts, event_id,
+             CASE WHEN 2 * i <= n THEN 1 ELSE 2 END AS half
+      FROM s),
+p AS (SELECT half, event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id, half
+                                    ORDER BY ts, event_id) AS t
+      FROM t),
+c AS (SELECT f, t,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT c.*, CAST(sum(a) OVER () AS BIGINT) AS ta,
+             CAST(sum(b) OVER () AS BIGINT) AS tb
+      FROM c)
+SELECT f AS from_type, t AS to_type, a AS n_first, b AS n_second,
+       CAST(abs(a * tb - b * ta) AS BIGINT) AS drift_num,
+       CAST(CASE WHEN abs(a * tb - b * ta) * 200 >= ta * tb
+                 THEN 1 ELSE 0 END AS BIGINT) AS drifted_0p5pct
+FROM m"""
+
+
+# Markov transition drift between the first and second half of the
+# event stream (time-ordered split at the exact median row): per
+# transition, both halves' counts plus the EXACT drift numerator
+# |a·T_b − b·T_a| (the cross-multiplied rate difference — comparing
+# a/T_a to b/T_b without a float) and a 0.5% flag that fires on real
+# rows at both SFs (19 / 3 measured; a 10% bar fires on none — this
+# stream is stationary, and the table says so honestly). The
+# model-drift monitor for any sequence model trained on half the data.
+@_register("transition_drift_table", _DRIFT_SQL)
+def transition_drift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("i"),
+    )
+    t = s.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(2 * F.col("i") <= F.col("n"), F.lit(1)).otherwise(F.lit(2)).alias(
+            "half"
+        ),
+    )
+    wl = Window.partitionBy("user_id", "half").orderBy("ts", "event_id")
+    p = t.select(
+        "half",
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(wl).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    c = p.groupBy("f", "t").agg(
+        F.sum(F.when(F.col("half") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("half") == 2, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("b"),
+    )
+    m = c.select(
+        "*",
+        F.sum("a").over(w_all).cast("bigint").alias("ta"),
+        F.sum("b").over(w_all).cast("bigint").alias("tb"),
+    )
+    dn = F.abs(F.col("a") * F.col("tb") - F.col("b") * F.col("ta"))
+    return m.select(
+        F.col("f").alias("from_type"),
+        F.col("t").alias("to_type"),
+        F.col("a").alias("n_first"),
+        F.col("b").alias("n_second"),
+        dn.cast("bigint").alias("drift_num"),
+        F.when(dn * 200 >= F.col("ta") * F.col("tb"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("drifted_0p5pct"),
+    )
+
+
+_BLAME_SQL = """
+WITH ms AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY 1, 2),
+o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+             max(last_ship) AS o_last
+      FROM ms GROUP BY 1),
+j AS (SELECT ms.l_suppkey, ms.last_ship, o.o_last,
+             CAST(sum(CASE WHEN ms.last_ship = o.o_last THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY ms.l_orderkey) AS BIGINT) AS n_latest
+      FROM ms JOIN o ON ms.l_orderkey = o.l_orderkey
+      WHERE o.n_supp >= 2)
+SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_blamed_orders
+FROM j WHERE last_ship = o_last AND n_latest = 1
+GROUP BY 1"""
+
+
+# TPC-H Q21 flavor (who held the order up): in multi-supplier orders,
+# blame the supplier who shipped LAST — counted only when that latest
+# shipper is UNIQUE (timestamp ties mean shared blame, and a tie-
+# broken pick would be arbitrary; the n_latest=1 guard makes the
+# answer deterministic by construction instead). Two keyed aggs + one
+# window over order groups; no EXISTS self-joins over the fact table.
+@_register("late_supplier_blame", _BLAME_SQL)
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ms = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    o = ms.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").cast("bigint").alias("n_supp"),
+        F.max("last_ship").alias("o_last"),
+    )
+    j = ms.join(o, ms.l_orderkey == o.ok).filter(F.col("n_supp") >= 2)
+    w = Window.partitionBy("l_orderkey")
+    j = j.select(
+        "l_suppkey",
+        "last_ship",
+        "o_last",
+        F.sum(
+            F.when(F.col("last_ship") == F.col("o_last"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .over(w)
+        .cast("bigint")
+        .alias("n_latest"),
+    )
+    return (
+        j.filter((F.col("last_ship") == F.col("o_last")) & (F.col("n_latest") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").cast("bigint").alias("n_blamed_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
