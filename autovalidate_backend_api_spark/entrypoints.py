@@ -13070,6 +13070,124 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch O (round 5o): Q12-style latency×priority counts, exact weighted
+# Jaccard between language profiles.
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+WITH j AS (SELECT CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                       // 86400000000 AS BIGINT) AS lat_d,
+                  o.o_orderpriority AS prio
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate >= o.o_orderdate),
+b AS (SELECT CASE WHEN lat_d < 30 THEN '0-29'
+                  WHEN lat_d < 60 THEN '30-59'
+                  WHEN lat_d < 90 THEN '60-89' ELSE '90+' END AS band,
+             prio
+      FROM j)
+SELECT band,
+       CAST(sum(CASE WHEN prio IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN prio NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0
+                END) AS BIGINT) AS low_line_count
+FROM b GROUP BY 1"""
+
+
+# TPC-H Q12 shape (priority class × latency band conditional counts):
+# does high priority actually ship faster? Latency in exact BIGINT
+# days (µs div — the established bucket discipline), two conditional
+# counts per band in ONE grouped agg pass over the join.
+@_register("tpch_q12_latency_priority", _Q12_SQL)
+def tpch_q12_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from autovalidate_backend_api_spark.operators.temporal import _us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            (_us("l_shipdate") - _us("o_orderdate")).alias("lat_us"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .select(F.expr("lat_us div 86400000000").alias("lat_d"), "prio")
+    )
+    band = (
+        F.when(F.col("lat_d") < 30, "0-29")
+        .when(F.col("lat_d") < 60, "30-59")
+        .when(F.col("lat_d") < 90, "60-89")
+        .otherwise("90+")
+    )
+    is_high = F.col("prio").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(band.alias("band")).agg(
+        F.sum(F.when(is_high, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("high_line_count"),
+        F.sum(F.when(is_high, F.lit(0)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("low_line_count"),
+    )
+
+
+_WJACC_SQL = f"""
+WITH tok AS (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS t
+             FROM documents),
+g AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE t <> '' GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM g GROUP BY 1),
+mn AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+              CAST(sum(least(a.c, b.c)) AS BIGINT) AS s_min
+       FROM g a JOIN g b ON a.t = b.t AND a.lang < b.lang
+       GROUP BY 1, 2)
+SELECT mn.lang_a, mn.lang_b, mn.s_min,
+       ta.total AS total_a, tb.total AS total_b,
+       CAST(mn.s_min AS DOUBLE)
+         / CAST(ta.total + tb.total - mn.s_min AS DOUBLE)
+         AS weighted_jaccard
+FROM mn JOIN tot ta ON mn.lang_a = ta.lang
+        JOIN tot tb ON mn.lang_b = tb.lang"""
+
+
+# EXACT weighted Jaccard between language term-frequency profiles:
+# J_w = Σmin(aᵢ,bᵢ) / Σmax(aᵢ,bᵢ), with the denominator via the
+# identity Σmax = T_a + T_b − Σmin so non-shared terms (min 0) need no
+# full-outer join — Σmin comes from the shared-term inner join alone.
+# Counts are exact BIGINTs; one division per lang pair. This is the
+# ground truth the weighted-MinHash sketch family estimates.
+@_register("lang_profile_weighted_jaccard", _WJACC_SQL)
+def lang_profile_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(normalize_text_col(F.col("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    g = tok.groupBy("lang", "t").agg(F.count("*").cast("bigint").alias("c"))
+    tot = g.groupBy("lang").agg(F.sum("c").cast("bigint").alias("total"))
+    a = g.select(F.col("lang").alias("lang_a"), "t", F.col("c").alias("ca"))
+    b = g.select(F.col("lang").alias("lang_b"), F.col("t").alias("tb_"), F.col("c").alias("cb"))
+    mn = (
+        a.join(b, (a.t == b.tb_) & (a.lang_a < b.lang_b))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("s_min"))
+    )
+    ta = tot.select(F.col("lang").alias("lang_a"), F.col("total").alias("total_a"))
+    tb = tot.select(F.col("lang").alias("lang_b"), F.col("total").alias("total_b"))
+    out = mn.join(F.broadcast(ta), "lang_a").join(F.broadcast(tb), "lang_b")
+    return out.select(
+        "lang_a",
+        "lang_b",
+        "s_min",
+        "total_a",
+        "total_b",
+        (
+            F.col("s_min").cast("double")
+            / (F.col("total_a") + F.col("total_b") - F.col("s_min")).cast("double")
+        ).alias("weighted_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
