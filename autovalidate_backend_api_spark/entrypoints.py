@@ -13188,6 +13188,114 @@ def lang_profile_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Batch P (round 5o): Q15 with-ties argmax, nonparametric median CI.
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH r AS (SELECT l_suppkey,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                       AS DECIMAL(18,6)) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1),
+m AS (SELECT r.*, max(rev) OVER () AS mx FROM r)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+       CAST(m.rev AS DOUBLE) AS total_rev
+FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+WHERE m.rev = m.mx"""
+
+
+# TPC-H Q15 (top supplier): emit EVERY supplier tied at the maximum
+# quarter revenue — Q15's actual semantics (a row_number pick would
+# silently drop co-leaders). The max and the equality test run on the
+# EXACT DECIMAL(18,6) aggregate, so ties are real ties, not float
+# accidents; only the reported value casts to double.
+@_register("tpch_q15_top_supplier", _Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("decimal(18,6)").alias("rev")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = r.select("*", F.max("rev").over(w_all).alias("mx")).filter(
+        F.col("rev") == F.col("mx")
+    )
+    return m.join(F.broadcast(supp), m.l_suppkey == supp.s_suppkey).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("name"),
+        F.col("rev").cast("double").alias("total_rev"),
+    )
+
+
+_MEDCI_SQL = """
+WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS i,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+           FROM documents),
+rk AS (SELECT i, x, n,
+              CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE)))
+                         / 2.0) AS BIGINT) AS lo_rank,
+              CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+                               + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                   AS BIGINT) AS hi_rank
+       FROM v)
+SELECT max(n) AS n,
+       CAST(min(CASE WHEN 2 * i >= n + 1 THEN x END) AS BIGINT)
+         AS median_lo_stat,
+       CAST(min(CASE WHEN i = lo_rank THEN x END) AS BIGINT) AS ci_lo,
+       CAST(min(CASE WHEN i = hi_rank THEN x END) AS BIGINT) AS ci_hi
+FROM rk"""
+
+
+# Distribution-free 95% CI for the median of doc length via ORDER
+# STATISTICS (the binomial/normal rank bounds n/2 ∓ 1.96√n/2): the
+# rank bounds come from one fixed sqrt-bearing float tree (floor/ceil
+# of a bitwise-identical value), and every reported number is a rank
+# SELECTION of an integer — no interpolation, no float output at all.
+# The bootstrap-free CI for monitoring dashboards.
+@_register("doc_length_median_ci", _MEDCI_SQL)
+def doc_length_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v = docs.select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("i"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    lo_rank = F.floor((nd - F.lit(1.96) * F.sqrt(nd)) / F.lit(2.0)).cast("bigint")
+    hi_rank = F.ceil(
+        F.lit(1.0) + (nd + F.lit(1.96) * F.sqrt(nd)) / F.lit(2.0)
+    ).cast("bigint")
+    rk = v.select("i", "x", "n", lo_rank.alias("lo_rank"), hi_rank.alias("hi_rank"))
+    return rk.agg(
+        F.max("n").alias("n"),
+        F.min(F.when(2 * F.col("i") >= F.col("n") + 1, F.col("x")))
+        .cast("bigint")
+        .alias("median_lo_stat"),
+        F.min(F.when(F.col("i") == F.col("lo_rank"), F.col("x")))
+        .cast("bigint")
+        .alias("ci_lo"),
+        F.min(F.when(F.col("i") == F.col("hi_rank"), F.col("x")))
+        .cast("bigint")
+        .alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
 
