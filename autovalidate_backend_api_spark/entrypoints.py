@@ -400,10 +400,19 @@ def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("content")
     )
     # persist hash-partitioned by key: 4 downstream consumers (bucket
-    # sizes, band join, verify src/dst — the joins reuse the partitioning)
+    # sizes, band join, verify src/dst — the joins reuse the partitioning).
+    # Repartition BEFORE the signature UDF (r6): the exchange then carries
+    # (key, ~300-char content) instead of the post-UDF fat signature rows,
+    # and — decisive at gate scale — the Arrow kernel parallelizes across
+    # shuffle_partitions tasks instead of the parquet scan's few input
+    # splits (measured 4.96 s → 1.76 s for this sigs build; partitioning
+    # is preserved through the row-wise UDF so the joins still reuse it).
     sigs = (
-        with_signatures(docs, PINNED, include_winnow=False)
-        .repartition(PINNED.shuffle_partitions, "key")
+        with_signatures(
+            docs.repartition(PINNED.shuffle_partitions, "key"),
+            PINNED,
+            include_winnow=False,
+        )
         .persist()
     )
     cands, _ = B.candidate_pairs(sigs, PINNED)
@@ -440,10 +449,14 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnow-only signatures: Stage C consumes (key, norm, winnow);
     # the fused UDF's MinHash/SimHash work would be computed and
     # discarded here (the pipeline shares one fused pass across B+C,
-    # standalone C should not pay for B)
+    # standalone C should not pay for B). Repartition BEFORE the winnow
+    # UDF (r6): slimmer exchange (content, not winnow arrays) and the
+    # kernel parallelizes past the parquet scan's few input splits —
+    # see minhash_lsh_dedup_pairs.
     sigs = (
-        with_winnow_signatures(docs, PINNED)
-        .repartition(PINNED.shuffle_partitions, "key")
+        with_winnow_signatures(
+            docs.repartition(PINNED.shuffle_partitions, "key"), PINNED
+        )
         .persist()
     )
     cands, _ = C.fingerprint_candidates(sigs, PINNED)

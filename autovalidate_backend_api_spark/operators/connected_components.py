@@ -147,8 +147,14 @@ def connected_components(
     """
     if on_exhaustion not in ("raise", "star"):
         raise ValueError(on_exhaustion)
-    if cfg.cc_driver_max_edges > 0 and edges.count() <= cfg.cc_driver_max_edges:
-        return _driver_union_find(vertices, edges)
+    if cfg.cc_driver_max_edges > 0:
+        # persist across the dispatch count + the Arrow collect (or the
+        # distributed path's first pass): an unpersisted edge DERIVATION
+        # (e.g. repo overlap pairs) would otherwise recompute in full for
+        # each action (r6: repo_fork_clusters paid its pair join twice)
+        edges = edges.persist()
+        if edges.count() <= cfg.cc_driver_max_edges:
+            return _driver_union_find(vertices, edges)
 
     def ckpt_lazy(df: DataFrame) -> DataFrame:
         if use_local_checkpoint:

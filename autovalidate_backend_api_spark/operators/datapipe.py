@@ -1485,11 +1485,17 @@ def extract_imports(docs: DataFrame) -> DataFrame:
     dup_code_blocks, with the same hot-key tolerance (a universally
     imported stdlib module is one map-side-combined key).
     """
-    ls = F.split(F.col("text"), "\n")
+    # trim once per line in its own HOF pass: when-branch CONDITIONS all
+    # re-evaluate their trim in interpreted HOF eval (no CSE inside
+    # lambdas — the house expression-capture gotcha), so the old
+    # single-pass form trimmed each line up to 4× before extracting
+    # NOTE: pass an explicit single-arg lambda — F.trim itself has an
+    # optional second parameter, and transform() would feed it the
+    # element INDEX as a trim-character set
+    ls = F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l))
     with_lines = docs.select("doc_id", ls.alias("ls"))
 
-    def _dep(l: Column) -> Column:
-        t = F.trim(l)
+    def _dep(t: Column) -> Column:
         return (
             F.when(t.startswith("import "), F.element_at(F.split(t, " "), 2))
             .when(t.startswith("from "), F.element_at(F.split(t, " "), 2))
@@ -1800,27 +1806,44 @@ def token_bag_clone_pairs(
         .filter(F.col("pos") <= F.col("n") - ceil_theta_n + 1)
         .select("doc_id", "tok")
     )
+    # Candidates carry the two doc sizes through the prefix join so the
+    # published LENGTH FILTER (SSJoin/PPJoin — priced by
+    # ssjoin_filter_report) prunes BEFORE the token-expansion verify:
+    # overlap ≤ min(na, nb), so a pair can only reach θ when
+    # min·den ≥ num·max — provably lossless, and on a low-entropy
+    # corpus (posting lists are not rare) it cuts the candidate set the
+    # verify join must expand by ~3× (r6 measured: 737k → 212k
+    # candidates at sf0.1; verify intermediate shrinks by the same
+    # factor).
+    pref_sz = pref.join(sz, "doc_id")
     cand = (
-        pref.select(F.col("doc_id").alias("src"), "tok")
-        .join(pref.select(F.col("doc_id").alias("dst"), "tok"), "tok")
+        pref_sz.select(F.col("doc_id").alias("src"), "tok", F.col("n").alias("na"))
+        .join(
+            pref_sz.select(
+                F.col("doc_id").alias("dst"), "tok", F.col("n").alias("nb")
+            ),
+            "tok",
+        )
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        .filter(
+            F.least("na", "nb") * theta_den >= theta_num * F.greatest("na", "nb")
+        )
+        .select("src", "dst", "na", "nb")
         .distinct()
+        .persist()  # consumed twice: verify-join spine + final sizes
     )
     ta = tc.select(F.col("doc_id").alias("src"), "tok", F.col("c").alias("ca"))
     tb = tc.select(F.col("doc_id").alias("dst"), "tok", F.col("c").alias("cb"))
     ov = (
-        cand.join(ta, "src")
+        cand.select("src", "dst")
+        .join(ta, "src")
         .join(tb, ["dst", "tok"])
         .groupBy("src", "dst")
         .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap"))
     )
-    na = sz.select(F.col("doc_id").alias("src"), F.col("n").alias("na"))
-    nb = sz.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb"))
     mx = F.greatest(F.col("na"), F.col("nb"))
     return (
-        ov.join(na, "src")
-        .join(nb, "dst")
+        ov.join(cand, ["src", "dst"])
         .filter(F.col("overlap") * theta_den >= theta_num * mx)
         .select(
             "src",

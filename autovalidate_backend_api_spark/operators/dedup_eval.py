@@ -690,7 +690,14 @@ def ssjoin_filter_report(
     production join (token_bag_clone_pairs) verifies only candidates.
     """
     num, den = theta_num, theta_den
-    tc = token_rows.select("doc_id", F.col(token_col).alias("tok")).distinct()
+    # persisted: consumed by sz, dft, the rank join AND both sides of
+    # the exact inverted-index verify — unpersisted lineage re-derived
+    # the distinct token table (corpus tokenize + exchange) five times
+    tc = (
+        token_rows.select("doc_id", F.col(token_col).alias("tok"))
+        .distinct()
+        .persist()
+    )
     sz = tc.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
     dft = tc.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     rk = dft.select(

@@ -639,9 +639,18 @@ AMS_PER_GROUP = 6   # counters averaged per group (variance / 6)
 AMS_R = AMS_GROUPS * AMS_PER_GROUP  # 30 ≤ 32 md5 hex digits
 
 
-def _ams_sign(h: Column, j: int) -> Column:
-    """±1 from the parity of hex digit j (1-based) of an md5 column."""
-    return (F.conv(F.substring(h, j, 1), 16, 10).cast("bigint") % 2) * 2 - 1
+def _ams_parity_str(h: Column) -> Column:
+    """md5 hex string → 32-char '0'/'1' parity string (one translate per
+    row; the per-digit parity is then a cheap substring compare instead
+    of 15 string base conversions per row — r6: conv() per sign was the
+    dominant per-row cost of the AMS scans, values unchanged since
+    translate maps each hex digit to its parity)."""
+    return F.translate(h, "0123456789abcdef", "0101010101010101")
+
+
+def _ams_sign(hp: Column, j: int) -> Column:
+    """±1 from position j (1-based) of a parity string (see above)."""
+    return F.when(F.substring(hp, j, 1) == "1", 1).otherwise(-1)
 
 
 def ams_f2(terms: DataFrame) -> DataFrame:
@@ -670,7 +679,8 @@ def ams_f2(terms: DataFrame) -> DataFrame:
     r = AMS_R
     stream = terms.select(
         F.lit("s").alias("kind"),
-        F.md5("g").alias("h"),  # projected once; all 30 signs share it
+        # parity string projected once; all signs are substring compares
+        _ams_parity_str(F.md5("g")).alias("h"),
         F.lit(None).cast("bigint").alias("w"),
     )
     exact = (
@@ -758,11 +768,11 @@ def ams_join_size(a_terms: DataFrame, b_terms: DataFrame) -> DataFrame:
     """
     r = AMS_R
     sa = a_terms.select(
-        F.lit("a").alias("kind"), F.md5("g").alias("h"),
+        F.lit("a").alias("kind"), _ams_parity_str(F.md5("g")).alias("h"),
         F.lit(None).cast("bigint").alias("w"),
     )
     sb = b_terms.select(
-        F.lit("b").alias("kind"), F.md5("g").alias("h"),
+        F.lit("b").alias("kind"), _ams_parity_str(F.md5("g")).alias("h"),
         F.lit(None).cast("bigint").alias("w"),
     )
     ca = a_terms.groupBy("g").agg(F.count("*").alias("ca"))

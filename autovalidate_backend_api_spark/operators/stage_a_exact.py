@@ -45,14 +45,21 @@ def exact_groups(hashed: DataFrame) -> DataFrame:
     return exact_reps(hashed).select("sha", "n", "rep_key")
 
 
-def exact_pairs(hashed: DataFrame) -> DataFrame:
+def exact_pairs(hashed: DataFrame, reps: DataFrame | None = None) -> DataFrame:
     """Star edges (rep_key → member) for every sha group with n > 1.
 
     Emitting member↔representative (not all O(n²) member pairs) keeps
     the edge count linear in group size; connected components restores
     the full cluster. Columns: src, dst, stage, score.
+
+    ``reps`` lets a caller that also needs ``survivor_keys`` pass ONE
+    shared ``exact_reps`` frame (persist it) instead of paying the
+    sha-aggregation pass twice — the pipeline does (r6: Stage A ran the
+    full sha256 scan + two-phase agg once for the pair stage and again
+    for the survivor stage; sharing the reps frame removes a whole
+    corpus pass).
     """
-    reps = exact_reps(hashed).filter(F.col("n") > 1)
+    reps = (reps if reps is not None else exact_reps(hashed)).filter(F.col("n") > 1)
     return (
         hashed.join(reps, "sha")
         .filter(F.col("key") != F.col("rep_key"))
@@ -65,7 +72,9 @@ def exact_pairs(hashed: DataFrame) -> DataFrame:
     )
 
 
-def survivor_keys(hashed: DataFrame) -> DataFrame:
+def survivor_keys(
+    hashed: DataFrame | None = None, reps: DataFrame | None = None
+) -> DataFrame:
     """(key, sha) of the representative row per distinct sha — CONTENT-FREE.
 
     The salted two-phase aggregation already yields the min key per sha,
@@ -75,8 +84,13 @@ def survivor_keys(hashed: DataFrame) -> DataFrame:
     signature stage; content now flows through exactly one exchange, the
     signature stage's repartition-by-key). Callers recover content with
     a semi-join against the already-cached corpus on ``key``.
+
+    ``reps`` (a shared ``exact_reps`` frame) turns this into a pure
+    projection — see ``exact_pairs``.
     """
-    return exact_reps(hashed).select(F.col("rep_key").alias("key"), "sha")
+    if reps is None:
+        reps = exact_reps(hashed)
+    return reps.select(F.col("rep_key").alias("key"), "sha")
 
 
 def survivors(hashed: DataFrame) -> DataFrame:

@@ -150,16 +150,36 @@ def run_pipeline(
     hashed = keyed.select(
         F.xxhash64("key_str").alias("key"), "sha", "content"
     )
+    # coalesce (narrow, no shuffle): the keymap is probed by several
+    # SMALL downstream jobs (the duplicate/collision check aggregation,
+    # two broadcast-join translations, the singleton anti-join) — cached
+    # at the provider's input partitioning (128 at bench) every probe
+    # pays a full wave of near-empty tasks (measured 1.76 s for one agg
+    # over 49k cached rows; ~0.4 s at shuffle_partitions). The count is
+    # the parameterized cfg knob, not a core-count constant.
     keymap = timed(
         "keymap",
         lambda: ckpt.get_or_compute(
             "keymap",
-            lambda: keyed.select(F.xxhash64("key_str").alias("id"), "key_str"),
+            lambda: keyed.select(
+                F.xxhash64("key_str").alias("id"), "key_str"
+            ).coalesce(cfg.shuffle_partitions),
         ),
     )
+    # ONE sha256 pass over the corpus serves all of Stage A: the slim
+    # (key, sha) projection is persisted (8-byte id + 64-char hex per
+    # row — MBs at bench scale, and the same shape a production run
+    # would checkpoint), the salted reps aggregation runs over it once,
+    # and both the pair stage and the survivor stage consume the shared
+    # ``reps`` frame (r6: previously exact_pairs and survivor_keys each
+    # recomputed exact_reps — three sha256 corpus scans per run).
+    key_sha = hashed.select("key", "sha").persist()
+    reps = A.exact_reps(key_sha).persist()
     sha_pairs = timed(
         "stage_a_pairs",
-        lambda: ckpt.get_or_compute("stage_a_pairs", lambda: A.exact_pairs(hashed)),
+        lambda: ckpt.get_or_compute(
+            "stage_a_pairs", lambda: A.exact_pairs(key_sha, reps=reps)
+        ),
     )
     # survivor selection is content-free (key, sha only): content joins
     # back via a semi-join on key inside the signature stage, so document
@@ -168,7 +188,7 @@ def run_pipeline(
     survivors = timed(
         "stage_a_survivors",
         lambda: ckpt.get_or_compute(
-            "stage_a_survivors", lambda: A.survivor_keys(hashed)
+            "stage_a_survivors", lambda: A.survivor_keys(reps=reps)
         ),
     )
 
@@ -177,21 +197,27 @@ def run_pipeline(
     # Stage C phase-1 + phase-2) then reuse this partitioning instead of
     # re-exchanging the fat signature table each time (measured 1.8×
     # on the verify stage; partitioning survives persist() in ephemeral
-    # mode — on Iceberg, bucket the table by key for the same effect)
+    # mode — on Iceberg, bucket the table by key for the same effect).
+    # The repartition sits BEFORE the signature UDF (r6): the exchange
+    # then carries (key, content) — ~1 KB/row — instead of the post-UDF
+    # rows with shingle/band/winnow arrays (~3.5 KB/row), a 3× shuffle-
+    # byte cut on the one content-bearing exchange of the pipeline, and
+    # hash partitioning is preserved through the row-wise UDF so every
+    # downstream join still reuses it (plan-pinned by test_plans).
     sigs = timed(
         "signatures",
         lambda: ckpt.get_or_compute(
             "signatures",
             lambda: with_signatures(
-                hashed.join(survivors.select("key"), "key", "left_semi"),
+                hashed.join(survivors.select("key"), "key", "left_semi")
+                .repartition(cfg.shuffle_partitions, "key"),
                 cfg,
                 include_winnow=True,
             )
             .select(
                 "key", "norm", "shingles", "bands_tok", "bands_chr",
                 "n_shingles", "simhash", "winnow",
-            )
-            .repartition(cfg.shuffle_partitions, "key"),
+            ),
         ),
     )
 

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Per-gate timing harness for optimization work (bench.py is FROZEN for
+measurement; this sidecar reproduces its per-gate methodology — same
+session conf, same clearCache + noop-sink discipline, same min-of-N —
+for an arbitrary subset of gates, so optimizations can be A/B'd without
+paying the full 13-minute bench).
+
+Usage: python bench_extra.py gate1,gate2,... [trials]
+Prints one JSON line {"queries": {name: min_sec}, "trials": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+from autovalidate_backend_api_spark import entrypoints  # noqa: E402
+from autovalidate_backend_api_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    names = sys.argv[1].split(",")
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    extra = {"spark.task.cpus": "2"} if int(cpus) >= 16 else {}
+    spark = build_session(
+        app_name="bench_extra", master=f"local[{cpus}]", extra_conf=extra
+    )
+    queries = entrypoints.queries()
+    # warmup: run the first gate once untimed (JIT/codegen, python workers)
+    spark.catalog.clearCache()
+    queries[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    all_trials: dict[str, list[float]] = {}
+    for name in names:
+        walls = []
+        for _ in range(trials):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            walls.append(round(time.monotonic() - t0, 3))
+        all_trials[name] = walls
+        timings[name] = min(walls)
+    print(json.dumps({"queries": timings, "trials": all_trials}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

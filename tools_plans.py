@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Capture .explain('formatted') for named queries into plans/<tag>/.
+
+Usage: python tools_plans.py <tag> <query> [<query> ...]
+Writes plans/<tag>/<query>_{before|after}.txt depending on --suffix.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    suffix = "before"
+    for a in sys.argv[1:]:
+        if a.startswith("--suffix="):
+            suffix = a.split("=", 1)[1]
+    tag, names = args[0], args[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from autovalidate_backend_api_spark import entrypoints
+    from autovalidate_backend_api_spark.session import build_session
+
+    spark = build_session(app_name="plans", master="local[4]")
+    queries = entrypoints.queries()
+    out_dir = os.path.join(REPO_ROOT, "plans", tag)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
