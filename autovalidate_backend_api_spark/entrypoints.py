@@ -9937,11 +9937,25 @@ def km_conversion_survival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the factor list is DRIVER state re-entered as a foldable literal
     # array (the kmeans_lloyd pattern) — a 1-row array broadcast would
     # plan as the banned nested loop; collected doubles are exact
-    # binary64, so the literal is the same value the oracle folds
+    # binary64, so the literal is the same value the oracle folds.
+    # BOUND (VERDICT r5 #5): the list is O(distinct event DAYS with a
+    # conversion) — t is an integer day offset, so it is capped by the
+    # observation window in days, never by |users|. _KM_MAX_GRID backs
+    # that contract with a hard fail: a pathological input (e.g. a
+    # caller re-keying t to microseconds) raises instead of silently
+    # building a multi-MB literal expression tree; production use on a
+    # longer window coarsens t (weeks/months) to stay under it.
+    _KM_MAX_GRID = 20_000  # ~54 years of daily factors; a few hundred KB literal
     fs = [
         float(r["f"])
         for r in evd.select("t", "f").orderBy("t").collect()
     ]
+    if len(fs) > _KM_MAX_GRID:
+        raise ValueError(
+            f"km_conversion_survival: {len(fs)} distinct event times exceeds "
+            f"the driver-literal bound {_KM_MAX_GRID}; coarsen the time grid "
+            "(the t expression) before folding"
+        )
     surv = F.aggregate(
         F.slice(F.lit(fs), F.lit(1), F.col("k").cast("int")),
         F.lit(1.0),
@@ -11376,7 +11390,13 @@ def events_error_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     lo, hi = c.agg(F.min("hr"), F.max("hr")).first()
-    spine = spark.range(int(lo), int(hi) + 1).select(F.col("id").alias("hr"))
+    if lo is None:
+        # no 'error' events at all: degrade to an empty series the same
+        # way the oracle SQL does (range over NULL bounds → empty) —
+        # int(None) would raise (ADVICE r5). range(0,0) keeps the schema.
+        spine = spark.range(0, 0).select(F.col("id").alias("hr"))
+    else:
+        spine = spark.range(int(lo), int(hi) + 1).select(F.col("id").alias("hr"))
     return spine.join(c, "hr", "left").select(
         "hr", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_errors")
     )
@@ -12773,8 +12793,14 @@ def events_periodicity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     lo, hi = raw.agg(F.min("hr"), F.max("hr")).first()
-    n = 24 * ((int(hi) - int(lo) + 1) // 24)
-    spine = spark.range(int(lo), int(lo) + n).select(F.col("id").alias("hr"))
+    if lo is None:
+        # empty events table: degrade to an empty spine (schema intact)
+        # instead of int(None) raising — the oracle degrades the same
+        # way (range over NULL bounds is empty). ADVICE r5 guard.
+        spine = spark.range(0, 0).select(F.col("id").alias("hr"))
+    else:
+        n = 24 * ((int(hi) - int(lo) + 1) // 24)
+        spine = spark.range(int(lo), int(lo) + n).select(F.col("id").alias("hr"))
     h = spine.join(raw, "hr", "left").select(
         "hr", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
     )

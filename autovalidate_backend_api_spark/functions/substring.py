@@ -94,6 +94,14 @@ def _lcs_len_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+# Non-deterministic wrapper for any path that FILTERS on the UDF's
+# output (guide §4.4): Catalyst pushes such filters below the
+# projection by copying the UDF expression — two ArrowEvalPython
+# nodes, every pair's suffix automaton built twice. The UDF is pure;
+# the marker only forbids duplication/reordering.
+_lcs_len_udf_once = _lcs_len_udf.asNondeterministic()
+
+
 def lcs_confirm_pairs(pairs, docs, *, min_containment: float = 0.0):
     """Exact substring confirmation of candidate pairs.
 
@@ -118,7 +126,7 @@ def lcs_confirm_pairs(pairs, docs, *, min_containment: float = 0.0):
             nt.select(F.col("doc_id").alias("src"), F.col("s").alias("sa")), "src"
         ).join(nt.select(F.col("doc_id").alias("dst"), F.col("s").alias("sb")), "dst")
     )
-    out = j.withColumn("lcs_len", _lcs_len_udf(F.col("sa"), F.col("sb"))).select(
+    out = j.withColumn("lcs_len", _lcs_len_udf_once(F.col("sa"), F.col("sb"))).select(
         "src",
         "dst",
         "lcs_len",

@@ -62,6 +62,16 @@ def _jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Serie
         yield pd.Series(out)
 
 
+# Non-deterministic wrapper for the verify path (guide §4.4): the
+# threshold filter references the UDF column, and Catalyst pushes the
+# filter below the projection by COPYING the UDF expression — two
+# ArrowEvalPython nodes, every candidate pair scored twice (measured
+# r6: verify 7.7 s → 3.5 s at 64k candidates once the copy is gone).
+# The UDF is pure; the marker only forbids the optimizer to duplicate
+# or reorder it.
+_jaccard_udf_once = _jaccard_udf.asNondeterministic()
+
+
 def explode_bands(sigs: DataFrame) -> DataFrame:
     """(bucket, key) — one 16-byte row per band per family.
 
@@ -194,8 +204,18 @@ def verify_pairs(
 
     (A touched-key semi-join reduction of the signature side was tried
     and REVERTED: re-evaluating the semi join for the src and dst roles
-    cost more than sorting the full key-partitioned signature table —
-    the partitioning-reuse merge join below is already the cheap shape.)
+    cost more than sorting the full key-partitioned signature table.)
+
+    Join strategy is LEFT TO AQE (r6; guide §3.1): the candidate side
+    is pair-count-sized and AQE broadcasts it from its measured shuffle
+    size, so the fat signature side streams with no exchange and no
+    sort (measured 3.5 s → 2.3 s over the former forced sort-merge,
+    which re-exchanged the signature table per join — the cached-plan
+    AQE-coalescing conf makes the cache's partitioning non-reusable at
+    planning time). At 10^12-row scale both sides exceed the broadcast
+    threshold and AQE falls back to the spillable sort-merge join on
+    its own; the fat signature side is never force-broadcast (its
+    cached-statistics size is accurate, ≫ the 64 MB threshold).
     """
     src_sig = sigs.select(
         F.col("key").alias("src"),
@@ -209,14 +229,10 @@ def verify_pairs(
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
 
-    # sort-merge join: spillable at any scale (shuffle-hash builds can
-    # OOM on skewed pair partitions; broadcast of the fat signature side
-    # is impossible at 10^12 rows and measured slower even here).
     verified = (
-        pairs.hint("merge").join(src_sig, "src")
-        .hint("merge")
+        pairs.join(src_sig, "src")
         .join(dst_sig, "dst")
-        .withColumn("jaccard", _jaccard_udf("sh_a", "sh_b"))
+        .withColumn("jaccard", _jaccard_udf_once("sh_a", "sh_b"))
         .withColumn("hamming", ham)
         .filter(
             (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))

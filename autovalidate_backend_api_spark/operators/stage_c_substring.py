@@ -245,19 +245,26 @@ def verify_containment(
     la, lb = F.length("norm_a"), F.length("norm_b")
     small = F.when(la <= lb, F.col("norm_a")).otherwise(F.col("norm_b"))
     big = F.when(la <= lb, F.col("norm_b")).otherwise(F.col("norm_a"))
-    # sort-merge: spillable; norm strings must not be broadcast
-    # (see stage_b_lsh.verify_pairs)
+    # join strategy left to AQE (r6, same rationale as
+    # stage_b_lsh.verify_pairs): the count-prefiltered pair side is
+    # small and AQE broadcasts it from measured sizes, so the fat norm
+    # side streams with no exchange/sort; at scale AQE falls back to
+    # the spillable sort-merge join on its own. The norm side is never
+    # force-broadcast (accurate cached statistics ≫ the threshold).
     joined = (
-        phase1.hint("merge").join(src_sig, "src")
-        .hint("merge")
+        phase1.join(src_sig, "src")
         .join(dst_sig, "dst")
     )
     if cfg.containment_confirm == "lcs_run":
-        from autovalidate_backend_api_spark.functions.substring import _lcs_len_udf
+        from autovalidate_backend_api_spark.functions.substring import (
+            _lcs_len_udf_once,
+        )
 
         min_run = cfg.lcs_min_run or cfg.contains_min_len
+        # _once: the threshold filter below would otherwise duplicate
+        # the suffix-automaton UDF into a second ArrowEvalPython
         confirmed = joined.withColumn(
-            "_lcs", _lcs_len_udf(F.col("norm_a"), F.col("norm_b"))
+            "_lcs", _lcs_len_udf_once(F.col("norm_a"), F.col("norm_b"))
         ).filter(F.col("_lcs") >= F.lit(min_run))
         score = F.col("_lcs") / F.greatest(F.least(la, lb), F.lit(1))
     else:

@@ -100,6 +100,44 @@ def test_exact_pairs_matches_python_reference(spark):
     assert got == expected
 
 
+def test_exact_pairs_hot_shingle_cap(spark):
+    """max_docs_per_shingle drops boilerplate shingles from the index:
+    pairs sharing ONLY the hot shingle disappear, other pairs lose the
+    hot shingle from ni; uncapped (and any cap >= max df) is identical
+    to the default exact join."""
+    # 's0' is boilerplate (df=6); docs 4,5 share ONLY s0
+    docs = {
+        0: ["s0", "a", "b", "c"],
+        1: ["s0", "a", "b", "d"],
+        2: ["s0", "e", "f", "g"],
+        3: ["s0", "e", "f", "h"],
+        4: ["s0", "p", "q", "r"],
+        5: ["s0", "x", "y", "z"],
+    }
+    sh = _shingles(spark, docs)
+    uncapped = {
+        (r["src"], r["dst"]): (r["ni"], r["na"], r["nb"])
+        for r in exact_pairs(sh).collect()
+    }
+    # a cap above the hottest df changes nothing
+    same = {
+        (r["src"], r["dst"]): (r["ni"], r["na"], r["nb"])
+        for r in exact_pairs(sh, max_docs_per_shingle=6).collect()
+    }
+    assert same == uncapped
+    capped = {
+        (r["src"], r["dst"]): (r["ni"], r["na"], r["nb"])
+        for r in exact_pairs(sh, max_docs_per_shingle=5).collect()
+    }
+    # boilerplate-only pairs gone; surviving pairs exclude s0 from all
+    # of ni/na/nb (the documented drop-from-index contract)
+    assert (4, 5) not in capped
+    assert capped == {
+        (0, 1): (2, 3, 3),
+        (2, 3): (2, 3, 3),
+    }
+
+
 def test_simhash_hamming_pairs_lossless_vs_bruteforce(spark):
     """The chunk-blocked join must find EXACTLY the brute-force pairs at
     hamming <= 3 (pigeonhole: 4 chunks, <= 3 flips)."""
