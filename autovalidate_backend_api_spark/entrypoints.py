@@ -6065,7 +6065,13 @@ def _ams_oracle_sql() -> str:
 def ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autovalidate_backend_api_spark.operators.sketches import ams_f2, trigrams
 
-    docs = _t(spark, sf_dir, "documents")
+    # repartition BEFORE the trigram/md5 work (r6, measured 2.8→1.8 s):
+    # the sketch consumes the trigram stream twice (sign stream + exact
+    # F2 branch), and the docs scan is a single row group — without the
+    # exchange both passes tokenize 5k docs in ONE task each; with it
+    # the exchange is reused and the heavy per-row md5/parity work runs
+    # wide. A no-op on a multi-row-group production table.
+    docs = _t(spark, sf_dir, "documents").repartition(PINNED.shuffle_partitions)
     return ams_f2(trigrams(docs, normalize_text_col(F.col("text"))))
 
 
@@ -6096,7 +6102,9 @@ def ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigrams,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # same pre-tokenize repartition as ams_selfjoin_size (the sketch
+    # reads the stream + per-term counts per side — 4 tokenize passes)
+    docs = _t(spark, sf_dir, "documents").repartition(PINNED.shuffle_partitions)
     a = trigrams(docs, normalize_text_col(F.col("text")))
     b = trigrams(
         docs.filter(F.col("doc_id") % 2 == 0), normalize_text_col(F.col("text"))

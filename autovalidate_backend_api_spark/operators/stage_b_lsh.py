@@ -89,9 +89,13 @@ def explode_bands(sigs: DataFrame) -> DataFrame:
     shingle-pair oracles, which generate no shingles for them).
     """
     sigs = sigs.filter(F.col("n_shingles") > 0)
-    tok = sigs.select(F.explode("bands_tok").alias("bucket"), "key")
-    chr_ = sigs.select(F.explode("bands_chr").alias("bucket"), "key")
-    return tok.unionByName(chr_)
+    # ONE explode over the concatenated band arrays (r6): the former
+    # tok ∪ chr union scanned the cached signature table twice; band
+    # hashes are family-salted at signature time, so the merged array
+    # yields the identical (bucket, key) multiset in one pass.
+    return sigs.select(
+        F.explode(F.concat("bands_tok", "bands_chr")).alias("bucket"), "key"
+    )
 
 
 def candidate_pairs(

@@ -167,17 +167,26 @@ def fingerprint_candidates(
             ),
         )
     )
-    directed = (
+    # ONE pass over the bucket table serves shared_n AND probe_n (r6):
+    # every probe is itself a member of its bucket, so the SELF pair
+    # (pkey == pkey) appears exactly once per bucket where the doc
+    # probes — its count IS probe_n. The old form exploded ``kept``
+    # twice (once for directed pairs, once for the probe count), and
+    # with nothing persisted inside this function the whole
+    # items→anti-join→collect_list subtree planned and ran twice
+    # (measured in the candidate plan: duplicated
+    # Exchange+ObjectHashAggregate subtrees). Self pairs are dropped
+    # AFTER the aggregation; counts are identical by construction.
+    counts = (
         kept.select(F.explode(pair_arr).alias("pr"))
         .select("pr.pkey", "pr.okey")
-        .filter(F.col("pkey") != F.col("okey"))
+        .groupBy("pkey", "okey")
+        .agg(F.count("*").alias("shared_n"))
     )
     # fp is unique per bucket row ⇒ plain counts are distinct-bucket counts
-    shared = directed.groupBy("pkey", "okey").agg(F.count("*").alias("shared_n"))
-    probe_n = (
-        kept.select(F.explode(probes).alias("p"))
-        .groupBy(F.col("p.key").alias("pkey"))
-        .agg(F.count("*").alias("probe_n"))
+    shared = counts.filter(F.col("pkey") != F.col("okey"))
+    probe_n = counts.filter(F.col("pkey") == F.col("okey")).select(
+        "pkey", F.col("shared_n").alias("probe_n")
     )
     # NO broadcast hint: probe_n is corpus-sized (one row per probing
     # doc) — AQE broadcasts it at bench scale and falls back to a
